@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Determinism helpers for floating-point aggregation.
+  *
+  * A plain `SUM(double)` depends on partial-aggregation order, which is
+  * nondeterministic under shuffles — different plans (or engines) give
+  * answers differing in the last ulps. Every aggregate the engine
+  * exposes therefore sums in exact DECIMAL and casts the final value
+  * back to DOUBLE: the result is identical for any partitioning (and
+  * bitwise equal to the DuckDB oracle computing the same way). At 100 TB
+  * this is also the difference between a reproducible pipeline and one
+  * whose outputs change per run.
+  *
+  * Vector math uses fixed-point quantization (1e6) so dot products are
+  * exact 64-bit integer arithmetic — associative, order-insensitive,
+  * and exactly reproducible in SQL.
+  */
+object Exact {
+  private val Dec = DecimalType(18, 6)
+
+  /** Order-insensitive SUM over a double column. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-insensitive AVG over a double column. */
+  def davg(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType) / count(c)
+
+  /** Order-insensitive windowed SUM over a double column. */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType)
+
+  /** DuckDB oracle fragments computing the exact same values. */
+  def dsumSql(e: String): String =
+    s"CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE)"
+  def davgSql(e: String): String =
+    s"(CAST(SUM(CAST(($e) AS DECIMAL(18,6))) AS DOUBLE) / COUNT($e))"
+
+  // ---- fixed-point vector math over ARRAY<FLOAT> ----------------------
+
+  private val Scale = 1000000.0d
+
+  /** Quantize a float-array column to BIGINT fixed point (x * 1e6,
+    * round-half-away-from-zero — same in Spark and DuckDB).
+    */
+  def quantize(a: Column): Column =
+    transform(a, x => round(x.cast(DoubleType) * Scale).cast(LongType))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine similarity from quantized vectors: the only floating-point
+    * steps are one sqrt+divide over exact integers, so the double result
+    * is identical everywhere.
+    */
+  def cosineFromQuantized(qa: Column, qb: Column): Column =
+    qdot(qa, qb).cast(DoubleType) /
+      (sqrt(qdot(qa, qa).cast(DoubleType)) * sqrt(qdot(qb, qb).cast(DoubleType)))
+
+  def cosine(a: Column, b: Column): Column =
+    cosineFromQuantized(quantize(a), quantize(b))
+
+  /** DuckDB fragment: quantized vector for list expression `e`. */
+  def quantizeSql(e: String): String =
+    s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+  /** DuckDB fragment: exact dot of two quantized list expressions. */
+  def qdotSql(qa: String, qb: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($qa) + 1), i -> $qa[i] * $qb[i])) AS BIGINT)"
+
+  def cosineSql(qa: String, qb: String): String =
+    s"(CAST(${qdotSql(qa, qb)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${qdotSql(qa, qa)} AS DOUBLE)) * sqrt(CAST(${qdotSql(qb, qb)} AS DOUBLE))))"
+}
