@@ -1,0 +1,15 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+
+/** The full gated query registry: every entry is an implemented operator
+  * from SURVEY.md §2 (or the LLM-pipeline extension surface) exposed as a
+  * driver-checkable query with a DuckDB oracle.
+  */
+object Queries {
+  val all: Seq[QuerySpec] =
+    Relational.specs ++ Similarity.specs ++ Dedup.specs ++
+      TextAnalysis.specs ++ Multimodal.specs
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+}

@@ -16,6 +16,20 @@ object Tables {
 
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
 
-  def load(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(path(sfDir, table))
+  def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via the
+    // nanosAsLong legacy mode; the values are µs-precision, so converting
+    // the nano count to TIMESTAMP_MICROS is lossless and matches DuckDB.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path(sfDir, table))
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts")
+        // `div` (integral division), NOT `/`: epoch-nanos exceed the 53-bit
+        // double mantissa, so float division would corrupt microseconds
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      else d
+    }
+  }
 }

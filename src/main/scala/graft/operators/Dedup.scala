@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.PolyHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the documents table — the training-data
+  * pipeline surface: exact dedup, MinHash signatures, MinHash-LSH banded
+  * near-dup pair generation, SimHash fingerprints, n-gram Jaccard.
+  *
+  * Scale stance:
+  *  - near-dup candidate pairs are produced ONLY by equi-joins on band
+  *    hashes (LSH) — never an all-pairs comparison;
+  *  - MinHash/SimHash are computed as ONE hash-aggregate over exploded
+  *    (doc_id, shingle_hash) rows with 16/32 plain `min`/`sum` aggregate
+  *    columns. That keeps the hot path in whole-stage codegen with
+  *    map-side partial aggregation and exactly one shuffle on doc_id —
+  *    nested higher-order-function lambdas would instead re-evaluate the
+  *    shingling pipeline per permutation, interpreted (measured 20×
+  *    slower at sf0.001);
+  *  - everything is integer arithmetic on [[PolyHash]] values, so the
+  *    DuckDB oracle computes bit-identical results.
+  */
+object Dedup {
+
+  private val P = PolyHash.P // 2^31 - 1
+  private val NumHashes = 16 // MinHash signature length
+  private val NumBands = 4 // LSH bands of 4 rows each
+  private val RowsPerBand = NumHashes / NumBands
+  private val SimhashBits = 32
+
+  // MinHash permutation j: (a_j * h + b_j) mod P
+  private def permA(j: Int): Long = (1103515245L * (j + 1)) % P
+  private def permB(j: Int): Long = (12345L * (j + 1) + 7) % P
+
+  // ---- engine-side building blocks --------------------------------------
+
+  /** Word 3-gram shingle array, built from three shifted slices zipped
+    * together (each slice evaluates the tokenization once per ROW; an
+    * index-lambda formulation would re-split the text per shingle).
+    */
+  private def shingles(text: Column): Column = {
+    val tok = split(text, " ")
+    val n = greatest(size(tok) - 2, lit(0))
+    val s1 = slice(tok, lit(1), n)
+    val s2 = slice(tok, lit(2), n)
+    val s3 = slice(tok, lit(3), n)
+    zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Exploded (doc_id, h) rows: h = distinct PolyHash per word-3-gram. */
+  private def shingleHashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(transform(shingles(col("text")), x => PolyHash(x)))).as("h"))
+
+  /** One hash-aggregate producing the MinHash signature columns mh0..mh15
+    * (plus optionally the full shingle-hash set for Jaccard verification).
+    */
+  private def minhashAgg(rows: DataFrame, withSet: Boolean): DataFrame = {
+    val mins = (0 until NumHashes).map { j =>
+      min((lit(permA(j)) * col("h") + lit(permB(j))) % P).as(s"mh$j")
+    }
+    val aggs = if (withSet) mins :+ collect_set(col("h")).as("H") else mins
+    rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band hashes from the mh columns: polynomial fold (acc*31 + m) mod P
+    * per band — plain column arithmetic, no lambdas.
+    */
+  private def bandHash(b: Int): Column =
+    (0 until RowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
+      (acc * 31L + col(s"mh${b * RowsPerBand + r}")) % P
+    }
+
+  private def jaccard(h1: Column, h2: Column): Column =
+    size(array_intersect(h1, h2)).cast("double") /
+      size(array_union(h1, h2)).cast("double")
+
+  // ---- DuckDB oracle fragments ------------------------------------------
+
+  /** CTEs `dt` (tokens) and `ds` (doc_id, H = distinct shingle hashes). */
+  private val shingleCtes: String =
+    s"""dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | ds AS (SELECT doc_id, list_distinct(list_transform(
+       |   list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+       |     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]),
+       |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt)""".stripMargin.replaceAll("\n", "")
+
+  private val minhashSqlExpr: String =
+    s"""COALESCE(list_min(list_transform(H, h ->
+       | (((1103515245 * (j + 1)) % $P) * h + ((12345 * (j + 1) + 7) % $P)) % $P)),
+       | $P)""".stripMargin.replaceAll("\n", "")
+
+  // ---- gated queries -----------------------------------------------------
+
+  /** Exact dedup: group documents by content hash, keep the smallest
+    * doc_id per group. One shuffle on a 8-byte key — the canonical
+    * 100 TB exact-dedup shape.
+    */
+  val qDedupExact: QuerySpec = QuerySpec(
+    "q21_dedup_exact",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy(PolyHash(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("dup_cnt"), min(col("doc_id")).as("keep_id")),
+    Some(s"""SELECT ${PolyHash.oracleSql("text")} AS text_hash,
+            | COUNT(*) AS dup_cnt, MIN(doc_id) AS keep_id
+            | FROM documents GROUP BY 1""".stripMargin.replaceAll("\n", "")))
+
+  /** MinHash signatures, one row per (doc, permutation) — scalar output so
+    * the oracle compare never depends on array encodings.
+    */
+  val qMinhashSig: QuerySpec = QuerySpec(
+    "q22_minhash_sig",
+    (s, dir) => {
+      val sig = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = false)
+      sig.select(col("doc_id"),
+          posexplode(array((0 until NumHashes).map(j => col(s"mh$j")): _*)))
+        .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("minhash"))
+    },
+    Some(s"""WITH $shingleCtes
+            | SELECT doc_id, t.j AS j, $minhashSqlExpr AS minhash
+            | FROM ds, range(0, $NumHashes) t(j)""".stripMargin.replaceAll("\n", "")))
+
+  /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
+    * (band index, band hash) to get candidates, verify with exact shingle
+    * Jaccard >= 0.7. No all-pairs stage anywhere.
+    */
+  val qLshPairs: QuerySpec = QuerySpec(
+    "q23_lsh_pairs",
+    (s, dir) => {
+      val docs = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val bands = docs
+        .select(col("doc_id"),
+          posexplode(array((0 until NumBands).map(bandHash): _*)))
+        .select(col("doc_id"), col("pos").as("b"), col("col").as("bh"))
+      val cand = bands.alias("a")
+        .join(bands.alias("c"),
+          col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
+            && col("a.doc_id") < col("c.doc_id"))
+        .select(col("a.doc_id").as("doc_id_1"), col("c.doc_id").as("doc_id_2"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), col("H"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")), "doc_id_1")
+        .join(sets.select(col("doc_id").as("doc_id_2"), col("H").as("H2")), "doc_id_2")
+        .select(col("doc_id_1"), col("doc_id_2"),
+          jaccard(col("H1"), col("H2")).as("jaccard"))
+        .filter(col("jaccard") >= 0.7)
+    },
+    Some(s"""WITH $shingleCtes,
+            | sigl AS (SELECT doc_id, list_transform(range(0, $NumHashes),
+            |   j -> $minhashSqlExpr) AS sig FROM ds),
+            | bands AS (SELECT doc_id, t.b AS b, list_reduce(
+            |   sig[(b * $RowsPerBand + 1):(b * $RowsPerBand + $RowsPerBand)],
+            |   (x, y) -> (x * 31 + y) % $P) AS bh FROM sigl, range(0, $NumBands) t(b)),
+            | cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
+            |   FROM bands a JOIN bands c
+            |   ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+            | SELECT * FROM (
+            |   SELECT doc_id_1, doc_id_2,
+            |     CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
+            |     CAST(len(list_distinct(list_concat(d1.H, d2.H))) AS DOUBLE) AS jaccard
+            |   FROM cand JOIN ds d1 ON cand.doc_id_1 = d1.doc_id
+            |   JOIN ds d2 ON cand.doc_id_2 = d2.doc_id)
+            | WHERE jaccard >= 0.7""".stripMargin.replaceAll("\n", "")))
+
+  /** 32-bit SimHash fingerprint over distinct token hashes: explode to
+    * (doc_id, token_hash) rows, 32 codegen'd SUM aggregates (one per
+    * bit), recombine with plain column arithmetic.
+    */
+  val qSimhash: QuerySpec = QuerySpec(
+    "q24_simhash",
+    (s, dir) => {
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(transform(split(col("text"), " "), x => PolyHash(x)))).as("h"))
+      val bitSums = (0 until SimhashBits).map { i =>
+        sum((shiftright(col("h"), i) % 2) * 2 - 1).as(s"s$i")
+      }
+      rows.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimhashBits).map(i =>
+            when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+    },
+    Some(s"""WITH dh AS (SELECT doc_id, list_distinct(list_transform(
+            |   string_split(text, ' '), s -> ${PolyHash.oracleSql("s")})) AS H
+            |  FROM documents)
+            | SELECT doc_id, CAST(list_sum(list_transform(range(0, $SimhashBits), i ->
+            |   CASE WHEN list_sum(list_transform(H, h2 -> ((h2 >> i) & 1) * 2 - 1)) > 0
+            |   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+            | FROM dh""".stripMargin.replaceAll("\n", "")))
+
+  /** Character-3-gram Jaccard between consecutive doc_ids (a bounded,
+    * deterministic pairing that exercises the n-gram similarity function
+    * without an all-pairs join).
+    */
+  val qNgramJaccard: QuerySpec = QuerySpec(
+    "q27_ngram_jaccard",
+    (s, dir) => {
+      def grams(text: Column): Column =
+        when(length(text) >= 3,
+          array_distinct(transform(sequence(lit(1), length(text) - 2),
+            i => text.substr(i, lit(3)))))
+          .otherwise(array().cast("array<string>"))
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), grams(col("text")).as("G"))
+      d.alias("d1")
+        .join(d.alias("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
+        .select(
+          col("d1.doc_id").as("doc_id_1"), col("d2.doc_id").as("doc_id_2"),
+          (size(array_intersect(col("d1.G"), col("d2.G"))).cast("double") /
+            size(array_union(col("d1.G"), col("d2.G"))).cast("double")).as("jaccard"))
+    },
+    Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+           |   range(1, greatest(length(text) - 2, 0) + 1),
+           |   i -> substr(text, i, 3))) AS G FROM documents)
+           | SELECT d1.doc_id AS doc_id_1, d2.doc_id AS doc_id_2,
+           |  CAST(len(list_intersect(d1.G, d2.G)) AS DOUBLE) /
+           |  CAST(len(list_distinct(list_concat(d1.G, d2.G))) AS DOUBLE) AS jaccard
+           | FROM g d1 JOIN g d2 ON d2.doc_id = d1.doc_id + 1""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(
+    qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard)
+}

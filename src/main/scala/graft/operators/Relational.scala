@@ -1,0 +1,343 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The relational query inventory Q1-Q20 from SURVEY.md §2C.
+  *
+  * Each entry is a declarative DataFrame plan (Catalyst handles pushdown,
+  * pruning, join selection, AQE) paired with the ANSI-SQL oracle DuckDB
+  * runs over the same parquet files. Column names/aliases are identical on
+  * both sides — the driver sorts columns by name before hashing.
+  *
+  * Determinism rules applied throughout (so results hash-match for ANY
+  * partitioning, i.e. stay stable at 1000 executors):
+  *  - float SUM/AVG go through [[Exact.dsum]]/[[Exact.davg]] (exact
+  *    DECIMAL accumulation, order-insensitive);
+  *  - every window/top-k ordering carries a unique tiebreaker key;
+  *  - per-row double arithmetic (no reduction) is IEEE-deterministic as-is.
+  *
+  * Reference semantics covered here: the republish projection
+  * `numPublishes + 1` (reference util/PulsarClientSetup.scala:17) as Q2,
+  * workload set-diff EXCEPT semantics
+  * (reference part4/WorkloadManagementService.scala:46-48) as Q16.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Q1 — full scan with count/min/max over lineitem. */
+  val q1Scan: QuerySpec = QuerySpec(
+    "q1_scan",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        min("l_shipdate").cast("timestamp_ntz").as("min_ship"),
+        max("l_shipdate").cast("timestamp_ntz").as("max_ship")),
+    Some("""SELECT COUNT(*) AS cnt, MIN(l_shipdate) AS min_ship,
+           | MAX(l_shipdate) AS max_ship FROM lineitem""".stripMargin.replaceAll("\n", "")))
+
+  /** Q2 — republish projection: the reference's `numPublishes + 1` hop
+    * (reference util/PulsarClientSetup.scala:17) expressed over the events
+    * table viewed as a keyed payload stream.
+    */
+  val q2Republish: QuerySpec = QuerySpec(
+    "q2_republish",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_type").as("name"),
+        col("user_id").cast("string").as("key"),
+        ((col("event_id") % 10).cast("int") + 1).as("num_publishes")),
+    Some("""SELECT event_type AS name, CAST(user_id AS VARCHAR) AS key,
+           | CAST(event_id % 10 AS INT) + 1 AS num_publishes FROM events""".stripMargin.replaceAll("\n", "")))
+
+  /** Q3 — filter + projection with arithmetic (pushdown-friendly). */
+  val q3FilterProject: QuerySpec = QuerySpec(
+    "q3_filter_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+          && col("l_quantity") > 30)
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue")),
+    Some("""SELECT l_orderkey, l_linenumber,
+           | l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem
+           | WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_quantity > 30""".stripMargin.replaceAll("\n", "")))
+
+  /** Q4 — 3-way equi join, TPC-H Q3 shape. customer/orders/lineitem all
+    * scale with data size, so these stay shuffle joins (sort-merge/hash via
+    * AQE); only fixed-size dims are broadcast (Q5).
+    */
+  val q4Join3: QuerySpec = QuerySpec(
+    "q4_join3",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+        .agg(Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    },
+    Some(s"""SELECT o_orderkey, o_orderdate,
+            | ${Exact.dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+            | FROM customer JOIN orders ON c_custkey = o_custkey
+            | JOIN lineitem ON l_orderkey = o_orderkey
+            | WHERE c_mktsegment = 'BUILDING'
+            | GROUP BY o_orderkey, o_orderdate""".stripMargin.replaceAll("\n", "")))
+
+  /** Q5 — broadcast join of the two fixed-size dims (region: 5 rows,
+    * nation: 25 rows — constant at any scale factor, so broadcast is
+    * always correct here).
+    */
+  val q5BroadcastJoin: QuerySpec = QuerySpec(
+    "q5_broadcast_join",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")),
+    Some("""SELECT n_nationkey, n_name, r_name FROM nation
+           | JOIN region ON n_regionkey = r_regionkey""".stripMargin.replaceAll("\n", "")))
+
+  /** Q6 — left outer join + count (customers with zero orders get 0). */
+  val q6LeftOuter: QuerySpec = QuerySpec(
+    "q6_left_outer",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("num_orders")),
+    Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS num_orders
+           | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           | GROUP BY c_custkey, c_name""".stripMargin.replaceAll("\n", "")))
+
+  /** Q7 — left semi + left anti joins (EXISTS / NOT EXISTS). */
+  val q7SemiAnti: QuerySpec = QuerySpec(
+    "q7_semi_anti",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem")
+      val has = sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), lit("has").as("tag"))
+      val none = sup.join(li, col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .select(col("s_suppkey"), lit("none").as("tag"))
+      has.unionAll(none)
+    },
+    Some("""SELECT s_suppkey, 'has' AS tag FROM supplier
+           | WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+           | UNION ALL
+           | SELECT s_suppkey, 'none' AS tag FROM supplier
+           | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)""".stripMargin.replaceAll("\n", "")))
+
+  /** Q8 — range self-join on events, implemented scale-first: instead of a
+    * theta join (cartesian per user), each left row is exploded into its
+    * two candidate 5-minute time buckets and the join is a pure EQUI join
+    * on (user_id, bucket) — shuffle-partitionable, no per-key quadratic
+    * blowup beyond the genuine range matches. The exact range predicate is
+    * applied post-join.
+    */
+  val q8RangeJoin: QuerySpec = QuerySpec(
+    "q8_range_join",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val left = e.select(
+          col("user_id"), col("ts").as("ts1"),
+          floor(unix_timestamp(col("ts")) / 300).as("b1"))
+        .withColumn("bucket", explode(array(col("b1"), col("b1") + 1)))
+      val right = e.select(
+        col("user_id").as("r_user_id"), col("ts").as("ts2"),
+        floor(unix_timestamp(col("ts")) / 300).as("bucket2"))
+      left.join(right,
+          col("user_id") === col("r_user_id") && col("bucket") === col("bucket2"))
+        .filter(col("ts2") > col("ts1")
+          && col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("pair_cnt"))
+    },
+    Some("""SELECT a.user_id AS user_id, COUNT(*) AS pair_cnt
+           | FROM events a JOIN events b ON a.user_id = b.user_id
+           | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+           | GROUP BY a.user_id""".stripMargin.replaceAll("\n", "")))
+
+  /** Q9 — hash aggregate, TPC-H Q1 shape (the flagship query). */
+  val q9Agg: QuerySpec = QuerySpec(
+    "q9_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          Exact.dsum(col("l_extendedprice")).as("sum_base"),
+          Exact.davg(col("l_extendedprice")).as("avg_price"),
+          Exact.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("cnt")),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            | ${Exact.dsumSql("l_quantity")} AS sum_qty,
+            | ${Exact.dsumSql("l_extendedprice")} AS sum_base,
+            | ${Exact.davgSql("l_extendedprice")} AS avg_price,
+            | ${Exact.davgSql("l_discount")} AS avg_disc,
+            | COUNT(*) AS cnt
+            | FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin.replaceAll("\n", "")))
+
+  /** Q10 — exact COUNT(DISTINCT). */
+  val q10Distinct: QuerySpec = QuerySpec(
+    "q10_distinct",
+    (s, dir) =>
+      t(s, dir, "events").agg(countDistinct(col("user_id")).as("uniq_users")),
+    Some("SELECT COUNT(DISTINCT user_id) AS uniq_users FROM events"))
+
+  /** Q11 — approx_count_distinct (HLL). The sketch value itself is
+    * engine-specific, so the gated result is the exact count plus a
+    * tolerance verdict: |approx - exact| <= 10% * exact must hold.
+    */
+  val q11ApproxDistinct: QuerySpec = QuerySpec(
+    "q11_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          countDistinct(col("user_id")).as("exact_cnt"),
+          approx_count_distinct(col("user_id")).as("approx"))
+        .select(
+          col("exact_cnt"),
+          (abs(col("approx") - col("exact_cnt")) <= col("exact_cnt") * 0.1).as("acd_ok")),
+    Some("SELECT COUNT(DISTINCT user_id) AS exact_cnt, TRUE AS acd_ok FROM events"))
+
+  /** Q12 — ROLLUP grouping sets over events. */
+  val q12Rollup: QuerySpec = QuerySpec(
+    "q12_rollup",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value")),
+    Some(s"""SELECT event_type, day, COUNT(*) AS cnt,
+            | ${Exact.dsumSql("value")} AS sum_value
+            | FROM (SELECT event_type, date_trunc('day', ts) AS day, value FROM events)
+            | GROUP BY ROLLUP(event_type, day)""".stripMargin.replaceAll("\n", "")))
+
+  /** Q13 — ROW_NUMBER ranking: latest 3 orders per customer. Ordering
+    * carries o_orderkey as unique tiebreaker so ranks are deterministic.
+    */
+  val q13RowNumber: QuerySpec = QuerySpec(
+    "q13_row_number",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey"))).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("rn")),
+    Some("""SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+           | SELECT o_custkey, o_orderkey, o_orderdate,
+           | ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey) AS rn
+           | FROM orders) WHERE rn <= 3""".stripMargin.replaceAll("\n", "")))
+
+  /** Q14 — frame-bounded running SUM (ROWS BETWEEN 2 PRECEDING AND
+    * CURRENT ROW), exact-decimal accumulation, unique tiebreaker.
+    */
+  val q14WindowFrame: QuerySpec = QuerySpec(
+    "q14_window_frame",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("run_sum", Exact.dsumOver(col("value"),
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(-2, Window.currentRow)))
+        .select(col("event_id"), col("user_id"), col("value"), col("run_sum")),
+    Some("""SELECT event_id, user_id, value,
+           | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           |   PARTITION BY user_id ORDER BY ts, event_id
+           |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+           | FROM events""".stripMargin.replaceAll("\n", "")))
+
+  /** Q15 — ORDER BY + LIMIT top-k (Spark plans this as TakeOrderedAndProject:
+    * per-partition top-k then a k-row merge on the driver — no global sort).
+    */
+  val q15TopK: QuerySpec = QuerySpec(
+    "q15_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replaceAll("\n", "")))
+
+  /** Q16 — EXCEPT: the workload manager's desired-vs-running set diff
+    * (reference part4/WorkloadManagementService.scala:46-48) as a
+    * relational operator: customers that never ordered.
+    */
+  val q16Except: QuerySpec = QuerySpec(
+    "q16_except",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, dir, "orders").select(col("o_custkey").as("custkey"))),
+    Some("""SELECT c_custkey AS custkey FROM customer
+           | EXCEPT SELECT o_custkey AS custkey FROM orders""".stripMargin.replaceAll("\n", "")))
+
+  /** Q17 — UNION ALL + INTERSECT over event partitions. */
+  val q17UnionIntersect: QuerySpec = QuerySpec(
+    "q17_union_intersect",
+    (s, dir) => {
+      val e = t(s, dir, "events")
+      val clicksViews = e.filter(col("event_type") === "click").select(col("user_id"))
+        .unionAll(e.filter(col("event_type") === "view").select(col("user_id")))
+      clicksViews.intersect(
+        e.filter(col("event_type") === "purchase").select(col("user_id")))
+    },
+    Some("""SELECT user_id FROM (
+           | SELECT user_id FROM events WHERE event_type = 'click'
+           | UNION ALL
+           | SELECT user_id FROM events WHERE event_type = 'view')
+           | INTERSECT
+           | SELECT user_id FROM events WHERE event_type = 'purchase'""".stripMargin.replaceAll("\n", "")))
+
+  /** Q18 — JSON decode + regexp + date functions (references F1-F4:
+    * JSON codec util/PulsarClientSetup.scala:21-29, topic normalization
+    * part3/LimitedMessageProcessor.scala:75). The engine parses with
+    * from_json; the oracle extracts the same value with a regexp so it
+    * never depends on JSON formatting.
+    */
+  val q18JsonFns: QuerySpec = QuerySpec(
+    "q18_json_fns",
+    (s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        regexp_replace(col("event_type"), "^err", "warn").as("etype"),
+        date_trunc("day", col("ts")).cast("timestamp_ntz").as("day")),
+    Some("""SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
+           | regexp_replace(event_type, '^err', 'warn') AS etype,
+           | date_trunc('day', ts) AS day FROM events""".stripMargin.replaceAll("\n", "")))
+
+  /** Q20 — tumbling-window event-time aggregation (batch-equivalent of the
+    * streaming windowed agg; the streaming variant with watermark lives in
+    * graft.streaming and is invariant-tested).
+    */
+  val q20TumblingWindow: QuerySpec = QuerySpec(
+    "q20_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+        .select(
+          col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("cnt"), col("sum_value")),
+    Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+            | COUNT(*) AS cnt, ${Exact.dsumSql("value")} AS sum_value
+            | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(
+    q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
+    q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
+    q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
+    q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow)
+}

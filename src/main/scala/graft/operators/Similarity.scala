@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (ARRAY<FLOAT>, dim 64).
+  *
+  * All cosine math runs on fixed-point-quantized vectors ([[Exact]]):
+  * integer dot products are associative and overflow-free, so scores are
+  * bit-identical across partitionings and vs the DuckDB oracle.
+  *
+  * Three operators:
+  *  - q19: brute-force top-k scan (the correctness baseline — linear, no
+  *    shuffle, embarrassingly parallel at 100 TB);
+  *  - sign-LSH bucketed near-duplicate pairs (the scale path: candidate
+  *    pairs only within a bucket — never all-pairs);
+  *  - IVF-style ANN: assign to nearest of K centroids map-side (centroids
+  *    broadcast), probe the 2 best clusters for the query.
+  */
+object Similarity {
+
+  private val P = 1000000007L // not used for hashing here; kept for clarity
+
+  // ---- deterministic sign-LSH hyperplanes --------------------------------
+  // Integer hyperplane weights derived from an LCG on (plane, dim) — the
+  // exact same closed form is evaluated in the DuckDB oracle, so bucket
+  // assignments agree bit-for-bit. |w| < 2^15, |q| < 2^21, dim 64 → the
+  // integer dot stays far inside 63 bits.
+  private val NumPlanes = 8
+  private val Dim = 64
+  private def planeWeight(j: Int, d: Int): Long =
+    ((1103515245L * (j * Dim + d) + 12345L) % 65536L) - 32768L
+
+  /** Integer dot of a quantized embedding with hyperplane j. */
+  private def planeDot(qe: Column, j: Int): Column = {
+    val w = array((0 until Dim).map(d => lit(planeWeight(j, d))): _*)
+    aggregate(zip_with(qe, w, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  }
+
+  /** LSH bucket id: 8 sign bits of hyperplane dots. */
+  private def bucketCol(qe: Column): Column =
+    (0 until NumPlanes).map(j =>
+      when(planeDot(qe, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def bucketSql(qe: String): String =
+    s"""list_sum(list_transform(range(0, $NumPlanes), j -> CASE WHEN
+       | list_sum(list_transform(range(0, $Dim), d ->
+       |   $qe[d + 1] * (((1103515245 * (j * $Dim + d) + 12345) % 65536) - 32768))) > 0
+       | THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))""".stripMargin.replaceAll("\n", "")
+
+  /** Q19 — brute-force cosine top-k against the vec_id=0 query vector.
+    * The single-row query vector is inlined as a literal (at cluster scale:
+    * a broadcast), so the scan is one map-side pass + TakeOrdered.
+    */
+  val q19CosineTopK: QuerySpec = QuerySpec(
+    "q19_cosine_topk",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      emb.select(
+          col("vec_id"),
+          Exact.cosine(col("embedding"), typedlit(q)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some {
+      val qe = "ev"
+      val qv = "qv"
+      s"""WITH q AS (SELECT ${Exact.quantizeSql("embedding")} AS qv
+         | FROM embeddings WHERE vec_id = 0),
+         | e AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS ev FROM embeddings)
+         | SELECT vec_id, ${Exact.cosineSql(qe, qv)} AS cos_sim FROM e, q
+         | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")
+    })
+
+  /** Embedding-cosine near-duplicate pairs via sign-LSH bucketing: pairs
+    * are generated ONLY within a bucket (equi-join on bucket id — shuffle
+    * partitionable, no cartesian product), then exact-cosine filtered.
+    */
+  val qEmbedNearDup: QuerySpec = QuerySpec(
+    "q25_embed_neardup",
+    (s, dir) => {
+      val qe = Exact.quantize(col("embedding"))
+      val b = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), qe.as("qe"))
+        .withColumn("bucket", bucketCol(col("qe")))
+      val a = b.select(col("vec_id").as("vec_id_1"), col("qe").as("qe1"), col("bucket"))
+      val c = b.select(col("vec_id").as("vec_id_2"), col("qe").as("qe2"),
+        col("bucket").as("bucket2"))
+      a.join(c, col("bucket") === col("bucket2") && col("vec_id_1") < col("vec_id_2"))
+        .select(col("vec_id_1"), col("vec_id_2"),
+          Exact.cosineFromQuantized(col("qe1"), col("qe2")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+    },
+    Some(s"""WITH b AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+            | FROM embeddings),
+            | bb AS (SELECT vec_id, qe, ${bucketSql("qe")} AS bucket FROM b)
+            | SELECT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2,
+            | ${Exact.cosineSql("a.qe", "c.qe")} AS cos_sim
+            | FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin.replaceAll("\n", "")))
+
+  /** IVF-style ANN: K=8 fixed centroids (vec_id < 8), every vector is
+    * assigned to its nearest centroid in one broadcast map-side pass, the
+    * query probes its 2 best clusters, brute-force only inside them. This
+    * is the 100 TB shape: the full-corpus scan is replaced by
+    * nprobe/K of the data, and assignment never shuffles.
+    */
+  val qAnnIvf: QuerySpec = QuerySpec(
+    "q26_ann_ivf",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("qe").as("cqe"))
+      val q = emb.filter(col("vec_id") === 0).select(col("qe")).head().getSeq[Long](0)
+      val qlit = typedlit(q)
+      // nearest-centroid assignment: broadcast the 8 centroids, rank by
+      // cosine (cid tiebreak), keep rank 1
+      val assigned = emb.join(broadcast(centroids))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(Exact.cosineFromQuantized(col("qe"), col("cqe")).desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("qe"), col("cid"))
+      // probe: the query's 2 best centroids (driver-side: 8 rows)
+      val probe = centroids
+        .select(col("cid"), Exact.cosineFromQuantized(col("cqe"), qlit).as("qc"))
+        .orderBy(col("qc").desc, col("cid")).limit(2)
+        .select(col("cid").as("probe_cid"))
+      assigned.join(broadcast(probe), col("cid") === col("probe_cid"))
+        .select(col("vec_id"),
+          Exact.cosineFromQuantized(col("qe"), qlit).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+            | FROM embeddings),
+            | c AS (SELECT vec_id AS cid, qe AS cqe FROM e WHERE vec_id < 8),
+            | q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+            | assign AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY e.vec_id
+            |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+            |  FROM e, c),
+            | a2 AS (SELECT vec_id, qe, cid FROM assign WHERE rk = 1),
+            | probe AS (SELECT cid, ROW_NUMBER() OVER (
+            |   ORDER BY ${Exact.cosineSql("c.cqe", "q.qqe")} DESC, cid) AS prk FROM c, q)
+            | SELECT a2.vec_id, ${Exact.cosineSql("a2.qe", "q.qqe")} AS cos_sim
+            | FROM a2 JOIN probe ON a2.cid = probe.cid AND probe.prk <= 2, q
+            | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(q19CosineTopK, qEmbedNearDup, qAnnIvf)
+}

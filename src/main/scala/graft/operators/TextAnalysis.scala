@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.PolyHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: quality stats,
+  * token counting, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is a single map-side pass (regexp + integer arithmetic in
+  * whole-stage codegen) — no shuffle, trivially linear at 100 TB. Patterns
+  * are chosen to evaluate identically under Java regex (Spark) and RE2
+  * (DuckDB): word-boundary anchors, explicit character classes, no
+  * backtracking constructs.
+  */
+object TextAnalysis {
+
+  private val StopWords = "\\b(the|a|an|and|or|of|to|in|is)\\b"
+  private val WordRe = "[a-z0-9]+"
+
+  /** Per-document quality statistics. */
+  val qTextStats: QuerySpec = QuerySpec(
+    "q28_textstats",
+    (s, dir) => {
+      val words = regexp_extract_all(col("text"), lit(WordRe), lit(0))
+      Tables.load(s, dir, "documents")
+        .withColumn("w", words)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("w")).cast("long").as("n_words"),
+          regexp_count(col("text"), lit(StopWords)).cast("long").as("n_stop"),
+          (regexp_count(col("text"), lit(StopWords)).cast("double") /
+            size(col("w")).cast("double")).as("stop_ratio"),
+          (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(col("w")).cast("double")).as("avg_word_len"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, n_chars, text,
+            |   regexp_extract_all(text, '$WordRe') AS ws FROM documents)
+            | SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+            |  CAST(len(regexp_extract_all(text, '$StopWords')) AS BIGINT) AS n_stop,
+            |  CAST(len(regexp_extract_all(text, '$StopWords')) AS DOUBLE) /
+            |    CAST(len(ws) AS DOUBLE) AS stop_ratio,
+            |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) /
+            |    CAST(len(ws) AS DOUBLE) AS avg_word_len
+            | FROM w""".stripMargin.replaceAll("\n", "").replace("\\b", "\\b")))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation +
+    * the chars/4 rule-of-thumb estimate.
+    */
+  val qTokens: QuerySpec = QuerySpec(
+    "q29_tokens",
+    (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+          .as("re_tokens"),
+        ceil(col("n_chars").cast("double") / 4.0).cast("long").as("est_bpe")),
+    Some("""SELECT doc_id,
+           | CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+           | CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
+           | FROM documents""".stripMargin.replaceAll("\n", "")))
+
+  /** Language-ID heuristic: stopword-list hit counts per language, argmax
+    * with a fixed priority tie-break. (The synthetic corpus is
+    * English-vocabulary for every lang tag, so `pred_lang` mostly reads
+    * 'en' — the gated artifact is the deterministic scoring itself.)
+    */
+  val qLangId: QuerySpec = QuerySpec(
+    "q30_langid",
+    (s, dir) => {
+      def score(pat: String): Column = regexp_count(col("text"), lit(pat)).cast("long")
+      val sEn = score("\\b(the|and|of|to|in)\\b")
+      val sDe = score("\\b(der|die|das|und|ist)\\b")
+      val sEs = score("\\b(el|los|las|y|que)\\b")
+      val sFr = score("\\b(le|les|et|est|une)\\b")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+    },
+    Some("""WITH s AS (SELECT doc_id, lang,
+           | CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS BIGINT) AS s_en,
+           | CAST(len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+           | CAST(len(regexp_extract_all(text, '\b(el|los|las|y|que)\b')) AS BIGINT) AS s_es,
+           | CAST(len(regexp_extract_all(text, '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr
+           | FROM documents)
+           | SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+           | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+           | FROM s""".stripMargin.replaceAll("\n", "")))
+
+  /** Document fingerprints: raw PolyHash + whitespace-normalized variant. */
+  val qFingerprint: QuerySpec = QuerySpec(
+    "q31_fingerprint",
+    (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        PolyHash(col("text")).as("fp"),
+        PolyHash(regexp_replace(col("text"), "[^a-z0-9 ]", "")).as("fp_norm")),
+    Some(s"""SELECT doc_id, ${PolyHash.oracleSql("text")} AS fp,
+            | ${PolyHash.oracleSql("regexp_replace(text, '[^a-z0-9 ]', '', 'g')")} AS fp_norm
+            | FROM documents""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint)
+}
