@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object Exact {
   private val Dec = DecimalType(18, 6)
 
+  // Input-domain precondition: |value| < 1e12 and finite. Under Spark 4's
+  // default ANSI mode, a row outside DECIMAL(18,6) (or NaN/Inf) fails the
+  // query LOUDLY (NUMERIC_VALUE_OUT_OF_RANGE) rather than silently
+  // degrading — the intended behavior for a reproducibility-first
+  // aggregate. Callers with dirty data should pre-filter or widen Dec.
+
   /** Order-insensitive SUM over a double column. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
@@ -49,9 +55,15 @@ object Exact {
   def quantize(a: Column): Column =
     transform(a, x => round(x.cast(DoubleType) * Scale).cast(LongType))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors. NULL when the
+    * lengths differ or either is empty — zip_with would otherwise
+    * null-pad silently; the SQL fragment applies the same guard so both
+    * engines agree on degenerate inputs.
+    */
   def qdot(qa: Column, qb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    when(size(qa) === size(qb) && size(qa) > 0,
+      aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .otherwise(lit(null).cast(LongType))
 
   /** Cosine similarity from quantized vectors: the only floating-point
     * steps are one sqrt+divide over exact integers, so the double result
@@ -68,9 +80,13 @@ object Exact {
   def quantizeSql(e: String): String =
     s"list_transform($e, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
 
-  /** DuckDB fragment: exact dot of two quantized list expressions. */
+  /** DuckDB fragment: exact dot of two quantized list expressions (same
+    * degenerate-input guard as [[qdot]]).
+    */
   def qdotSql(qa: String, qb: String): String =
-    s"CAST(list_sum(list_transform(range(1, len($qa) + 1), i -> $qa[i] * $qb[i])) AS BIGINT)"
+    s"(CASE WHEN len($qa) = len($qb) AND len($qa) > 0 THEN " +
+      s"CAST(list_sum(list_transform(range(1, len($qa) + 1), i -> $qa[i] * $qb[i])) AS BIGINT) " +
+      "ELSE NULL END)"
 
   def cosineSql(qa: String, qb: String): String =
     s"(CAST(${qdotSql(qa, qb)} AS DOUBLE) / " +

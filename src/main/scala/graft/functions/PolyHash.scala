@@ -51,15 +51,19 @@ object PolyHash {
 
   /** Matches the no-initial-value left fold DuckDB's `list_reduce` does:
     * first code point seeds the accumulator. Empty string hashes to 0.
+    * Iterates CODE POINTS (not UTF-16 units) so supplementary-plane
+    * characters hash identically to the oracle's code-point `ascii()`.
     */
   def hash(s: String): Long = {
     val n = s.length
     if (n == 0) return 0L
-    var h = s.charAt(0).toLong
-    var i = 1
+    var cp = s.codePointAt(0)
+    var h = cp.toLong
+    var i = Character.charCount(cp)
     while (i < n) {
-      h = (h * 31L + s.charAt(i).toLong) % P
-      i += 1
+      cp = s.codePointAt(i)
+      h = (h * 31L + cp.toLong) % P
+      i += Character.charCount(cp)
     }
     h
   }

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** A file-backed "topic": an append-only parquet directory read as a
+  * stream. This is the test/local stand-in for the broker source (reference
+  * S1, part1/PulsarPekkoSource.scala) — in production the same pipeline
+  * reads `spark.readStream.format("pulsar")` (StreamNative connector) or
+  * any DataSource-V2 streaming source; everything downstream is identical.
+  *
+  * Envelope columns follow the connector's shape: payload columns plus
+  * `topic` and `deliveries` (the redelivery counter that replaces broker
+  * `deliveryCount`).
+  */
+final class FileTopic(val spark: SparkSession, val name: String, val dir: String,
+    schema: StructType) {
+
+  private val envelopeSchema: StructType = schema
+    .add("topic", "string").add("deliveries", "int")
+
+  /** Producer send (reference K4). Batching intentionally not tunable:
+    * each call is one atomic append, like the examples' batching-off
+    * producers (part2/SingleWorkloadExample.scala:85).
+    */
+  def publish(rows: DataFrame): Unit = {
+    val out = rows
+      .withColumn("topic", lit(name))
+      .withColumn("deliveries", coalesce(col("deliveries"), lit(0)))
+      .select(envelopeSchema.fieldNames.map(col): _*)
+    // an empty append still creates a parquet file, which a streaming
+    // reader of this topic would see as a new file — feeding an infinite
+    // empty-batch loop on feedback topologies. Never write empty sends.
+    if (!out.isEmpty) out.write.mode(SaveMode.Append).parquet(dir)
+  }
+
+  def publishSeed(rows: DataFrame): Unit =
+    publish(rows.withColumn("deliveries", lit(0)))
+
+  /** Streaming scan with bounded intake (reference C3: inputBuffer(0,1) +
+    * receiverQueueSize — the broker buffers, the app admits a bounded
+    * amount per trigger; here `maxFilesPerTrigger`).
+    */
+  def readStream(maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(envelopeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Batch read of everything currently on the topic. */
+  def readAll(): DataFrame = spark.read.schema(envelopeSchema).parquet(dir)
+}
+
+object FileTopic {
+  def create(spark: SparkSession, name: String, baseDir: String,
+      schema: StructType): FileTopic = {
+    val dir = s"$baseDir/$name"
+    new java.io.File(dir).mkdirs()
+    new FileTopic(spark, name, dir, schema)
+  }
+}
