@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 final class Gauges extends StreamingQueryListener {
 
   final case class Snapshot(
-      batches: Long, totalRows: Long, lastBatchRows: Long,
+      batches: Long, totalRows: Long, lastBatchRows: Long, maxBatchRows: Long,
       terminated: Boolean, error: Option[String])
 
   private val byName = TrieMap[String, Snapshot]()
@@ -28,16 +28,17 @@ final class Gauges extends StreamingQueryListener {
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
     byId.put(e.id, e.name)
-    byName.putIfAbsent(e.name, Snapshot(0, 0, 0, terminated = false, None))
+    byName.putIfAbsent(e.name, Snapshot(0, 0, 0, 0, terminated = false, None))
   }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val name = e.progress.name
-    val prev = byName.getOrElse(name, Snapshot(0, 0, 0, terminated = false, None))
+    val prev = byName.getOrElse(name, Snapshot(0, 0, 0, 0, terminated = false, None))
     byName.put(name, prev.copy(
       batches = prev.batches + 1,
       totalRows = prev.totalRows + e.progress.numInputRows,
-      lastBatchRows = e.progress.numInputRows))
+      lastBatchRows = e.progress.numInputRows,
+      maxBatchRows = math.max(prev.maxBatchRows, e.progress.numInputRows)))
   }
 
   override def onQueryTerminated(

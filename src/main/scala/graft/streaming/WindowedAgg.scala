@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.functions.Exact
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over the events stream — the streaming
+  * form of Q20 (the reference has NO event-time processing anywhere —
+  * SURVEY §2C "streaming stateful ops" — so this is extension surface:
+  * watermarks are added here and only here, never imposed on the
+  * arrival-ordered core pipelines).
+  *
+  * In append mode a window emits exactly once, when the watermark passes
+  * its end — the batch-equivalence test asserts emitted windows match the
+  * batch computation over the same rows ([[graft.operators.Relational.q20TumblingWindow]]
+  * is the batch twin, oracle-checked against DuckDB).
+  */
+object WindowedAgg {
+
+  /** Tumbling 1-hour event-time counts/sums with a watermark bounding
+    * state and late data.
+    */
+  def tumbling(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def sliding(events: DataFrame, windowLength: String = "1 hour",
+      slide: String = "30 minutes", watermarkDelay: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("cnt"))
+}

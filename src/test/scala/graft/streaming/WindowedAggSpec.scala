@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming tumbling-window aggregation equals its batch twin on the
+  * same rows once the watermark closes the windows (SURVEY §2C Q20's
+  * streaming form).
+  */
+case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+class WindowedAggSpec extends AnyFunSuite with SparkTestSession {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("closed windows match the batch computation; late data past watermark dropped") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val name = s"win_${System.nanoTime()}"
+    val query = WindowedAgg.tumbling(input.toDF(), watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val hour1 = Seq(
+        Ev(t("2024-01-01 10:05:00"), "click", 1.5),
+        Ev(t("2024-01-01 10:15:00"), "click", 2.5),
+        Ev(t("2024-01-01 10:55:00"), "view", 4.0))
+      input.addData(hour1); query.processAllAvailable()
+      // advance event time into hour 12 => watermark passes hour-10 and
+      // hour-11 window ends; hour-10 results emit
+      input.addData(Seq(Ev(t("2024-01-01 12:01:00"), "view", 1.0)))
+      query.processAllAvailable()
+      // one more batch so the new watermark takes effect on emission
+      input.addData(Seq(Ev(t("2024-01-01 12:02:00"), "view", 1.0)))
+      query.processAllAvailable()
+
+      val emitted = spark.table(name)
+        .select("window_start", "event_type", "cnt", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val expected = hour1.toDF()
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          graft.functions.Exact.dsum(col("value")).as("sum_value"))
+        .select(col("window.start"), col("event_type"), col("cnt"), col("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(emitted == expected,
+        s"emitted $emitted\nexpected $expected")
+
+      // late arrival for the already-closed hour-10 window is dropped
+      input.addData(Seq(Ev(t("2024-01-01 10:30:00"), "click", 9.9)))
+      query.processAllAvailable()
+      val after = spark.table(name)
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(after == emitted, "late data must not reopen a closed window")
+    } finally query.stop()
+  }
+}
