@@ -25,6 +25,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // steady-state warmup: JVM/codegen/noop-sink init should not be
+    // attributed to whichever query happens to run first
+    spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     Queries.all.filter(_.headline).foreach { q =>

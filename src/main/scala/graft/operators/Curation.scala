@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.PolyHash
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the composite query a
+  * 100 TB pretraining-data job actually runs, built entirely from the
+  * operators this engine exposes:
+  *
+  *   1. exact dedup (keep the smallest doc_id per content hash);
+  *   2. near-dup removal via MinHash-LSH (drop the higher doc_id of every
+  *      verified pair — banded equi-join, never all-pairs);
+  *   3. quality filter (stopword-ratio and length bounds);
+  *   4. emit curated doc ids + token counts for the tokenizer stage.
+  *
+  * Every stage is a shuffle-partitionable relational op, so the whole
+  * pipeline is one Catalyst plan: scan once, aggregate/join on hashed
+  * keys, no driver-side loops.
+  */
+object Curation {
+
+  val qCuration: QuerySpec = QuerySpec(
+    "q33_curation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      // stage 1: exact dedup
+      val keep = docs
+        .groupBy(PolyHash(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      // stage 2: near-dup removal (reuse the LSH pair generator; drop the
+      // higher id of each pair)
+      val dupIds = Dedup.qLshPairs.build(s, dir).select(col("doc_id_2").as("doc_id"))
+      val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
+      // stages 3+4: quality filter + token counts
+      val words = regexp_count(col("text"), lit("[a-z0-9]+"))
+      val stops = regexp_count(col("text"),
+        lit("\\b(the|a|an|and|or|of|to|in|is)\\b"))
+      deduped.join(docs, Seq("doc_id"))
+        .withColumn("n_words", words.cast("long"))
+        .withColumn("stop_ratio", stops.cast("double") / words.cast("double"))
+        .filter(col("n_chars") >= 50 && col("n_chars") <= 10000
+          && col("stop_ratio") < 0.5)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
+    },
+    Some {
+      // the oracle composes the same stages as CTEs on the q21/q23 SQL
+      val lsh = Dedup.qLshPairs.oracle.get
+      s"""WITH keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY ${PolyHash.oracleSql("text")}),
+         | pairs AS ($lsh),
+         | deduped AS (
+         |  SELECT doc_id FROM keep
+         |  WHERE doc_id NOT IN (SELECT doc_id_2 FROM pairs))
+         | SELECT d.doc_id, d.lang,
+         |  CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(d.text, '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS DOUBLE)
+         |    / CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS DOUBLE) AS stop_ratio
+         | FROM deduped JOIN documents d ON deduped.doc_id = d.doc_id
+         | WHERE d.n_chars >= 50 AND d.n_chars <= 10000
+         |  AND CAST(len(regexp_extract_all(d.text, '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS DOUBLE)
+         |    / CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS DOUBLE) < 0.5""".stripMargin
+        .replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] = Seq(qCuration)
+}

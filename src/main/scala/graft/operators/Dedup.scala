@@ -203,11 +203,13 @@ object Dedup {
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q27_ngram_jaccard",
     (s, dir) => {
+      // grams hashed to longs (codegen'd PolyHash) so the distinct/
+      // intersect/union set ops work on 8-byte keys, not strings
       def grams(text: Column): Column =
         when(length(text) >= 3,
           array_distinct(transform(sequence(lit(1), length(text) - 2),
-            i => text.substr(i, lit(3)))))
-          .otherwise(array().cast("array<string>"))
+            i => PolyHash(text.substr(i, lit(3))))))
+          .otherwise(array().cast("array<bigint>"))
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), grams(col("text")).as("G"))
       d.alias("d1")
@@ -217,9 +219,10 @@ object Dedup {
           (size(array_intersect(col("d1.G"), col("d2.G"))).cast("double") /
             size(array_union(col("d1.G"), col("d2.G"))).cast("double")).as("jaccard"))
     },
-    Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(
-           |   range(1, greatest(length(text) - 2, 0) + 1),
-           |   i -> substr(text, i, 3))) AS G FROM documents)
+    Some(s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
+            |   list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+            |     i -> substr(text, i, 3)),
+            |   s3 -> ${PolyHash.oracleSql("s3")})) AS G FROM documents)
            | SELECT d1.doc_id AS doc_id_1, d2.doc_id AS doc_id_2,
            |  CAST(len(list_intersect(d1.G, d2.G)) AS DOUBLE) /
            |  CAST(len(list_distinct(list_concat(d1.G, d2.G))) AS DOUBLE) AS jaccard
