@@ -50,20 +50,18 @@ object Exact {
   private val Scale = 1000000.0d
 
   /** Quantize a float-array column to BIGINT fixed point (x * 1e6,
-    * round-half-away-from-zero — same in Spark and DuckDB).
+    * round-half-away-from-zero — same in Spark and DuckDB). Codegen'd
+    * [[Quantize]] expression: one tight loop per row, no interpreted
+    * higher-order lambdas on the similarity hot path.
     */
-  def quantize(a: Column): Column =
-    transform(a, x => round(x.cast(DoubleType) * Scale).cast(LongType))
+  def quantize(a: Column): Column = Quantize(a)
 
   /** Exact integer dot product of two quantized vectors. NULL when the
     * lengths differ or either is empty — zip_with would otherwise
     * null-pad silently; the SQL fragment applies the same guard so both
-    * engines agree on degenerate inputs.
+    * engines agree on degenerate inputs. Codegen'd [[QDot]] expression.
     */
-  def qdot(qa: Column, qb: Column): Column =
-    when(size(qa) === size(qb) && size(qa) > 0,
-      aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
-      .otherwise(lit(null).cast(LongType))
+  def qdot(qa: Column, qb: Column): Column = QDot(qa, qb)
 
   /** Cosine similarity from quantized vectors: the only floating-point
     * steps are one sqrt+divide over exact integers, so the double result

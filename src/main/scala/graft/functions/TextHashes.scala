@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd n-gram hashing for the dedup hot path.
+  *
+  * The composed-builtin formulations (`transform(sequence(...), i ->
+  * PolyHash(substr(text, i, 3)))` for char 3-grams; `split` + three
+  * `slice`s + `zip_with` + `transform` for word shingles) are correct but
+  * slow at scale for two reasons: higher-order functions are
+  * CodegenFallback (they break whole-stage codegen and evaluate their
+  * lambda interpreted per element), and per-position `substr` re-scans
+  * the string making char n-grams O(n²) per document. These expressions
+  * compute the identical [[PolyHash]] values in one O(n·k) pass per row
+  * and stay inside whole-stage codegen.
+  *
+  * Both return the DISTINCT hash set (first-occurrence order), matching
+  * the `array_distinct` the composed form applied.
+  */
+object TextHashes {
+
+  private val P = PolyHash.P
+
+  /** Distinct PolyHash of every `n`-code-point substring (matches
+    * `array_distinct(transform(sequence(1, length-n+1), i ->
+    * PolyHash(substr(text, i, n))))`; empty array when the text is
+    * shorter than n).
+    */
+  def charNgramHashes(s: String, n: Int): ArrayData = {
+    val cps = s.codePoints().toArray
+    val len = cps.length
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= len) {
+      var h = cps(i).toLong
+      var j = 1
+      while (j < n) { h = (h * 31L + cps(i + j).toLong) % P; j += 1 }
+      seen.add(h)
+      i += 1
+    }
+    toArrayData(seen)
+  }
+
+  /** Distinct PolyHash of every k-word shingle (words = split on a single
+    * space keeping empty tokens, exactly like `split(text, " ")`;
+    * shingle = the k words joined with a single space — identical to the
+    * slice/zip_with composition it replaces). Empty array when the text
+    * has fewer than k words.
+    */
+  def wordShingleHashes(s: String, k: Int): ArrayData = {
+    val toks = s.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + k <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(PolyHash.hash(sb.toString))
+      i += 1
+    }
+    toArrayData(seen)
+  }
+
+  private def toArrayData(seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+private[functions] abstract class HashArrayExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+}
+
+/** `charNgramHashes` as a codegen'd Catalyst expression. */
+case class CharNgramHashes(child: Expression, n: Int) extends HashArrayExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+  override def prettyName: String = "graft_char_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.charNgramHashes(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.charNgramHashes($c.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+object CharNgramHashes {
+  def apply(c: Column, n: Int): Column =
+    GraftShims.column(CharNgramHashes(GraftShims.expression(c), n))
+}
+
+/** `wordShingleHashes` as a codegen'd Catalyst expression. */
+case class WordShingleHashes(child: Expression, k: Int) extends HashArrayExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.wordShingleHashes(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.wordShingleHashes($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  def apply(c: Column, k: Int): Column =
+    GraftShims.column(WordShingleHashes(GraftShims.expression(c), k))
+}

@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.math.RoundingMode
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native codegen'd fixed-point vector math for the similarity hot path.
+  *
+  * The composed-builtin forms (`transform` for quantization, `aggregate(
+  * zip_with(...))` for the dot product) evaluate interpreted — higher-
+  * order functions are CodegenFallback — and allocate two intermediate
+  * arrays per dot product. At 100 TB the cosine kernel runs per row (and
+  * per centroid for IVF assignment), so it must be a tight codegen'd
+  * loop. Semantics are bit-identical to the composed forms:
+  *
+  *  - [[Quantize]]: `round(x * 1e6)` with Spark's HALF_UP double
+  *    rounding, cast to BIGINT;
+  *  - [[QDot]]: integer dot product; NULL when lengths differ or the
+  *    arrays are empty (the degenerate-input guard `Exact.qdot`
+  *    documents, applied identically in the DuckDB oracle fragments).
+  */
+object VectorOps {
+
+  private val Scale = 1000000.0d
+
+  /** round(v*1e6) exactly as Spark's `round(double)`: BigDecimal HALF_UP
+    * on the canonical decimal representation, then cast to long.
+    */
+  def quantizeValue(v: Double): Long =
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      throw new ArithmeticException(s"cannot quantize non-finite value $v")
+    else
+      java.math.BigDecimal.valueOf(v * Scale)
+        .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+
+  def quantizeFloatArray(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new NullPointerException(
+        "graft_quantize: null vector element")
+      out(i) = quantizeValue(a.getFloat(i).toDouble); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def quantizeDoubleArray(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new NullPointerException(
+        "graft_quantize: null vector element")
+      out(i) = quantizeValue(a.getDouble(i)); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Integer dot product; null (boxed) when sizes differ or are zero. */
+  def qdotBoxed(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements() || n == 0) return null
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    java.lang.Long.valueOf(s)
+  }
+}
+
+/** Fixed-point quantization of ARRAY<FLOAT> / ARRAY<DOUBLE> to
+  * ARRAY<BIGINT> (x → round(x * 1e6)).
+  */
+case class Quantize(child: Expression) extends UnaryExpression {
+
+  private def elementType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_quantize"
+
+  override protected def nullSafeEval(input: Any): Any = elementType match {
+    case FloatType => VectorOps.quantizeFloatArray(input.asInstanceOf[ArrayData])
+    case DoubleType => VectorOps.quantizeDoubleArray(input.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = elementType match {
+      case FloatType => "quantizeFloatArray"
+      case DoubleType => "quantizeDoubleArray"
+    }
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.$fn($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize =
+    copy(child = newChild)
+}
+
+object Quantize {
+  def apply(c: Column): Column = GraftShims.column(Quantize(GraftShims.expression(c)))
+}
+
+/** Exact integer dot product of two ARRAY<BIGINT> vectors; NULL when the
+  * lengths differ or either is empty.
+  */
+case class QDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<BIGINT> inputs, got ${l.sql} / ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_qdot"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    VectorOps.qdotBoxed(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Long ${ev.value}_r = graft.functions.VectorOps.qdotBoxed($a, $b);
+      |if (${ev.value}_r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_r.longValue();
+      |}
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object QDot {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(QDot(GraftShims.expression(a), GraftShims.expression(b)))
+}

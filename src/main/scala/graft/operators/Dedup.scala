@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.PolyHash
+import graft.functions.{CharNgramHashes, PolyHash, WordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -36,24 +36,14 @@ object Dedup {
 
   // ---- engine-side building blocks --------------------------------------
 
-  /** Word 3-gram shingle array, built from three shifted slices zipped
-    * together (each slice evaluates the tokenization once per ROW; an
-    * index-lambda formulation would re-split the text per shingle).
+  /** Exploded (doc_id, h) rows: h = distinct PolyHash per word-3-gram.
+    * [[WordShingleHashes]] tokenizes + shingles + hashes + dedups in one
+    * codegen'd pass per row (the composed split/slice/zip_with/transform
+    * form evaluated its lambdas interpreted).
     */
-  private def shingles(text: Column): Column = {
-    val tok = split(text, " ")
-    val n = greatest(size(tok) - 2, lit(0))
-    val s1 = slice(tok, lit(1), n)
-    val s2 = slice(tok, lit(2), n)
-    val s3 = slice(tok, lit(3), n)
-    zip_with(zip_with(s1, s2, (a, b) => concat(a, lit(" "), b)), s3,
-      (a, b) => concat(a, lit(" "), b))
-  }
-
-  /** Exploded (doc_id, h) rows: h = distinct PolyHash per word-3-gram. */
   private def shingleHashRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(transform(shingles(col("text")), x => PolyHash(x)))).as("h"))
+      explode(WordShingleHashes(col("text"), 3)).as("h"))
 
   /** One hash-aggregate producing the MinHash signature columns mh0..mh15
     * (plus optionally the full shingle-hash set for Jaccard verification).
@@ -178,7 +168,7 @@ object Dedup {
     (s, dir) => {
       val rows = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(array_distinct(transform(split(col("text"), " "), x => PolyHash(x)))).as("h"))
+          explode(WordShingleHashes(col("text"), 1)).as("h"))
       val bitSums = (0 until SimhashBits).map { i =>
         sum((shiftright(col("h"), i) % 2) * 2 - 1).as(s"s$i")
       }
@@ -203,13 +193,10 @@ object Dedup {
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q27_ngram_jaccard",
     (s, dir) => {
-      // grams hashed to longs (codegen'd PolyHash) so the distinct/
-      // intersect/union set ops work on 8-byte keys, not strings
-      def grams(text: Column): Column =
-        when(length(text) >= 3,
-          array_distinct(transform(sequence(lit(1), length(text) - 2),
-            i => PolyHash(text.substr(i, lit(3))))))
-          .otherwise(array().cast("array<bigint>"))
+      // one codegen'd O(n) rolling pass per row: grams hashed to longs so
+      // the intersect/union set ops work on 8-byte keys, and no
+      // per-position substr re-scan (which made this O(n²) per doc)
+      def grams(text: Column): Column = CharNgramHashes(text, 3)
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), grams(col("text")).as("G"))
       d.alias("d1")

@@ -34,17 +34,21 @@ object Similarity {
   private def planeWeight(j: Int, d: Int): Long =
     ((1103515245L * (j * Dim + d) + 12345L) % 65536L) - 32768L
 
-  /** Integer dot of a quantized embedding with hyperplane j. */
-  private def planeDot(qe: Column, j: Int): Column = {
-    val w = array((0 until Dim).map(d => lit(planeWeight(j, d))): _*)
-    aggregate(zip_with(qe, w, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
-  }
+  /** Integer dot of a quantized embedding with hyperplane j — codegen'd
+    * [[Exact.qdot]] against a literal weight array.
+    */
+  private def planeDot(qe: Column, j: Int): Column =
+    Exact.qdot(qe, typedlit((0 until Dim).map(d => planeWeight(j, d))))
 
   /** LSH bucket id: 8 sign bits of hyperplane dots. */
   private def bucketCol(qe: Column): Column =
     (0 until NumPlanes).map(j =>
       when(planeDot(qe, j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Driver-side exact integer dot (same arithmetic as [[Exact.qdot]]). */
+  private def dotL(a: Seq[Long], b: Seq[Long]): Long =
+    a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
 
   private def bucketSql(qe: String): String =
     s"""list_sum(list_transform(range(0, $NumPlanes), j -> CASE WHEN
@@ -106,34 +110,44 @@ object Similarity {
             | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin.replaceAll("\n", "")))
 
   /** IVF-style ANN: K=8 fixed centroids (vec_id < 8), every vector is
-    * assigned to its nearest centroid in one broadcast map-side pass, the
-    * query probes its 2 best clusters, brute-force only inside them. This
-    * is the 100 TB shape: the full-corpus scan is replaced by
-    * nprobe/K of the data, and assignment never shuffles.
+    * assigned to its nearest centroid in one map-side pass, the query
+    * probes its 2 best clusters, brute-force only inside them. This is
+    * the 100 TB shape: the codebook (tiny, fixed) is collected once and
+    * inlined as literals — the broadcast every IVF implementation does —
+    * so assignment is a pure per-row argmax with ZERO joins and ZERO
+    * shuffles; the full-corpus scan cost is replaced by nprobe/K of the
+    * data, and the only exchange left is the final TakeOrdered(10).
     */
   val qAnnIvf: QuerySpec = QuerySpec(
     "q26_ann_ivf",
     (s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
-      val centroids = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("qe").as("cqe"))
-      val q = emb.filter(col("vec_id") === 0).select(col("qe")).head().getSeq[Long](0)
+      // the codebook: K=8 quantized centroid vectors, collected driver-side
+      val cents: Seq[(Int, Seq[Long], Double)] = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("qe")).collect().toSeq
+        .map { r =>
+          val cq = r.getSeq[Long](1)
+          (r.getInt(0), cq, math.sqrt(dotL(cq, cq).toDouble))
+        }.sortBy(_._1)
+      val q = cents.find(_._1 == 0).get._2
       val qlit = typedlit(q)
-      // nearest-centroid assignment: broadcast the 8 centroids, rank by
-      // cosine (cid tiebreak), keep rank 1
-      val assigned = emb.join(broadcast(centroids))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("vec_id"))
-            .orderBy(Exact.cosineFromQuantized(col("qe"), col("cqe")).desc, col("cid"))))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("qe"), col("cid"))
-      // probe: the query's 2 best centroids (driver-side: 8 rows)
-      val probe = centroids
-        .select(col("cid"), Exact.cosineFromQuantized(col("cqe"), qlit).as("qc"))
-        .orderBy(col("qc").desc, col("cid")).limit(2)
-        .select(col("cid").as("probe_cid"))
-      assigned.join(broadcast(probe), col("cid") === col("probe_cid"))
+      // probe set: the query's 2 best centroids (cosine desc, cid asc),
+      // computed driver-side over the 8-row codebook with the exact same
+      // integer/double arithmetic the engine uses
+      val qn = math.sqrt(dotL(q, q).toDouble)
+      val probeCids = cents
+        .map { case (cid, cq, cn) => (cid, dotL(cq, q).toDouble / (cn * qn)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      // per-row nearest-centroid argmax by (cosine desc, cid asc):
+      // lexicographic greatest over (cos, -cid) structs — all codegen'd
+      val nq = sqrt(Exact.qdot(col("qe"), col("qe")).cast("double"))
+      val best = greatest(cents.map { case (cid, cq, cn) =>
+        struct((Exact.qdot(col("qe"), typedlit(cq)).cast("double") /
+          (nq * lit(cn))).as("c"), lit(-cid).as("negcid"))
+      }: _*)
+      emb.withColumn("cid", -best.getField("negcid"))
+        .filter(col("cid").isin(probeCids.toSeq: _*))
         .select(col("vec_id"),
           Exact.cosineFromQuantized(col("qe"), qlit).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
