@@ -35,6 +35,18 @@ object ProcessStage {
     deliveries === 0 &&
       pmod(PolyHash(concat(name, lit("#"), numPublishes)), lit(100L)) < failPercent
 
+  /** F7 (reference sleep-work test harness, util/StandardTestTools.scala):
+    * simulated per-message service latency for throughput tests. A
+    * blocking sleep is the point — it models downstream I/O; concurrency
+    * comes from the micro-batch's partitioning (the Spark analogue of the
+    * reference's `mapAsyncUnordered(n)` bound). Marked nondeterministic so
+    * Catalyst never elides or reorders the side-effecting predicate.
+    */
+  def withSimulatedService(df: DataFrame, serviceMs: Long): DataFrame = {
+    val work = udf { () => Thread.sleep(serviceMs); true }.asNondeterministic()
+    df.filter(work())
+  }
+
   /** Adds `status` and `error` columns; all other columns pass through
     * (the "original message" kept for ack routing).
     */
