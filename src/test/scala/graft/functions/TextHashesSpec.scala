@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd hash-array expressions must be drop-in equivalent to the
+  * composed-builtin formulations they replaced (which stay here as the
+  * executable spec): same values, same order, same degenerate-input
+  * behavior — on seeded random corpora including whitespace edge cases.
+  */
+class TextHashesSpec extends AnyFunSuite with SparkTestSession {
+
+  /** The original interpreted char-n-gram pipeline (pre-optimization). */
+  private def composedCharGrams(text: Column): Column =
+    when(length(text) >= 3,
+      array_distinct(transform(sequence(lit(1), length(text) - 2),
+        i => PolyHash(text.substr(i, lit(3))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** The original interpreted word-shingle pipeline (pre-optimization). */
+  private def composedShingles(text: Column, k: Int): Column = {
+    val tok = split(text, " ")
+    if (k == 1) array_distinct(transform(tok, x => PolyHash(x)))
+    else {
+      val n = greatest(size(tok) - (k - 1), lit(0))
+      val joined = (2 to k).foldLeft(slice(tok, lit(1), n)) { (acc, j) =>
+        zip_with(acc, slice(tok, lit(j), n), (a, b) => concat(a, lit(" "), b))
+      }
+      array_distinct(transform(joined, x => PolyHash(x)))
+    }
+  }
+
+  private def corpus(seed: Int, rows: Int): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "", "longerword")
+    (1 to rows).map { _ =>
+      rnd.nextInt(6) match {
+        case 0 => "" // empty text
+        case 1 => words(rnd.nextInt(words.size)) // single token
+        case 2 => Seq.fill(2 + rnd.nextInt(20))(
+          words(rnd.nextInt(words.size))).mkString(" ") // normal
+        case 3 => " " + Seq.fill(3)(words(rnd.nextInt(words.size)))
+          .mkString(" ") + " " // leading/trailing space (empty tokens)
+        case 4 => rnd.alphanumeric.take(rnd.nextInt(50)).mkString // no spaces
+        case _ => Seq.fill(1 + rnd.nextInt(4))(
+          rnd.alphanumeric.take(rnd.nextInt(8)).mkString).mkString("  ") // double spaces
+      }
+    }
+  }
+
+  test("CharNgramHashes(3) ≡ composed substr/transform pipeline") {
+    import spark.implicits._
+    val df = corpus(42, 300).toDF("text")
+    val mismatches = df.select(
+        CharNgramHashes(col("text"), 3).as("fast"),
+        composedCharGrams(col("text")).as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("WordShingleHashes(3) ≡ composed split/slice/zip_with pipeline") {
+    import spark.implicits._
+    val df = corpus(7, 300).toDF("text")
+    val mismatches = df.select(
+        WordShingleHashes(col("text"), 3).as("fast"),
+        composedShingles(col("text"), 3).as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("WordShingleHashes(1) ≡ per-token PolyHash with distinct") {
+    import spark.implicits._
+    val df = corpus(13, 300).toDF("text")
+    val mismatches = df.select(
+        WordShingleHashes(col("text"), 1).as("fast"),
+        composedShingles(col("text"), 1).as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("degenerate inputs: short text → empty array, never null") {
+    import spark.implicits._
+    val rows = Seq("", "ab", "a b").toDF("text")
+      .select(CharNgramHashes(col("text"), 3).as("c"),
+        WordShingleHashes(col("text"), 3).as("w"))
+      .collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+    }
+    assert(rows(0).getSeq[Long](0).isEmpty && rows(0).getSeq[Long](1).isEmpty)
+  }
+}

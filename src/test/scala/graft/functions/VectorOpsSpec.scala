@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Quantize]]/[[QDot]] must be drop-in equivalent to the composed
+  * higher-order-function forms they replaced (kept here as the
+  * executable spec), including the round-half-up rounding mode and the
+  * degenerate-input NULL guard.
+  */
+class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
+
+  private def composedQuantize(a: Column): Column =
+    transform(a, x => round(x.cast(DoubleType) * 1000000.0d).cast(LongType))
+
+  private def composedQdot(qa: Column, qb: Column): Column =
+    when(size(qa) === size(qb) && size(qa) > 0,
+      aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .otherwise(lit(null).cast(LongType))
+
+  test("Quantize ≡ composed round/cast transform on seeded random floats") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vecs = (1 to 200).map(_ =>
+      Seq.fill(rnd.nextInt(70))((rnd.nextFloat() - 0.5f) * 2f))
+    val mismatches = vecs.toDF("v").select(
+        Quantize(col("v")).as("fast"), composedQuantize(col("v")).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("Quantize rounds half away from zero exactly like Spark round()") {
+    import spark.implicits._
+    // 0.0000005 * 1e6 = 0.5 → 1; -0.0000015 * 1e6 = -1.5 → -2 (HALF_UP)
+    val got = Seq(Seq(0.0000005d, -0.0000015d, 0.0000024d)).toDF("v")
+      .select(Quantize(col("v"))).as[Seq[Long]].head()
+    assert(got == Seq(1L, -2L, 2L))
+  }
+
+  test("QDot ≡ composed aggregate/zip_with incl. NULL guard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 200).map { _ =>
+      val n = rnd.nextInt(8)
+      val m = if (rnd.nextInt(4) == 0) rnd.nextInt(8) else n // 25% mismatched
+      (Seq.fill(n)(rnd.nextLong() % 1000000L), Seq.fill(m)(rnd.nextLong() % 1000000L))
+    }
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+        QDot(col("a"), col("b")).as("fast"),
+        composedQdot(col("a"), col("b")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("QDot propagates null inputs") {
+    import spark.implicits._
+    val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(df.select(QDot(col("a"), col("b"))).head().isNullAt(0))
+  }
+}
