@@ -32,6 +32,13 @@ object Exact {
   /** Order-insensitive SUM over a double column. */
   def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
 
+  /** Two-phase split of [[dsum]] for salted/skew-resistant aggregation:
+    * decimal sums are associative, so SUM of per-(key, salt) partials is
+    * BITWISE identical to the direct per-key sum at any bucketing.
+    */
+  def dsumPartial(c: Column): Column = sum(c.cast(Dec))
+  def dsumMerge(partial: Column): Column = sum(partial).cast(DoubleType)
+
   /** Order-insensitive AVG over a double column. */
   def davg(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType) / count(c)
 
