@@ -55,6 +55,44 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame after resize: the one→many batch shape of video
+    * feature extraction (decode once per doc, emit a bounded frame set).
+    */
+  final case class FrameRow(
+      doc_id: Long, frame_idx: Long, out_w: Long, out_h: Long, frame_hash: Long)
+
+  /** Fit (w, h) into a box preserving aspect ratio — the integer/double
+    * arithmetic a real scaler performs, deterministic and SQL-checkable.
+    */
+  def resizeFit(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long) =
+    if (w == 0 || h == 0) (0L, 0L)
+    else if (w <= maxW && h <= maxH) (w, h)
+    else {
+      val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+      (math.floor(w * scale).toLong, math.floor(h * scale).toLong)
+    }
+
+  /** Decode + strided frame sampling + resize + per-frame fingerprint in
+    * ONE partition pass (a real video pipeline decodes once and samples
+    * inline — never "decode all frames, then filter"). Output is bounded:
+    * ≤ maxFrames rows per doc regardless of media length, so the explode
+    * can never amplify a 100 TB corpus unboundedly.
+    */
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val meta = StubDecoder.decode(m)
+        val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+        val stride = (meta.n_frames + maxFrames - 1) / maxFrames // ceil → ≤ maxFrames rows
+        val (ow, oh) = resizeFit(meta.width, meta.height, 320L, 240L)
+        (0L until meta.n_frames by stride).iterator.map { i =>
+          FrameRow(m.doc_id, i, ow, oh, (h * 31L + i) % PolyHash.P)
+        }
+      }
+    }
+  }
+
   val qMultimodal: QuerySpec = QuerySpec(
     "q32_multimodal",
     (s, dir) => {
@@ -71,5 +109,39 @@ object Multimodal {
             | CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
             | FROM documents""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qMultimodal)
+  /** Q36 — the full multimodal extract pipeline: decode → strided frame
+    * sample (≤ 8 frames/doc) → aspect-fit resize to 320×240 → per-frame
+    * fingerprint.
+    */
+  val qFrames: QuerySpec = QuerySpec(
+    "q36_frames",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[MediaRow]
+      sampleFrames(media, maxFrames = 8).toDF()
+    },
+    Some {
+      val h = PolyHash.oracleSql("text")
+      s"""WITH meta AS (SELECT doc_id, $h AS h,
+         |   $h % 1920 AS w, $h % 1080 AS ht,
+         |   CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS nf
+         |  FROM documents),
+         | rs AS (SELECT *, CASE
+         |    WHEN w = 0 OR ht = 0 THEN 0
+         |    WHEN w <= 320 AND ht <= 240 THEN w
+         |    ELSE CAST(floor(w * least(320.0 / w, 240.0 / ht)) AS BIGINT) END AS out_w,
+         |   CASE
+         |    WHEN w = 0 OR ht = 0 THEN 0
+         |    WHEN w <= 320 AND ht <= 240 THEN ht
+         |    ELSE CAST(floor(ht * least(320.0 / w, 240.0 / ht)) AS BIGINT) END AS out_h
+         |  FROM meta)
+         | SELECT doc_id, unnest(range(0, nf, (nf + 7) // 8)) AS frame_idx,
+         |  out_w, out_h, (h * 31 + unnest(range(0, nf, (nf + 7) // 8)))
+         |    % ${PolyHash.P} AS frame_hash
+         | FROM rs""".stripMargin.replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames)
 }
