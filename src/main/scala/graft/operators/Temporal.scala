@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Temporal operators Spark has no single built-in for: AS-OF join and
+  * gap-based sessionization. Both are implemented scale-first as ONE
+  * shuffle on the key + a sorted window pass — never an inequality
+  * (theta) join, which would go quadratic per key.
+  *
+  * Time arithmetic happens on exact integer epoch-microseconds
+  * (`unix_micros` ≡ DuckDB `epoch_us`, both floor), so every comparison
+  * and output value is bitwise-reproducible across engines and
+  * partitionings.
+  */
+object Temporal {
+
+  /** Q37 — AS-OF join: for every event, the most recent order of the same
+    * key with order time ≤ event time (classic point-in-time lookup —
+    * "state of the world when the event happened").
+    *
+    * Implementation: tag + union both sides, one window pass per key
+    * ordered by (time, side, id) carrying the last non-null order key
+    * forward, keep event rows. Cost = one shuffle on the key + a sort —
+    * the same plan shape at 100 TB; an inequality join would be per-key
+    * quadratic and a per-key `collect` would not be distributed.
+    * Orders sort before events at equal time (side 0 < 1) making the
+    * match inclusive; ties among identical (key, time) orders resolve to
+    * the largest o_orderkey deterministically.
+    */
+  val qAsofJoin: QuerySpec = QuerySpec(
+    "q37_asof_join",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events").select(
+        col("user_id").as("k"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), lit(null).cast(LongType).as("okey"),
+        lit(1).as("side"))
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("tus"),
+        lit(null).cast(LongType).as("event_id"),
+        col("o_orderkey").as("okey"), lit(0).as("side"))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("tus"), col("side"), coalesce(col("okey"), col("event_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("last_order", last(col("okey"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("k").as("user_id"), col("last_order"))
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id AS k, epoch_us(ts) AS tus, event_id,
+           |   CAST(NULL AS BIGINT) AS okey, 1 AS side FROM events
+           |  UNION ALL
+           |  SELECT o_custkey, epoch_us(o_orderdate), CAST(NULL AS BIGINT),
+           |   o_orderkey, 0 FROM orders),
+           | m AS (SELECT *, last_value(okey IGNORE NULLS) OVER (
+           |    PARTITION BY k ORDER BY tus, side, COALESCE(okey, event_id)
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+           |  FROM u)
+           | SELECT event_id, k AS user_id, last_order
+           | FROM m WHERE side = 1""".stripMargin.replaceAll("\n", "")))
+
+  /** Q38 — gap-based sessionization: events of a user belong to one
+    * session while consecutive gaps stay ≤ 30 min. One window pass:
+    * lag → new-session flag → running sum = session sequence number,
+    * then a per-(user, session) aggregate. Same single-shuffle shape at
+    * any scale; the streaming twin is `session_window` with watermark.
+    */
+  val qSessionize: QuerySpec = QuerySpec(
+    "q38_sessionize",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq",
+          sum(col("new_sess")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"),
+          min(col("tus")).as("start_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+           | l AS (SELECT *, lag(tus) OVER (
+           |    PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+           | n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+           |    THEN 1 ELSE 0 END AS new_sess FROM l),
+           | s AS (SELECT *, CAST(SUM(new_sess) OVER (
+           |    PARTITION BY user_id ORDER BY tus, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS session_seq FROM n)
+           | SELECT user_id, session_seq, COUNT(*) AS n_events,
+           |  MIN(event_id) AS first_event_id, MIN(tus) AS start_us
+           | FROM s GROUP BY user_id, session_seq""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize)
+}
