@@ -318,6 +318,54 @@ object Relational {
            | regexp_replace(event_type, '^err', 'warn') AS etype,
            | date_trunc('day', ts) AS day FROM events""".stripMargin.replaceAll("\n", "")))
 
+  /** Q39 — ordered-statistics aggregate: exact interpolated percentiles
+    * (Spark `percentile` and DuckDB `quantile_cont` share the
+    * lower + (upper−lower)·frac formula, so doubles match BITWISE —
+    * verified on continuous data), plus the sketch path the 100 TB plan
+    * uses (`approx_percentile`, t-digest-style, mergeable map-side)
+    * gated as a tolerance verdict like Q11.
+    */
+  val q39Percentiles: QuerySpec = QuerySpec(
+    "q39_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+        .select(col("l_returnflag"), col("p50"), col("p95"),
+          (abs(col("ap50") - col("p50")) <= col("p50") * 0.05).as("apx_ok")),
+    Some("""SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
+           | quantile_cont(l_extendedprice, 0.95) AS p95, TRUE AS apx_ok
+           | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")))
+
+  /** Q40 — pivot (wide conditional aggregation). The pivot values are
+    * DECLARED, not discovered — at 100 TB a `pivot(col)` without explicit
+    * values costs an extra full distinct scan and an unbounded column
+    * count; declaring them keeps the plan a single pass.
+    */
+  val q40Pivot: QuerySpec = QuerySpec(
+    "q40_pivot",
+    (s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")).cast("timestamp_ntz"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      // absent (day, type) combos: pivot yields NULL, the conditional-agg
+      // oracle yields 0 — normalize to 0
+      wide.select(col("day") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    },
+    Some("""SELECT date_trunc('day', ts) AS day,
+           | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+           | FROM events GROUP BY 1""".stripMargin.replaceAll("\n", "")))
+
   /** Q20 — tumbling-window event-time aggregation (batch-equivalent of the
     * streaming windowed agg; the streaming variant with watermark lives in
     * graft.streaming and is invariant-tested).
@@ -339,5 +387,6 @@ object Relational {
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
-    q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow)
+    q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
+    q39Percentiles, q40Pivot)
 }
