@@ -59,11 +59,26 @@ object OrderedProcessor {
       : Dataset[Out] =
     run(input, deterministicFailure(failPercent), maxAttempts)
 
-  def run(input: Dataset[Msg], failsOn: (Msg, Int) => Boolean, maxAttempts: Int)
-      : Dataset[Out] = {
+  /** @param retryBackoffMs when set, a blocked key retries its head after
+    *   this delay even if NO new traffic arrives on the key — the analog
+    *   of the reference broker's redelivery delay (Key_Shared redelivers
+    *   nacked messages after `negativeAckRedeliveryDelay` regardless of
+    *   traffic). Implemented as a per-key processing-time timeout.
+    *   Trade-off: with this timeout conf Spark schedules a micro-batch
+    *   every trigger whether or not data arrived (so retries can fire),
+    *   which also means `processAllAvailable()` no longer quiesces — pace
+    *   the query with `Trigger.ProcessingTime` and observe the sink.
+    *   `None` keeps the pure data-driven mode: a blocked key retries on
+    *   its next arrival (and the engine stays fully idle between batches).
+    */
+  def run(input: Dataset[Msg], failsOn: (Msg, Int) => Boolean, maxAttempts: Int,
+      retryBackoffMs: Option[Long] = None): Dataset[Out] = {
+    val timeoutConf =
+      if (retryBackoffMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     input
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, newMsgs: Iterator[Msg], state: GroupState[KeyState]) =>
           val st = state.getOption.getOrElse(KeyState(Nil, 0))
           // pending retries first, then new arrivals in seq order
@@ -92,7 +107,11 @@ object OrderedProcessor {
             }
           }
           if (remaining.isEmpty) state.remove()
-          else state.update(KeyState(remaining, attempts))
+          else {
+            state.update(KeyState(remaining, attempts))
+            // blocked: schedule a retry even if the key sees no new traffic
+            retryBackoffMs.foreach(state.setTimeoutDuration)
+          }
           out.result().iterator
       }
   }

@@ -87,6 +87,37 @@ class OrderedProcessorSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("a nacked head retries via timeout even with NO new traffic on the key") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val failsOn: (Msg, Int) => Boolean = (m, att) => att == 0 && m.key == "k1"
+    val name = s"ordered_timeout_${System.nanoTime()}"
+    val query = OrderedProcessor
+      .run(input.toDS(), failsOn, maxAttempts = 5, retryBackoffMs = Some(100L))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(Seq(Msg("k1", 0, "a", 0), Msg("k1", 1, "b", 0)))
+      // NOTE: no processAllAvailable — with a processing-time timeout the
+      // engine keeps scheduling batches, so quiescence never happens;
+      // observe the sink instead. No further addData: only the timeout
+      // can unblock k1.
+      val deadline = System.currentTimeMillis() + 30000
+      def rows() = spark.table(name).as[Out].collect().toSeq
+      while (rows().size < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val out = rows().sortBy(_.seq)
+      // failsOn nacks the FIRST attempt of every k1 message, so each head
+      // needs one timeout-driven retry: two timeout firings total, both
+      // messages drained in seq order with attempts = 2
+      assert(out.map(o => (o.seq, o.status, o.attempts)) ==
+        Seq((0L, "success", 2), (1L, "success", 2)),
+        s"timeout retry did not drain the blocked key: $out")
+    } finally query.stop()
+  }
+
   test("deterministic failure injection matches the declared rate shape") {
     // ~10% of first attempts fail; retries always succeed
     val fails = (0 until 1000).count(i =>
