@@ -41,6 +41,26 @@ class SkewSpec extends AnyFunSuite with SparkTestSession {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("saltedJoinHotKeys is row-identical to the plain join for any hot set") {
+    import spark.implicits._
+    val left = skewed()
+    val right = Seq(("hot", "H"), ("cold-1", "C1"), ("cold-2", "C2"))
+      .toDF("k", "label")
+    val plain = left.join(right, Seq("k")).select("k", "id", "label")
+    // hot set deliberately includes a key with no matches and misses the
+    // actual hot key half the time — correctness must not depend on it
+    Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      k => k === "hot",
+      k => k.isin("cold-1", "no-such-key"),
+      k => lit(false),
+      k => lit(true)
+    ).foreach { hotSet =>
+      val salted = Skew.saltedJoinHotKeys(left, right, "k", hotSet,
+        buckets = 4, probeSaltSrc = Seq(col("id"))).select("k", "id", "label")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    }
+  }
+
   test("salt actually spreads a hot key over the requested buckets") {
     import spark.implicits._
     val buckets = skewed().filter(col("k") === "hot")
