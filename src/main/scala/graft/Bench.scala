@@ -25,9 +25,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // steady-state warmup: JVM/codegen/noop-sink init should not be
-    // attributed to whichever query happens to run first
+    // steady-state warmup: JVM/codegen/noop-sink init AND the parquet
+    // reader path (footer reader, vectorized decoder, FileSourceScan
+    // codegen) should not be attributed to whichever query runs first
     spark.range(1000).selectExpr("sum(id) as s")
+      .write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
