@@ -109,6 +109,50 @@ object Multimodal {
             | CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
             | FROM documents""".stripMargin.replaceAll("\n", "")))
 
+  /** One extracted feature vector, fixed-point (the engine's similarity
+    * operators run on quantized integer vectors anyway — see
+    * [[graft.functions.VectorOps]] — so the extractor emits that domain
+    * directly).
+    */
+  final case class MediaFeatures(doc_id: Long, qfeat: Array[Long])
+
+  /** STUB feature extractor (a real one runs a vision/audio encoder per
+    * partition-initialized model): deterministic `dim` fixed-point
+    * features derived from the content hash. The Spark shape is real:
+    * batched partition pass, model init in the `it =>` closure, bounded
+    * output row width, output directly consumable by the ANN operators.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition (stub) model init happens here
+      it.map { m =>
+        val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+        MediaFeatures(m.doc_id,
+          Array.tabulate(dim)(j => (h * 31L + j) % PolyHash.P - (PolyHash.P / 2)))
+      }
+    }
+  }
+
+  /** Q41 — feature extraction, exploded to scalar rows (like q22) so the
+    * oracle compare never depends on array encodings.
+    */
+  val qFeatures: QuerySpec = QuerySpec(
+    "q41_media_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+        .as[MediaRow]
+      extractFeatures(media, dim = 8).toDF()
+        .select(col("doc_id"), posexplode(col("qfeat")))
+        .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("qf"))
+    },
+    Some(s"""SELECT doc_id, t.j AS j,
+            | (${PolyHash.oracleSql("text")} * 31 + t.j) % ${PolyHash.P}
+            |   - ${PolyHash.P / 2} AS qf
+            | FROM documents, range(0, 8) t(j)""".stripMargin.replaceAll("\n", "")))
+
   /** Q36 — the full multimodal extract pipeline: decode → strided frame
     * sample (≤ 8 frames/doc) → aspect-fit resize to 320×240 → per-frame
     * fingerprint.
@@ -143,5 +187,5 @@ object Multimodal {
          | FROM rs""".stripMargin.replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames)
+  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames, qFeatures)
 }
