@@ -29,6 +29,21 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Streaming gap-based sessionization — the streaming twin of the
+    * batch q38 ([[graft.operators.Temporal.qSessionize]]): a session
+    * closes when its key sees no event for `gap`, and emits once the
+    * watermark passes the session end. State is O(open sessions), merged
+    * by Spark's session-window operator as adjacent events arrive.
+    */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
   /** Sliding-window variant (overlapping windows). */
   def sliding(events: DataFrame, windowLength: String = "1 hour",
       slide: String = "30 minutes", watermarkDelay: String = "10 minutes")

@@ -57,4 +57,38 @@ class WindowedAggSpec extends AnyFunSuite with SparkTestSession {
       assert(after == emitted, "late data must not reopen a closed window")
     } finally query.stop()
   }
+
+  test("streaming sessionization: gap splits sessions, matches batch q38 semantics") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val name = s"sess_${System.nanoTime()}"
+    val query = WindowedAgg.sessionized(
+        input.toDS().toDF("ts", "user_id"),
+        gap = "30 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 40-min gap
+      // (new session); user 2: one event
+      input.addData(Seq(
+        (t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 10:10:00"), 1L),
+        (t("2024-01-01 10:50:00"), 1L), (t("2024-01-01 10:05:00"), 2L)))
+      query.processAllAvailable()
+      // push the watermark far past every session end + gap to flush
+      input.addData(Seq((t("2024-01-01 14:00:00"), 99L)))
+      query.processAllAvailable()
+      input.addData(Seq((t("2024-01-01 15:00:00"), 99L)))
+      query.processAllAvailable()
+
+      val got = spark.table(name)
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect()
+        .filter(_._1 != 99L).toSet
+      assert(got == Set(
+        (1L, t("2024-01-01 10:00:00"), 2L),
+        (1L, t("2024-01-01 10:50:00"), 1L),
+        (2L, t("2024-01-01 10:05:00"), 1L)),
+        s"got $got")
+    } finally query.stop()
+  }
 }
