@@ -32,6 +32,14 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
+    // prime the session's file-listing/schema caches for every table so
+    // per-query timings measure compute, not first-touch listing
+    // (nanosAsLong first: events.parquet has TIMESTAMP(NANOS) — the same
+    // conf Tables.load sets)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => spark.read.parquet(f.getPath).schema)
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
