@@ -22,8 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val P = 1000000007L // not used for hashing here; kept for clarity
-
   // ---- deterministic sign-LSH hyperplanes --------------------------------
   // Integer hyperplane weights derived from an LCG on (plane, dim) — the
   // exact same closed form is evaluated in the DuckDB oracle, so bucket
