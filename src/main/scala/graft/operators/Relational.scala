@@ -366,6 +366,53 @@ object Relational {
            | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
            | FROM events GROUP BY 1""".stripMargin.replaceAll("\n", "")))
 
+  /** Q42 — scalar function surface: date, string, math and conditional
+    * functions in one map-side pass. Functions are chosen to be exactly
+    * cross-engine: integer date arithmetic, IEEE-exact math (sqrt yes,
+    * exp/ln no — libm results differ), 1-based string positions in both
+    * engines.
+    */
+  val q42ScalarFns: QuerySpec = QuerySpec(
+    "q42_scalar_fns",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_end"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_prio"),
+        instr(col("o_orderpriority"), "-").cast("long").as("dash_pos"),
+        reverse(col("o_orderstatus")).as("status_rev"),
+        floor(col("o_totalprice")).cast("long").as("floor_price"),
+        ceil(col("o_totalprice")).cast("long").as("ceil_price"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("price_floor50k"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or")),
+    Some("""SELECT o_orderkey,
+           | CAST(year(o_orderdate) AS BIGINT) AS yr,
+           | CAST(month(o_orderdate) AS BIGINT) AS mo,
+           | CAST(day(o_orderdate) AS BIGINT) AS dom,
+           | CAST(o_orderdate AS DATE) + 30 AS due_date,
+           | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT) AS days_to_end,
+           | upper(o_orderpriority) AS prio_upper,
+           | substring(o_orderpriority, 1, 1) AS prio_code,
+           | lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+           | concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+           | CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos,
+           | reverse(o_orderstatus) AS status_rev,
+           | CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+           | CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+           | sqrt(o_totalprice) AS sqrt_price,
+           | greatest(o_totalprice, 50000.0) AS price_floor50k,
+           | coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or
+           | FROM orders""".stripMargin.replaceAll("\n", "")))
+
   /** Q20 — tumbling-window event-time aggregation (batch-equivalent of the
     * streaming windowed agg; the streaming variant with watermark lives in
     * graft.streaming and is invariant-tested).
@@ -388,5 +435,5 @@ object Relational {
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
-    q39Percentiles, q40Pivot)
+    q39Percentiles, q40Pivot, q42ScalarFns)
 }
