@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
 
 /** The full gated query registry: every entry is an implemented operator
   * from SURVEY.md §2 (or the LLM-pipeline extension surface) exposed as a
@@ -10,7 +10,7 @@ object Queries {
   val all: Seq[QuerySpec] =
     Relational.specs ++ Similarity.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
-      Temporal.specs
+      Temporal.specs ++ Profiling.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

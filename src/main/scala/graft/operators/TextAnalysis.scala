@@ -111,5 +111,40 @@ object TextAnalysis {
             | ${PolyHash.oracleSql("regexp_replace(text, '[^a-z0-9 ]', '', 'g')")} AS fp_norm
             | FROM documents""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint)
+  /** Q43 — overlapping document chunking (the step before tokenization in
+    * a pretraining pipeline): 200-word chunks every 150 words (50-word
+    * overlap), one output row per chunk with a content hash. The
+    * explode's fan-out is ceil(n_words/150) — bounded and linear in input
+    * size, and the whole op is one map-side pass (no shuffle).
+    */
+  val qChunking: QuerySpec = QuerySpec(
+    "q43_chunking",
+    (s, dir) => {
+      val chunkLen = 200
+      val stride = 150
+      val tok = split(col("text"), " ")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tok.as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+            lit(stride))))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(col("w"), col("col") + 1, lit(chunkLen))).as("chunk_str"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (size(split(col("chunk_str"), " "))).cast("long").as("n_words"),
+          PolyHash(col("chunk_str")).as("chunk_hash"))
+    },
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            | st AS (SELECT doc_id, w,
+            |   unnest(range(0, greatest(len(w), 1), 150)) AS start FROM tk),
+            | ch AS (SELECT doc_id, start // 150 AS chunk_idx,
+            |   array_to_string(list_slice(w, start + 1, start + 200), ' ') AS chunk_str
+            |  FROM st)
+            | SELECT doc_id, chunk_idx,
+            |  CAST(len(string_split(chunk_str, ' ')) AS BIGINT) AS n_words,
+            |  ${PolyHash.oracleSql("chunk_str")} AS chunk_hash
+            | FROM ch""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
+    qChunking)
 }
