@@ -41,6 +41,15 @@ object PureLawsProps extends Properties("graft.pure") {
       VectorOps.quantizeValue(micros.toDouble / 1000000.0) == micros
     }
 
+  property("resizeFit: fits the box, never upscales, idempotent") =
+    Prop.forAll(Gen.choose(0L, 4000L), Gen.choose(0L, 4000L)) { (w, h) =>
+      import graft.operators.Multimodal.resizeFit
+      val (ow, oh) = resizeFit(w, h, 320L, 240L)
+      ow <= 320 && oh <= 240 &&
+        ow <= w && oh <= h &&
+        resizeFit(ow, oh, 320L, 240L) == ((ow, oh))
+    }
+
   property("workload diff laws hold for arbitrary sets") =
     Prop.forAll(Gen.listOf(Gen.choose(0, 30)), Gen.listOf(Gen.choose(0, 30))) {
       (req, ex) =>
