@@ -39,28 +39,52 @@ object VectorOps {
       java.math.BigDecimal.valueOf(v * Scale)
         .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
 
+  private def hasNullElement(a: ArrayData): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  // Null elements propagate to null outputs, exactly like the composed
+  // `transform(round(...))` form this expression is the drop-in for. The
+  // no-null case (every real embedding) stays on a primitive-array path.
   def quantizeFloatArray(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i)) throw new NullPointerException(
-        "graft_quantize: null vector element")
-      out(i) = quantizeValue(a.getFloat(i).toDouble); i += 1
+    if (hasNullElement(a)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (a.isNullAt(i)) null
+          else java.lang.Long.valueOf(quantizeValue(a.getFloat(i).toDouble))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = quantizeValue(a.getFloat(i).toDouble); i += 1 }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   def quantizeDoubleArray(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      if (a.isNullAt(i)) throw new NullPointerException(
-        "graft_quantize: null vector element")
-      out(i) = quantizeValue(a.getDouble(i)); i += 1
+    if (hasNullElement(a)) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        out(i) = if (a.isNullAt(i)) null
+          else java.lang.Long.valueOf(quantizeValue(a.getDouble(i)))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = quantizeValue(a.getDouble(i)); i += 1 }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   /** Integer dot product; null (boxed) when sizes differ or are zero. */
@@ -118,7 +142,11 @@ case class Quantize(child: Expression) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.sql}")
   }
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true // unresolved child; checkInputDataTypes rejects later
+    })
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_quantize"
 

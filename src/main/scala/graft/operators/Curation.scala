@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{QuerySpec, Tables, TextMetrics}
 import graft.functions.PolyHash
 import org.apache.spark.sql.functions._
 
@@ -33,13 +33,15 @@ object Curation {
       // higher id of each pair)
       val dupIds = Dedup.qLshPairs.build(s, dir).select(col("doc_id_2").as("doc_id"))
       val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
-      // stages 3+4: quality filter + token counts
-      val words = regexp_count(col("text"), lit("[a-z0-9]+"))
-      val stops = regexp_count(col("text"),
-        lit("\\b(the|a|an|and|or|of|to|in|is)\\b"))
+      // stages 3+4: quality filter + token counts (the ONE definition of
+      // the quality metrics, shared with the streaming gate — TextMetrics;
+      // a zero-word doc gets a NULL ratio and is dropped by the filter,
+      // identically in DuckDB)
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
       deduped.join(docs, Seq("doc_id"))
         .withColumn("n_words", words.cast("long"))
-        .withColumn("stop_ratio", stops.cast("double") / words.cast("double"))
+        .withColumn("stop_ratio", TextMetrics.stopRatio(words, stops))
         .filter(col("n_chars") >= 50 && col("n_chars") <= 10000
           && col("stop_ratio") < 0.5)
         .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
@@ -55,13 +57,11 @@ object Curation {
          |  SELECT doc_id FROM keep
          |  WHERE doc_id NOT IN (SELECT doc_id_2 FROM pairs))
          | SELECT d.doc_id, d.lang,
-         |  CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS BIGINT) AS n_words,
-         |  CAST(len(regexp_extract_all(d.text, '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS DOUBLE)
-         |    / CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS DOUBLE) AS stop_ratio
+         |  CAST(${TextMetrics.wordCountSql("d.text")} AS BIGINT) AS n_words,
+         |  ${TextMetrics.stopRatioSql("d.text")} AS stop_ratio
          | FROM deduped JOIN documents d ON deduped.doc_id = d.doc_id
          | WHERE d.n_chars >= 50 AND d.n_chars <= 10000
-         |  AND CAST(len(regexp_extract_all(d.text, '\\b(the|a|an|and|or|of|to|in|is)\\b')) AS DOUBLE)
-         |    / CAST(len(regexp_extract_all(d.text, '[a-z0-9]+')) AS DOUBLE) < 0.5""".stripMargin
+         |  AND ${TextMetrics.stopRatioSql("d.text")} < 0.5""".stripMargin
         .replaceAll("\n", "")
     })
 

@@ -101,14 +101,22 @@ object Dedup {
 
   /** MinHash signatures, one row per (doc, permutation) — scalar output so
     * the oracle compare never depends on array encodings.
+    *
+    * Degenerate docs (< 3 words → zero shingles) vanish from the
+    * aggregate, so the signatures are left-joined back onto the full
+    * doc_id set and missing minhashes coalesce to P — exactly the
+    * oracle's `COALESCE(list_min(...), P)` over an empty H. Without this
+    * the two sides diverge on any corpus containing a short document.
     */
   val qMinhashSig: QuerySpec = QuerySpec(
     "q22_minhash_sig",
     (s, dir) => {
-      val sig = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = false)
-      sig.select(col("doc_id"),
-          posexplode(array((0 until NumHashes).map(j => col(s"mh$j")): _*)))
+      val docs = Tables.load(s, dir, "documents")
+      val sig = minhashAgg(shingleHashRows(docs), withSet = false)
+      docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          posexplode(array((0 until NumHashes).map(j =>
+            coalesce(col(s"mh$j"), lit(P))): _*)))
         .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("minhash"))
     },
     Some(s"""WITH $shingleCtes
@@ -118,6 +126,12 @@ object Dedup {
   /** MinHash-LSH near-dup pairs: band the signatures, equi-join on
     * (band index, band hash) to get candidates, verify with exact shingle
     * Jaccard >= 0.7. No all-pairs stage anywhere.
+    *
+    * Docs with zero shingles (< 3 words) cannot be shingle-near-dups and
+    * are excluded on BOTH sides: the engine's aggregate naturally drops
+    * them, and the oracle's `sigl` CTE filters `len(H) > 0` (otherwise
+    * every short doc would band identically via the COALESCE fallback and
+    * pair up with 0/0 Jaccard).
     */
   val qLshPairs: QuerySpec = QuerySpec(
     "q23_lsh_pairs",
@@ -144,7 +158,7 @@ object Dedup {
     },
     Some(s"""WITH $shingleCtes,
             | sigl AS (SELECT doc_id, list_transform(range(0, $NumHashes),
-            |   j -> $minhashSqlExpr) AS sig FROM ds),
+            |   j -> $minhashSqlExpr) AS sig FROM ds WHERE len(H) > 0),
             | bands AS (SELECT doc_id, t.b AS b, list_reduce(
             |   sig[(b * $RowsPerBand + 1):(b * $RowsPerBand + $RowsPerBand)],
             |   (x, y) -> (x * 31 + y) % $P) AS bh FROM sigl, range(0, $NumBands) t(b)),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{QuerySpec, Tables, TextMetrics}
 import graft.functions.PolyHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -16,35 +16,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val StopWords = "\\b(the|a|an|and|or|of|to|in|is)\\b"
-  private val WordRe = "[a-z0-9]+"
+  private val StopWords = TextMetrics.StopRe
+  private val WordRe = TextMetrics.WordRe
 
-  /** Per-document quality statistics. */
+  /** Per-document quality statistics. All column arithmetic, no
+    * higher-order functions: the summed word length equals the count of
+    * `[a-z0-9]` characters (words are maximal runs of exactly that
+    * class), so `length(regexp_replace(text, '[^a-z0-9]', ''))` replaces
+    * the interpreted `aggregate()` fold — one codegen'd pass per row.
+    * Zero-word ratios are NULL on both engines (see [[TextMetrics]]).
+    */
   val qTextStats: QuerySpec = QuerySpec(
     "q28_textstats",
     (s, dir) => {
-      val words = regexp_extract_all(col("text"), lit(WordRe), lit(0))
+      val nWords = TextMetrics.wordCount(col("text"))
+      val nStop = TextMetrics.stopCount(col("text"))
+      val sumWordLen = length(regexp_replace(col("text"), "[^a-z0-9]", ""))
       Tables.load(s, dir, "documents")
-        .withColumn("w", words)
         .select(
           col("doc_id"),
           col("n_chars"),
-          size(col("w")).cast("long").as("n_words"),
-          regexp_count(col("text"), lit(StopWords)).cast("long").as("n_stop"),
-          (regexp_count(col("text"), lit(StopWords)).cast("double") /
-            size(col("w")).cast("double")).as("stop_ratio"),
-          (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
-            size(col("w")).cast("double")).as("avg_word_len"))
+          nWords.cast("long").as("n_words"),
+          nStop.cast("long").as("n_stop"),
+          TextMetrics.stopRatio(nWords, nStop).as("stop_ratio"),
+          when(nWords > 0, sumWordLen.cast("double") / nWords.cast("double"))
+            .as("avg_word_len"))
     },
-    Some(s"""WITH w AS (SELECT doc_id, n_chars, text,
-            |   regexp_extract_all(text, '$WordRe') AS ws FROM documents)
-            | SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
-            |  CAST(len(regexp_extract_all(text, '$StopWords')) AS BIGINT) AS n_stop,
-            |  CAST(len(regexp_extract_all(text, '$StopWords')) AS DOUBLE) /
-            |    CAST(len(ws) AS DOUBLE) AS stop_ratio,
-            |  CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) /
-            |    CAST(len(ws) AS DOUBLE) AS avg_word_len
-            | FROM w""".stripMargin.replaceAll("\n", "").replace("\\b", "\\b")))
+    Some(s"""SELECT doc_id, n_chars,
+            |  CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS n_words,
+            |  CAST(${TextMetrics.stopCountSql("text")} AS BIGINT) AS n_stop,
+            |  ${TextMetrics.stopRatioSql("text")} AS stop_ratio,
+            |  (CASE WHEN ${TextMetrics.wordCountSql("text")} > 0 THEN
+            |    CAST(length(regexp_replace(text, '[^a-z0-9]', '', 'g')) AS DOUBLE) /
+            |    CAST(${TextMetrics.wordCountSql("text")} AS DOUBLE) END) AS avg_word_len
+            | FROM documents""".stripMargin.replaceAll("\n", "")))
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation +
     * the chars/4 rule-of-thumb estimate.

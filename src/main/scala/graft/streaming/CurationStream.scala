@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.TextMetrics
 import graft.functions.PolyHash
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -23,15 +24,17 @@ object CurationStream {
   def curate(docs: DataFrame, watermarkDelay: String = "1 hour",
       minChars: Int = 50, maxChars: Int = 10000,
       maxStopRatio: Double = 0.5): DataFrame = {
-    val words = regexp_count(col("text"), lit("[a-z0-9]+"))
-    val stops = regexp_count(col("text"),
-      lit("\\b(the|a|an|and|or|of|to|in|is)\\b"))
+    // quality metrics come from the ONE shared definition (TextMetrics) so
+    // the streaming gate can never silently fork from the batch gate; a
+    // zero-word doc gets a NULL ratio and is dropped deterministically
+    val words = TextMetrics.wordCount(col("text"))
+    val stops = TextMetrics.stopCount(col("text"))
     docs
       .withColumn("text_hash", PolyHash(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
       .withColumn("n_words", words.cast("long"))
-      .withColumn("stop_ratio", stops.cast("double") / words.cast("double"))
+      .withColumn("stop_ratio", TextMetrics.stopRatio(words, stops))
       .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars
         && col("stop_ratio") < maxStopRatio)
       .select(col("doc_id"), col("text_hash"), col("n_words"), col("stop_ratio"))

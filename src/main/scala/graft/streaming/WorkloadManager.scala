@@ -87,9 +87,14 @@ final class WorkloadManager(spark: SparkSession,
     val rep = report(requested)
     rep.workloadsToStart.foreach { w =>
       if (!running.contains(w.workloadName)) {
-        schedulerPool.foreach(p =>
-          spark.sparkContext.setLocalProperty("spark.scheduler.pool", p))
-        running.put(w.workloadName, builder(w))
+        // route through Pools.withPool so the thread-local pool is restored
+        // after start() — otherwise every later job from this thread would
+        // silently inherit the last workload's FAIR pool
+        val query = schedulerPool match {
+          case Some(p) => Pools.withPool(spark, p)(builder(w))
+          case None => builder(w)
+        }
+        running.put(w.workloadName, query)
       }
     }
     rep.workloadsToDelete.foreach { name =>

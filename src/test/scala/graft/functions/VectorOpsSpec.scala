@@ -40,6 +40,19 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Seq(1L, -2L, 2L))
   }
 
+  test("Quantize propagates null elements exactly like the composed form") {
+    import spark.implicits._
+    val df = Seq(
+      Seq[Option[Double]](Some(0.5d), None, Some(-1.25d)),
+      Seq[Option[Double]](None),
+      Seq[Option[Double]](Some(2.0d))).toDF("v")
+    val rows = df.select(
+        Quantize(col("v")).as("fast"), composedQuantize(col("v")).as("slow"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].collect()
+    rows.foreach { case (fast, slow) => assert(fast == slow) }
+    assert(rows(0)._1 == Seq(Some(500000L), None, Some(-1250000L)))
+  }
+
   test("QDot ≡ composed aggregate/zip_with incl. NULL guard") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
