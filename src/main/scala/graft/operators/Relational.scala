@@ -319,23 +319,65 @@ object Relational {
            | date_trunc('day', ts) AS day FROM events""".stripMargin.replaceAll("\n", "")))
 
   /** Q39 — ordered-statistics aggregate: exact interpolated percentiles
-    * (Spark `percentile` and DuckDB `quantile_cont` share the
-    * lower + (upper−lower)·frac formula, so doubles match BITWISE —
-    * verified on continuous data), plus the sketch path the 100 TB plan
-    * uses (`approx_percentile`, t-digest-style, mergeable map-side)
-    * gated as a tolerance verdict like Q11.
+    * computed DISTRIBUTIVELY, plus the sketch path (`approx_percentile`,
+    * t-digest-style, mergeable map-side) gated as a tolerance verdict
+    * like Q11.
+    *
+    * Spark's builtin `percentile` is a holistic aggregate — with 3 groups
+    * it sort-buffers ~N/3 raw values in each of 3 reducers, which does
+    * not survive 100× scale. This plan replaces it with a per-group
+    * compressed histogram: one hash-aggregate to (group, value) → count
+    * rows (map-side combinable, shuffled on the composite key), a
+    * cumulative-count window whose per-group input is |distinct values|
+    * histogram buckets rather than |rows| raw values, and a conditional
+    * aggregate that picks the bracketing order statistics by cumulative
+    * rank. The interpolation reproduces Spark `percentile`'s exact
+    * double arithmetic — position = (n−1)·p on rank-k values k =
+    * floor/ceil(position), result = (ceil−pos)·v_lo + (pos−floor)·v_hi —
+    * which round 2 verified matches DuckDB `quantile_cont` bitwise.
     */
   val q39Percentiles: QuerySpec = QuerySpec(
     "q39_percentiles",
-    (s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
-          percentile(col("l_extendedprice"), lit(0.95)).as("p95"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      // per-group compressed histogram (the mergeable exact-percentile state)
+      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      // cumulative + total counts over histogram buckets; the orderBy key
+      // is unique within a group (already merged), so the default RANGE
+      // frame equals ROWS and the cumsum is deterministic
+      val cum = hist
+        .withColumn("cum", sum(col("cnt"))
+          .over(Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
+        .withColumn("n", sum(col("cnt"))
+          .over(Window.partitionBy(col("l_returnflag"))))
+      // 0-based interpolation position; v at 0-based rank k is the
+      // smallest value whose cumulative count exceeds k
+      def pos(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+      def keyAt(rank0: Column): Column =
+        min(when(col("cum") > rank0, col("l_extendedprice")))
+      val exact = cum.groupBy(col("l_returnflag")).agg(
+        max(col("n")).as("n"),
+        keyAt(floor(pos(0.5))).as("lo50"), keyAt(ceil(pos(0.5))).as("hi50"),
+        keyAt(floor(pos(0.95))).as("lo95"), keyAt(ceil(pos(0.95))).as("hi95"))
+      def interp(p: Double, lo: Column, hi: Column): Column = {
+        val position = (col("n") - 1).cast("double") * lit(p)
+        when(ceil(position) === floor(position), lo)
+          .otherwise((ceil(position).cast("double") - position) * lo +
+            (position - floor(position).cast("double")) * hi)
+      }
+      // sketch path: mergeable approx aggregate straight off the raw rows;
+      // 3-row broadcast join back onto the exact results
+      val apx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+      exact.join(broadcast(apx), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          interp(0.5, col("lo50"), col("hi50")).as("p50"),
+          interp(0.95, col("lo95"), col("hi95")).as("p95"),
+          col("ap50"))
         .select(col("l_returnflag"), col("p50"), col("p95"),
-          (abs(col("ap50") - col("p50")) <= col("p50") * 0.05).as("apx_ok")),
+          (abs(col("ap50") - col("p50")) <= col("p50") * 0.05).as("apx_ok"))
+    },
     Some("""SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50,
            | quantile_cont(l_extendedprice, 0.95) AS p95, TRUE AS apx_ok
            | FROM lineitem GROUP BY l_returnflag""".stripMargin.replaceAll("\n", "")))
