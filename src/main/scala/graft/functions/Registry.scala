@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{GraftShims, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** SQL surface for the engine's custom Catalyst expressions: the same
   * codegen'd kernels the DataFrame operators use, callable from
@@ -22,6 +24,29 @@ object Registry {
     e.eval().asInstanceOf[Number].intValue
   }
 
+  /** Literal ARRAY<ARRAY<BIGINT>> → the codebook a [[NearestCentroid]]
+    * carries (it travels inside the expression, the broadcast every IVF
+    * does — K·dim longs, trivially small).
+    */
+  private def codebookArg(e: Expression): Seq[Seq[Long]] = {
+    require(e.foldable, "centroids must be a literal array of arrays")
+    e.eval().asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(LongType))
+      .map(_.asInstanceOf[ArrayData].toLongArray().toSeq).toSeq
+  }
+
+  /** Cosine from two quantized (ARRAY<BIGINT>) vectors — the exact
+    * [[Exact.cosineFromQuantized]] tree, so the SQL surface can run the
+    * documented cosine/ANN path end to end: the only floating-point
+    * steps are one sqrt+divide over exact integer dots.
+    */
+  private def cosineExpr(qa: Expression, qb: Expression): Expression =
+    Divide(
+      Cast(QDot(qa, qb), DoubleType),
+      Multiply(
+        Sqrt(Cast(QDot(qa, qa), DoubleType)),
+        Sqrt(Cast(QDot(qb, qb), DoubleType))))
+
   /** (name, builder) for every SQL-exposed expression. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_polyhash" -> (es => PolyHash(es.head)),
@@ -30,7 +55,10 @@ object Registry {
     "graft_word_shingle_hashes" ->
       (es => WordShingleHashes(es.head, intArg(es(1), "k"))),
     "graft_quantize" -> (es => Quantize(es.head)),
-    "graft_qdot" -> (es => QDot(es.head, es(1))))
+    "graft_qdot" -> (es => QDot(es.head, es(1))),
+    "graft_cosine" -> (es => cosineExpr(es.head, es(1))),
+    "graft_nearest_centroid" ->
+      (es => NearestCentroid(es.head, codebookArg(es(1)))))
 
   /** Register everything as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

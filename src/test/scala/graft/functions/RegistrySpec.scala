@@ -28,6 +28,29 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql.toSeq == viaApi.toSeq)
   }
 
+  test("the cosine/ANN path is expressible end-to-end from SQL") {
+    import spark.implicits._
+    Registry.register(spark)
+    Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.6f, 0.8f)), (2, Seq(-1.0f, 0.25f)))
+      .toDF("vec_id", "vec").createOrReplaceTempView("cos_probe")
+
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        | graft_cosine(graft_quantize(vec), graft_quantize(array(0.6D, 0.8D))) AS cs,
+        | graft_nearest_centroid(graft_quantize(vec),
+        |   array(array(1000000L, 0L), array(0L, 1000000L))) AS cid
+        | FROM cos_probe ORDER BY vec_id""".stripMargin).collect()
+    val viaApi = spark.table("cos_probe").select(
+        col("vec_id"),
+        Exact.cosine(col("vec"), typedlit(Seq(0.6d, 0.8d))).as("cs"),
+        NearestCentroid(Quantize(col("vec")),
+          Seq(Seq(1000000L, 0L), Seq(0L, 1000000L))).as("cid"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // sanity: vec_id=1 is exactly the query direction → cosine 1.0
+    assert(viaSql(1).getDouble(1) == 1.0d)
+  }
+
   test("the extensions class injects every registered function name") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw
