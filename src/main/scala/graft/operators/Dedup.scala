@@ -136,8 +136,18 @@ object Dedup {
   val qLshPairs: QuerySpec = QuerySpec(
     "q23_lsh_pairs",
     (s, dir) => {
+      // The signature store: materialized ONCE (persist = MEMORY_AND_DISK,
+      // spill-safe) and read by both the banding branch and the
+      // Jaccard-verify branch — column pruning otherwise forks the two
+      // branches into separate shingle+aggregate pipelines (4 full text
+      // passes in the composed curation plan). Spark's CacheManager
+      // substitutes every canonically-equal subtree with this store, so
+      // the curation pipeline (q33) reuses it too. At cluster scale this
+      // is the persistent parquet signature table every near-dup pipeline
+      // maintains instead of re-shingling the corpus per run.
       val docs = minhashAgg(
         shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+        .persist()
       val bands = docs
         .select(col("doc_id"),
           posexplode(array((0 until NumBands).map(bandHash): _*)))

@@ -25,15 +25,28 @@ final class FileTopic(val spark: SparkSession, val name: String, val dir: String
     * producers (part2/SingleWorkloadExample.scala:85).
     */
   def publish(rows: DataFrame): Unit = {
-    val out = rows
-      .withColumn("topic", lit(name))
-      .withColumn("deliveries", coalesce(col("deliveries"), lit(0)))
-      .select(envelopeSchema.fieldNames.map(col): _*)
     // an empty append still creates a parquet file, which a streaming
     // reader of this topic would see as a new file — feeding an infinite
     // empty-batch loop on feedback topologies. Never write empty sends.
+    // (Callers that already know the send is non-empty — e.g. a pipeline
+    // that counted its batch slices in one pass — use publishNonEmpty and
+    // skip this extra Spark action.)
+    val out = envelope(rows)
     if (!out.isEmpty) out.write.mode(SaveMode.Append).parquet(dir)
   }
+
+  /** [[publish]] minus the emptiness action, for callers that have
+    * already established `rows` is non-empty (one counting pass over a
+    * persisted batch instead of one action per publish).
+    */
+  def publishNonEmpty(rows: DataFrame): Unit =
+    envelope(rows).write.mode(SaveMode.Append).parquet(dir)
+
+  private def envelope(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("topic", lit(name))
+      .withColumn("deliveries", coalesce(col("deliveries"), lit(0)))
+      .select(envelopeSchema.fieldNames.map(col): _*)
 
   def publishSeed(rows: DataFrame): Unit =
     publish(rows.withColumn("deliveries", lit(0)))
