@@ -87,13 +87,22 @@ object VectorOps {
     }
   }
 
-  /** Integer dot product; null (boxed) when sizes differ or are zero. */
+  /** Integer dot product; null (boxed) when sizes differ, are zero, or
+    * either array carries a null element — a null slot must propagate to
+    * a NULL product exactly like the composed `aggregate(zip_with(...))`
+    * form (where `acc + x*y` over a null element nulls the whole fold),
+    * not silently read as 0.
+    */
   def qdotBoxed(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements() || n == 0) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
     java.lang.Long.valueOf(s)
   }
 
@@ -107,8 +116,9 @@ object VectorOps {
     * filter below the projection — 17× per row at K=8).
     */
   def nearestCentroid(qe: ArrayData, cents: Array[Array[Long]],
-      norms: Array[Double]): Int = {
+      norms: Array[Double]): java.lang.Integer = {
     val n = qe.numElements()
+    if (hasNullElement(qe)) return null // null slot → NULL assignment, not 0
     var selfDot = 0L
     var i = 0
     while (i < n) { val v = qe.getLong(i); selfDot += v * v; i += 1 }
@@ -125,7 +135,7 @@ object VectorOps {
       if (cos > best) { best = cos; bestIdx = j }
       j += 1
     }
-    bestIdx
+    java.lang.Integer.valueOf(bestIdx)
   }
 }
 
@@ -236,6 +246,7 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null array element → NULL assignment
   override def prettyName: String = "graft_nearest_centroid"
 
   override protected def nullSafeEval(input: Any): Any =
@@ -244,8 +255,15 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
     val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.VectorOps.nearestCentroid($c, $centsRef, $normsRef)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Integer ${ev.value}_r =
+      |  graft.functions.VectorOps.nearestCentroid($c, $centsRef, $normsRef);
+      |if (${ev.value}_r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_r.intValue();
+      |}
+      |""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =

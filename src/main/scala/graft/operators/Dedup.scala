@@ -136,18 +136,15 @@ object Dedup {
   val qLshPairs: QuerySpec = QuerySpec(
     "q23_lsh_pairs",
     (s, dir) => {
-      // The signature store: materialized ONCE (persist = MEMORY_AND_DISK,
-      // spill-safe) and read by both the banding branch and the
-      // Jaccard-verify branch — column pruning otherwise forks the two
-      // branches into separate shingle+aggregate pipelines (4 full text
-      // passes in the composed curation plan). Spark's CacheManager
-      // substitutes every canonically-equal subtree with this store, so
-      // the curation pipeline (q33) reuses it too. At cluster scale this
-      // is the persistent parquet signature table every near-dup pipeline
-      // maintains instead of re-shingling the corpus per run.
+      // The signature subtree is shared by the banding branch and the
+      // Jaccard-verify branch; AQE reuses the one shuffle, so no persist is
+      // needed (a session-lifetime cache of the collect_set(H) column costs
+      // more to materialize than it saves and leaks storage memory). At
+      // cluster scale the durable form of this sharing is a persistent
+      // parquet/bucketed signature table maintained between runs — not a
+      // driver-session cache.
       val docs = minhashAgg(
         shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
-        .persist()
       val bands = docs
         .select(col("doc_id"),
           posexplode(array((0 until NumBands).map(bandHash): _*)))

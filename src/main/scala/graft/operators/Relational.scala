@@ -340,8 +340,12 @@ object Relational {
     "q39_percentiles",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      // per-group compressed histogram (the mergeable exact-percentile state)
-      val hist = li.groupBy(col("l_returnflag"), col("l_extendedprice"))
+      // per-group compressed histogram (the mergeable exact-percentile
+      // state); NULL values are excluded up front — `percentile` and
+      // DuckDB `quantile_cont` both ignore NULLs, and an unfiltered NULL
+      // bucket would inflate n and every cumulative rank
+      val hist = li.filter(col("l_extendedprice").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
         .agg(count(lit(1)).as("cnt"))
       // cumulative + total counts over histogram buckets; the orderBy key
       // is unique within a group (already merged), so the default RANGE

@@ -11,20 +11,21 @@ import org.apache.spark.sql.types.StructType
   * any DataSource-V2 streaming source; everything downstream is identical.
   *
   * Envelope columns follow the connector's shape: payload columns plus
-  * `topic` and `deliveries` (the redelivery counter that replaces broker
-  * `deliveryCount`).
+  * `topic`, `deliveries` (the redelivery counter that replaces broker
+  * `deliveryCount`) and `not_before` (earliest deliverable epoch-ms — the
+  * broker's delayed-delivery / `deliverAfter` metadata, 0 = immediately).
   */
 final class FileTopic(val spark: SparkSession, val name: String, val dir: String,
-    schema: StructType) {
+    schema: StructType) extends Topic {
 
   private val envelopeSchema: StructType = schema
-    .add("topic", "string").add("deliveries", "int")
+    .add("topic", "string").add("deliveries", "int").add("not_before", "long")
 
   /** Producer send (reference K4). Batching intentionally not tunable:
     * each call is one atomic append, like the examples' batching-off
     * producers (part2/SingleWorkloadExample.scala:85).
     */
-  def publish(rows: DataFrame): Unit = {
+  override def publish(rows: DataFrame): Unit = {
     // an empty append still creates a parquet file, which a streaming
     // reader of this topic would see as a new file — feeding an infinite
     // empty-batch loop on feedback topologies. Never write empty sends.
@@ -39,30 +40,37 @@ final class FileTopic(val spark: SparkSession, val name: String, val dir: String
     * already established `rows` is non-empty (one counting pass over a
     * persisted batch instead of one action per publish).
     */
-  def publishNonEmpty(rows: DataFrame): Unit =
+  override def publishNonEmpty(rows: DataFrame): Unit =
     envelope(rows).write.mode(SaveMode.Append).parquet(dir)
 
   private def envelope(rows: DataFrame): DataFrame =
     rows
       .withColumn("topic", lit(name))
-      .withColumn("deliveries", coalesce(col("deliveries"), lit(0)))
+      .withColumn("deliveries",
+        if (rows.columns.contains("deliveries"))
+          coalesce(col("deliveries"), lit(0))
+        else lit(0))
+      .withColumn("not_before",
+        if (rows.columns.contains("not_before"))
+          coalesce(col("not_before"), lit(0L))
+        else lit(0L))
       .select(envelopeSchema.fieldNames.map(col): _*)
 
-  def publishSeed(rows: DataFrame): Unit =
+  override def publishSeed(rows: DataFrame): Unit =
     publish(rows.withColumn("deliveries", lit(0)))
 
   /** Streaming scan with bounded intake (reference C3: inputBuffer(0,1) +
     * receiverQueueSize — the broker buffers, the app admits a bounded
     * amount per trigger; here `maxFilesPerTrigger`).
     */
-  def readStream(maxFilesPerTrigger: Int = 16): DataFrame =
+  override def readStream(admitPerTrigger: Int = 16): DataFrame =
     spark.readStream
       .schema(envelopeSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("maxFilesPerTrigger", admitPerTrigger)
       .parquet(dir)
 
   /** Batch read of everything currently on the topic. */
-  def readAll(): DataFrame = spark.read.schema(envelopeSchema).parquet(dir)
+  override def readAll(): DataFrame = spark.read.schema(envelopeSchema).parquet(dir)
 }
 
 object FileTopic {

@@ -55,6 +55,16 @@ object OrderedProcessor {
   def deterministicFailure(failPercent: Int)(m: Msg, attempt: Int): Boolean =
     attempt == 0 && PolyHash.hash(s"${m.key}/${m.seq}/${m.name}") % 100 < failPercent
 
+  /** Default cap on a blocked key's buffered backlog. No-overtaking
+    * REQUIRES buffering everything behind a retrying head, but an
+    * unbounded buffer lets one never-succeeding key grow state linearly
+    * with arrivals; past the cap the newest messages overflow to the
+    * dead-letter path (status = "overflow") — the engine-state analog of
+    * the reference's `buffer = 1` + bounded broker-side buffering
+    * (part5/OrderedStreamGenerator.scala:137, Key_Shared prefetch bound).
+    */
+  val DefaultMaxPending = 1024
+
   def apply(input: Dataset[Msg], failPercent: Int = 10, maxAttempts: Int = 5)
       : Dataset[Out] =
     run(input, deterministicFailure(failPercent), maxAttempts)
@@ -71,8 +81,14 @@ object OrderedProcessor {
     *   `None` keeps the pure data-driven mode: a blocked key retries on
     *   its next arrival (and the engine stays fully idle between batches).
     */
+  /** @param maxPending per-key bound on the blocked backlog (see
+    *   [[DefaultMaxPending]]); overflowing messages are emitted with
+    *   `status = "overflow"` (dead-letter) instead of buffered, newest
+    *   first to overflow so the kept prefix preserves arrival order.
+    */
   def run(input: Dataset[Msg], failsOn: (Msg, Int) => Boolean, maxAttempts: Int,
-      retryBackoffMs: Option[Long] = None): Dataset[Out] = {
+      retryBackoffMs: Option[Long] = None,
+      maxPending: Int = DefaultMaxPending): Dataset[Out] = {
     val timeoutConf =
       if (retryBackoffMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -108,7 +124,14 @@ object OrderedProcessor {
           }
           if (remaining.isEmpty) state.remove()
           else {
-            state.update(KeyState(remaining, attempts))
+            // bound the blocked backlog: everything past maxPending
+            // overflows to the dead-letter path instead of state — a
+            // never-succeeding key can then never grow state beyond the cap
+            val (kept, overflow) = remaining.splitAt(maxPending)
+            overflow.foreach { m =>
+              out += Out(m.key, m.seq, m.name, m.numPublishes, 0, "overflow")
+            }
+            state.update(KeyState(kept, attempts))
             // blocked: schedule a retry even if the key sees no new traffic
             retryBackoffMs.foreach(state.setTimeoutDuration)
           }

@@ -60,7 +60,27 @@ final class WorkloadDiscovery {
   *    budget, a pool can never exceed the cluster-wide cap.
   */
 final class WorkloadManager(spark: SparkSession,
-    builder: Workload => StreamingQuery, schedulerPool: Option[String] = None) {
+    builder: Workload => StreamingQuery, schedulerPool: Option[String] = None,
+    drainGraceMs: Long = 60000) {
+
+  // C1 drain grace (reference ShutdownHook's 1-minute drainAndShutdown,
+  // part1/PulsarPekkoSource.scala:75-81): `stop()` waits up to this long
+  // for the stream-execution thread to wind down instead of Spark's
+  // 0 = wait-forever default, and gracefulStop first lets an in-flight
+  // micro-batch finish so no trigger is interrupted mid-commit.
+  spark.conf.set("spark.sql.streaming.stopTimeout", drainGraceMs.toString)
+
+  /** Drain-then-stop: wait (≤ grace) for the current trigger to complete,
+    * then stop the query between batches.
+    */
+  private def gracefulStop(q: StreamingQuery): Unit = {
+    val deadline = System.currentTimeMillis() + drainGraceMs
+    while (q.isActive && q.status.isTriggerActive
+        && System.currentTimeMillis() < deadline) {
+      Thread.sleep(10)
+    }
+    q.stop()
+  }
 
   // name → running query (reference T8: TrieMap registry,
   // part4/WorkloadManagementService.scala:127-129)
@@ -98,9 +118,9 @@ final class WorkloadManager(spark: SparkSession,
       }
     }
     rep.workloadsToDelete.foreach { name =>
-      // T8 delete path: deregister, then graceful stop (C1/C2: stop() is
-      // inter-batch safe; checkpoint guarantees no loss on resume)
-      running.remove(name).foreach(_.stop())
+      // T8 delete path: deregister, then graceful stop (C1/C2: in-flight
+      // batch drains first; checkpoint guarantees no loss on resume)
+      running.remove(name).foreach(gracefulStop)
     }
     rep
   }
@@ -127,6 +147,6 @@ final class WorkloadManager(spark: SparkSession,
   def shutdown(): Unit = synchronized {
     poller.foreach(_.shutdownNow())
     poller = None
-    running.keys.toSeq.foreach(n => running.remove(n).foreach(_.stop()))
+    running.keys.toSeq.foreach(n => running.remove(n).foreach(gracefulStop))
   }
 }

@@ -77,4 +77,36 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
     val df = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
     assert(df.select(QDot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("QDot over a null ELEMENT is NULL, matching the composed form") {
+    import spark.implicits._
+    // a null slot must null the whole product (the composed fold's
+    // acc + x*y over NULL), never silently read as 0
+    val df = Seq(
+      (Seq[Option[Long]](Some(3L), None), Seq[Option[Long]](Some(4L), Some(5L))),
+      (Seq[Option[Long]](Some(3L), Some(2L)), Seq[Option[Long]](None, Some(5L))),
+      (Seq[Option[Long]](Some(3L), Some(2L)), Seq[Option[Long]](Some(4L), Some(5L))))
+      .toDF("a", "b")
+    val rows = df.select(
+        QDot(col("a"), col("b")).as("fast"),
+        composedQdot(col("a"), col("b")).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"fast/slow null disagree: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 22L)
+  }
+
+  test("NearestCentroid over a null element is NULL (not a 0-coordinate assignment)") {
+    import spark.implicits._
+    val cents = Seq(Seq(1000000L, 0L), Seq(0L, 1000000L))
+    val df = Seq(
+      Seq[Option[Long]](Some(900000L), None),
+      Seq[Option[Long]](Some(900000L), Some(100000L))).toDF("q")
+    val rows = df.select(NearestCentroid(col("q"), cents)).collect()
+    assert(rows(0).isNullAt(0), "null slot must yield NULL assignment")
+    assert(rows(1).getInt(0) == 0)
+  }
 }

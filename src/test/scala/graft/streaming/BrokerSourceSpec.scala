@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.SparkTestSession
+import graft.streaming.broker.{BrokerOffset, BrokerTopic, InMemoryBroker}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.jdk.CollectionConverters._
+
+/** The DataSource-V2 broker source (S1 —
+  * reference part1/PulsarPekkoSource.scala:44-131): offset protocol,
+  * admission control, and checkpoint-resume through the source's own
+  * offsets — the connector semantics the file-topic stand-in could only
+  * document.
+  */
+class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
+
+  private def freshTopic(prefix: String): BrokerTopic =
+    BrokerTopic.create(spark, s"$prefix-${System.nanoTime()}", Payloads.payloadSchema)
+
+  test("offset json round-trips (checkpoint serialization)") {
+    assert(BrokerOffset.fromJson(BrokerOffset(42L).json) == BrokerOffset(42L))
+    assert(BrokerOffset(0L).json == "0")
+  }
+
+  test("micro-batch scan drains the backlog in admission-bounded slices") {
+    import spark.implicits._
+    val topic = freshTopic("drain")
+    topic.publishSeed((0 until 5).map(i => (s"m$i", 0)).toDF("name", "numPublishes"))
+
+    val gauges = new Gauges
+    spark.streams.addListener(gauges)
+    val name = s"drain_${System.nanoTime()}"
+    val query = topic.readStream(admitPerTrigger = 2)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table(name).count() == 5)
+      val snap = gauges.snapshot(name).get
+      assert(snap.maxBatchRows <= 2, s"admitted ${snap.maxBatchRows} > bound 2")
+      assert(snap.batches >= 3, "5 rows at ≤2/trigger need ≥3 triggers")
+    } finally {
+      query.stop()
+      spark.streams.removeListener(gauges)
+    }
+  }
+
+  test("restart resumes from the committed offset, not the log head") {
+    import spark.implicits._
+    val topic = freshTopic("resume")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-broker-ckpt-").toString
+    val seen = new ConcurrentLinkedQueue[String]()
+
+    def run(): Unit = {
+      val q = topic.readStream(admitPerTrigger = 16)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("name").collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    topic.publishSeed(Seq(("a", 0), ("b", 0), ("c", 0)).toDF("name", "numPublishes"))
+    run()
+    assert(seen.asScala.toSeq.sorted == Seq("a", "b", "c"))
+
+    // traffic lands while the consumer is DOWN; the restart must pick up
+    // exactly the new entries from its checkpointed cursor — a replay
+    // would show a/b/c twice
+    topic.publishSeed(Seq(("d", 0), ("e", 0)).toDF("name", "numPublishes"))
+    run()
+    assert(seen.asScala.toSeq.sorted == Seq("a", "b", "c", "d", "e"),
+      "restart must resume from the committed offset without reprocessing")
+  }
+
+  test("batch read (readAll) sees the whole retained log") {
+    import spark.implicits._
+    val topic = freshTopic("batch")
+    topic.publishSeed((0 until 7).map(i => (s"m$i", 0)).toDF("name", "numPublishes"))
+    assert(topic.readAll().count() == 7)
+    // envelope columns present with broker defaults applied
+    val row = topic.readAll().select("topic", "deliveries", "not_before").head()
+    assert(row.getString(0) == topic.name && row.getInt(1) == 0 && row.getLong(2) == 0L)
+  }
+
+  test("empty publishes never append (no empty-batch churn)") {
+    import spark.implicits._
+    val topic = freshTopic("empty")
+    topic.publish(Seq.empty[(String, Int)].toDF("name", "numPublishes"))
+    assert(InMemoryBroker.topic(topic.name).endOffset == 0L)
+  }
+}

@@ -118,6 +118,44 @@ class OrderedProcessorSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("a blocked key's pending state is bounded; overflow dead-letters (status=overflow)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Msg]
+    // head k1/seq0 fails its first two attempts, then succeeds — the key
+    // stays blocked across two activations while traffic keeps arriving
+    val failsOn: (Msg, Int) => Boolean =
+      (m, att) => m.key == "k1" && m.seq == 0 && att < 2
+    val name = s"ordered_overflow_${System.nanoTime()}"
+    val query = OrderedProcessor
+      .run(input.toDS(), failsOn, maxAttempts = 100, maxPending = 2)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // activation 1: head fails (attempt 1); backlog [0,1,2] caps at 2 →
+      // seq 2 overflows immediately instead of growing state
+      input.addData(Seq(Msg("k1", 0, "a", 0), Msg("k1", 1, "b", 0), Msg("k1", 2, "c", 0)))
+      query.processAllAvailable()
+      // activation 2: head fails again; arrivals 3,4 would grow the
+      // buffer past the cap → both overflow
+      input.addData(Seq(Msg("k1", 3, "d", 0), Msg("k1", 4, "e", 0)))
+      query.processAllAvailable()
+      // activation 3: head succeeds (attempt 3); kept backlog [0,1] drains
+      // in order, new arrival 5 follows
+      input.addData(Seq(Msg("k1", 5, "f", 0)))
+      query.processAllAvailable()
+      val out = spark.table(name).as[Out].collect().toSeq
+      val byStatus = out.groupBy(_.status).view.mapValues(_.map(_.seq).sorted).toMap
+      // the cap held: everything past 2 pending dead-lettered as overflow
+      assert(byStatus("overflow") == Seq(2L, 3L, 4L), s"got $byStatus")
+      // the KEPT prefix still processed in seq order, no overtaking
+      assert(byStatus("success") == Seq(0L, 1L, 5L), s"got $byStatus")
+      val successOrder = out.filter(_.status == "success").map(_.seq)
+      assert(successOrder == successOrder.sorted)
+      // exactly-once emission per message
+      assert(out.groupBy(o => (o.key, o.seq)).values.forall(_.size == 1))
+    } finally query.stop()
+  }
+
   test("deterministic failure injection matches the declared rate shape") {
     // ~10% of first attempts fail; retries always succeed
     val fails = (0 until 1000).count(i =>

@@ -54,6 +54,36 @@ class WorkloadManagerSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("shutdown drains the in-flight batch before stop returns (C1 grace)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val builder = (wl: Workload) =>
+      input.toDS().writeStream.queryName(wl.workloadName)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+          if (!batch.isEmpty) {
+            started.incrementAndGet()
+            Thread.sleep(500) // a slow in-flight batch
+            completed.incrementAndGet()
+          }
+          ()
+        }
+        .start()
+    val mgr = new WorkloadManager(spark, builder, drainGraceMs = 10000)
+    mgr.reconcile(Set(w("drain-a")))
+    input.addData("x")
+    // wait until the slow batch is genuinely in flight
+    eventually(5000)(started.get() == 1 && completed.get() == 0)
+    mgr.shutdown() // must NOT interrupt the batch mid-flight
+    assert(completed.get() == 1,
+      "the in-flight batch must complete before shutdown returns")
+    assert(spark.streams.active.count(_.name == "drain-a") == 0)
+    // the grace config is surfaced on the session (reference 1-min drain)
+    assert(spark.conf.get("spark.sql.streaming.stopTimeout") == "10000")
+  }
+
   test("discovery polling picks up desired-state changes within a tick") {
     val (mgr, _) = mkManager()
     val discovery = new WorkloadDiscovery
