@@ -54,6 +54,10 @@ object Registry {
       (es => CharNgramHashes(es.head, intArg(es(1), "n"))),
     "graft_word_shingle_hashes" ->
       (es => WordShingleHashes(es.head, intArg(es(1), "k"))),
+    "graft_minhash_sig" ->
+      (es => MinHashSig(es.head, intArg(es(1), "numHashes"))),
+    "graft_band_hash" ->
+      (es => BandHashes(es.head, intArg(es(1), "numBands"))),
     "graft_quantize" -> (es => Quantize(es.head)),
     "graft_qdot" -> (es => QDot(es.head, es(1))),
     "graft_cosine" -> (es => cosineExpr(es.head, es(1))),

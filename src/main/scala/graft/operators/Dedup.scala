@@ -30,9 +30,10 @@ object Dedup {
   private val RowsPerBand = NumHashes / NumBands
   private val SimhashBits = 32
 
-  // MinHash permutation j: (a_j * h + b_j) mod P
-  private def permA(j: Int): Long = (1103515245L * (j + 1)) % P
-  private def permB(j: Int): Long = (12345L * (j + 1) + 7) % P
+  // MinHash permutation j: (a_j * h + b_j) mod P — the ONE definition,
+  // shared with the scalar SQL kernels (graft.functions.MinHash)
+  private def permA(j: Int): Long = graft.functions.MinHash.permA(j)
+  private def permB(j: Int): Long = graft.functions.MinHash.permB(j)
 
   // ---- engine-side building blocks --------------------------------------
 

@@ -27,13 +27,28 @@ object Multimodal {
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, width: Long, height: Long, n_frames: Long)
 
-  object StubDecoder {
+  /** The decode contract a real deployment injects: [[open]] runs once
+    * per partition (codec contexts, native libs, model weights), then
+    * [[decode]]/[[frameHash]] per row. Swapping in a real codec is a
+    * constructor argument, not an edit to the pipeline.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Once-per-partition init hook (codec/context/model setup). */
+    def open(): Unit = ()
+    def decode(m: MediaRow): MediaMeta
+    /** Fingerprint of frame `frameIdx` (a real implementation hashes the
+      * decoded frame's pixels; the stub hashes the payload + index).
+      */
+    def frameHash(m: MediaRow, frameIdx: Long): Long
+  }
+
+  object StubDecoder extends MediaDecoder {
     /** STUB: a real implementation would decode the container/codec here
       * (e.g. JPEG dimensions, audio duration). The fake derives
       * deterministic pseudo-dimensions from a content hash so the pipeline
       * is exercised end-to-end and SQL-oracle-checkable.
       */
-    def decode(m: MediaRow): MediaMeta = {
+    override def decode(m: MediaRow): MediaMeta = {
       val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
       MediaMeta(
         doc_id = m.doc_id,
@@ -42,16 +57,20 @@ object Multimodal {
         height = h % 1080L,
         n_frames = m.media.length.toLong / 100L + 1L)
     }
+
+    override def frameHash(m: MediaRow, frameIdx: Long): Long = {
+      val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+      (h * 31L + frameIdx) % PolyHash.P
+    }
   }
 
-  /** The partition-batched decode pass: one decoder instantiation per
-    * partition (the `it =>` closure is where codec init would live).
-    */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+  /** The partition-batched decode pass: one decoder init per partition. */
+  def decodeAll(media: Dataset[MediaRow],
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init of the (stub) decoder happens here
-      it.map(StubDecoder.decode)
+      decoder.open() // per-partition codec/model init
+      it.map(decoder.decode)
     }
   }
 
@@ -78,16 +97,17 @@ object Multimodal {
     * ≤ maxFrames rows per doc regardless of media length, so the explode
     * can never amplify a 100 TB corpus unboundedly.
     */
-  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int): Dataset[FrameRow] = {
+  def sampleFrames(media: Dataset[MediaRow], maxFrames: Int,
+      decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      decoder.open() // per-partition codec/model init
       it.flatMap { m =>
-        val meta = StubDecoder.decode(m)
-        val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+        val meta = decoder.decode(m)
         val stride = (meta.n_frames + maxFrames - 1) / maxFrames // ceil → ≤ maxFrames rows
         val (ow, oh) = resizeFit(meta.width, meta.height, 320L, 240L)
         (0L until meta.n_frames by stride).iterator.map { i =>
-          FrameRow(m.doc_id, i, ow, oh, (h * 31L + i) % PolyHash.P)
+          FrameRow(m.doc_id, i, ow, oh, decoder.frameHash(m, i))
         }
       }
     }
@@ -116,21 +136,32 @@ object Multimodal {
     */
   final case class MediaFeatures(doc_id: Long, qfeat: Array[Long])
 
-  /** STUB feature extractor (a real one runs a vision/audio encoder per
-    * partition-initialized model): deterministic `dim` fixed-point
-    * features derived from the content hash. The Spark shape is real:
-    * batched partition pass, model init in the `it =>` closure, bounded
-    * output row width, output directly consumable by the ANN operators.
+  /** The feature-encoder contract (a real one runs a vision/audio model
+    * initialized once per partition in [[open]]); output is fixed-point,
+    * directly consumable by the ANN operators.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int): Dataset[MediaFeatures] = {
+  trait MediaEncoder extends Serializable {
+    def open(): Unit = ()
+    def extract(m: MediaRow, dim: Int): MediaFeatures
+  }
+
+  /** STUB encoder: deterministic `dim` fixed-point features derived from
+    * the content hash, so the full pipeline stays SQL-oracle-checkable.
+    */
+  object StubEncoder extends MediaEncoder {
+    override def extract(m: MediaRow, dim: Int): MediaFeatures = {
+      val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
+      MediaFeatures(m.doc_id,
+        Array.tabulate(dim)(j => (h * 31L + j) % PolyHash.P - (PolyHash.P / 2)))
+    }
+  }
+
+  def extractFeatures(media: Dataset[MediaRow], dim: Int,
+      encoder: MediaEncoder = StubEncoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition (stub) model init happens here
-      it.map { m =>
-        val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
-        MediaFeatures(m.doc_id,
-          Array.tabulate(dim)(j => (h * 31L + j) % PolyHash.P - (PolyHash.P / 2)))
-      }
+      encoder.open() // per-partition model init
+      it.map(m => encoder.extract(m, dim))
     }
   }
 

@@ -51,6 +51,63 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
     assert(viaSql(1).getDouble(1) == 1.0d)
   }
 
+  test("the full LSH pipeline is expressible from SQL and matches the aggregate pipeline") {
+    import spark.implicits._
+    Registry.register(spark)
+    // near-identical pair (0,1) + an unrelated doc + a degenerate short doc
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark catalyst expressions"),
+      (3L, "too short"))
+      .toDF("doc_id", "text").createOrReplaceTempView("lsh_probe")
+
+    // scalar kernels: signature per row, banded, self-joined on
+    // (band, band hash) — the SQL user's LSH pipeline
+    val sqlPairs = spark.sql(
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    graft_minhash_sig(graft_word_shingle_hashes(text, 3), 16) AS sig,
+        |    size(graft_word_shingle_hashes(text, 3)) AS n_shingles
+        |  FROM lsh_probe),
+        | bands AS (
+        |  SELECT doc_id, posexplode(graft_band_hash(sig, 4)) AS (b, bh)
+        |  FROM sig WHERE n_shingles > 0)
+        | SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
+        | FROM bands a JOIN bands c
+        |   ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id
+        | ORDER BY doc_id_1, doc_id_2""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+
+    // the aggregate pipeline's signatures on the same docs (the q22
+    // formulation: explode → per-permutation min)
+    val sigSql = spark.sql(
+      """SELECT doc_id, graft_minhash_sig(
+        |  graft_word_shingle_hashes(text, 3), 16) AS sig
+        | FROM lsh_probe ORDER BY doc_id""".stripMargin)
+      .as[(Long, Seq[Long])].collect()
+    val mins = (0 until 16).map(j => min(
+      (lit(MinHash.permA(j)) * col("h") + lit(MinHash.permB(j))) % MinHash.P)
+      .as(s"mh$j"))
+    val sigAgg = spark.table("lsh_probe")
+      .select(col("doc_id"), explode(WordShingleHashes(col("text"), 3)).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(j => col(s"mh$j")): _*).as("sig"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[Long])].collect()
+    // doc 3 has zero shingles: scalar kernel signs it as all-P, the
+    // aggregate drops it — compare on the docs both sides sign
+    val aggMap = sigAgg.toMap
+    sigSql.foreach { case (id, sig) =>
+      aggMap.get(id).foreach(aggSig => assert(sig == aggSig, s"doc $id"))
+    }
+    assert(sigSql.find(_._1 == 3L).get._2.forall(_ == MinHash.P))
+    // the near-identical pair collides in at least one band; no other pair
+    assert(sqlPairs == Seq((0L, 1L)))
+  }
+
   test("the extensions class injects every registered function name") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw

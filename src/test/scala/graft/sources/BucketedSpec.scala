@@ -19,6 +19,18 @@ class BucketedSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q45 builds exchange-free on the bucketed layout and returns join rows") {
+    // the gated query asserts its own plan shape at build time (a
+    // regression would throw here); the oracle checks the values
+    val df = Bucketed.qBucketedJoin.build(spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq ==
+      Seq("o_orderkey", "o_orderpriority", "n_items", "sum_qty"))
+    assert(df.count() > 0)
+    // the pinned confs were restored after the build-time assert
+    assert(spark.conf.get("spark.sql.adaptive.enabled") != "false" ||
+      spark.conf.getOption("spark.sql.adaptive.enabled").isEmpty)
+  }
+
   test("equi-join and groupBy on the bucket key run without Exchange") {
     import spark.implicits._
     // unique names: the in-memory catalog forgets tables across JVMs but
