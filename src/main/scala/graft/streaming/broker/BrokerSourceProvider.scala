@@ -2,7 +2,6 @@ package graft.streaming.broker
 
 import java.util
 
-import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -25,10 +24,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - **admission bound** (`receiverQueueSize`,
   *    util/PulsarClientWrapper.scala:169): `maxRowsPerTrigger` via
   *    [[SupportsAdmissionControl]] `ReadLimit.maxRows` — one trigger never
-  *    admits more than the bound, however deep the backlog;
+  *    admits more than the bound, however deep the backlog; the bound is
+  *    split across partitions proportionally to their backlog;
+  *  - **partitioned topics** (the reference consumes `-partition-N`
+  *    sub-topics, part3/LimitedMessageProcessor.scala:75): offsets are a
+  *    partition→cursor map, `planInputPartitions` emits one task per
+  *    partition slice, and each task's reader fetches ITS partition's
+  *    slice from the broker — rows never round-trip through the driver
+  *    (the Kafka/Pulsar-source shape);
   *  - **cursor/ack** (`acknowledgeAsync`): the streaming checkpoint is the
   *    subscription cursor; `initialOffset` starts a new subscription at 0
-  *    and a restart resumes from the last committed offset via
+  *    and a restart resumes from the last committed offsets via
   *    `deserializeOffset` — the broker log is never truncated by reads
   *    (broker retention), so `commit` is a no-op;
   *  - **graceful drain** (ShutdownHook `:75-81`): `query.stop()` between
@@ -64,47 +70,59 @@ final class BrokerTable(schema: StructType, topic: String)
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BrokerScan(schema, topic,
-      options.getLong("maxRowsPerTrigger", 0L),
-      options.getInt("numPartitions", 4))
+    new BrokerScan(schema, topic, options.getLong("maxRowsPerTrigger", 0L))
 }
 
 final class BrokerScan(schema: StructType, topic: String,
-    maxRowsPerTrigger: Long, numPartitions: Int) extends ScanBuilder with Scan {
+    maxRowsPerTrigger: Long) extends ScanBuilder with Scan {
 
   override def build(): Scan = this
   override def readSchema(): StructType = schema
   override def description(): String = s"graft-broker topic=$topic"
 
-  override def toBatch: Batch = new BrokerBatch(schema, topic, numPartitions)
+  override def toBatch: Batch = new BrokerBatch(schema, topic)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new BrokerMicroBatchStream(schema, topic, maxRowsPerTrigger, numPartitions)
+    new BrokerMicroBatchStream(schema, topic, maxRowsPerTrigger)
 }
 
-/** Stream offset = position in the topic log; serialized as the bare
-  * number (valid JSON), like the built-in long-offset sources.
+/** Stream offset = one cursor PER PARTITION (the Kafka/Pulsar source
+  * shape); serialized as a sorted-key JSON object, e.g. `{"0":5,"1":3}`.
   */
-final case class BrokerOffset(offset: Long) extends Offset {
-  override def json: String = offset.toString
+final case class BrokerOffsets(parts: Map[Int, Long]) extends Offset {
+  override def json: String =
+    parts.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p":$o""" }
+      .mkString("{", ",", "}")
 }
 
-object BrokerOffset {
-  def fromJson(json: String): BrokerOffset = BrokerOffset(json.trim.toLong)
+object BrokerOffsets {
+  def fromJson(json: String): BrokerOffsets = {
+    val body = json.trim.stripPrefix("{").stripSuffix("}").trim
+    if (body.isEmpty) BrokerOffsets(Map.empty)
+    else BrokerOffsets(body.split(",").map { kv =>
+      val Array(k, v) = kv.split(":").map(_.trim)
+      k.stripPrefix("\"").stripSuffix("\"").toInt -> v.toLong
+    }.toMap)
+  }
+
+  /** All of `log`'s partitions at cursor 0 (a fresh subscription). */
+  def start(log: InMemoryBroker.TopicLog): BrokerOffsets =
+    BrokerOffsets((0 until log.numPartitions).map(_ -> 0L).toMap)
 }
 
 /** Offset-tracked, admission-bounded micro-batch stream over one topic. */
 final class BrokerMicroBatchStream(schema: StructType, topic: String,
-    maxRowsPerTrigger: Long, numPartitions: Int)
+    maxRowsPerTrigger: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def log = InMemoryBroker.topic(topic)
 
-  // a fresh subscription starts at the log head; restarts never come here
-  // (the engine deserializes the checkpointed cursor instead)
-  override def initialOffset(): Offset = BrokerOffset(0L)
+  // a fresh subscription starts at every partition's log head; restarts
+  // never come here (the engine deserializes the checkpointed cursors)
+  override def initialOffset(): Offset = BrokerOffsets.start(log)
 
-  override def deserializeOffset(json: String): Offset = BrokerOffset.fromJson(json)
+  override def deserializeOffset(json: String): Offset = BrokerOffsets.fromJson(json)
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
@@ -116,23 +134,57 @@ final class BrokerMicroBatchStream(schema: StructType, topic: String,
     "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[BrokerOffset].offset
-    val end = log.endOffset
+    val from = start.asInstanceOf[BrokerOffsets].parts
+    val ends = log.endOffsets
+    // fail fast instead of silently planning an inverted range: a cursor
+    // ahead of the log means the JVM-local log was lost (fresh process
+    // reusing an old checkpoint) — resuming would replay from garbage
+    ends.foreach { case (p, end) =>
+      val f = from.getOrElse(p, 0L)
+      require(end >= f,
+        s"broker topic '$topic' partition $p: checkpointed cursor $f is ahead " +
+          s"of the log end $end — JVM-local log lost; delete the checkpoint " +
+          "or re-seed the broker")
+    }
     limit match {
-      case r: ReadMaxRows => BrokerOffset(math.min(end, from + r.maxRows()))
-      case _ => BrokerOffset(end)
+      case r: ReadMaxRows => BrokerOffsets(admit(from, ends, r.maxRows()))
+      case _ => BrokerOffsets(ends)
     }
   }
 
-  override def reportLatestOffset(): Offset = BrokerOffset(log.endOffset)
+  /** Split a row budget across partitions proportionally to backlog
+    * (floor), remainder round-robin by ascending partition id —
+    * deterministic, and total admitted == min(budget, total backlog).
+    */
+  private def admit(from: Map[Int, Long], ends: Map[Int, Long],
+      budget: Long): Map[Int, Long] = {
+    val avail = ends.map { case (p, e) => p -> (e - from.getOrElse(p, 0L)) }
+    val total = avail.values.sum
+    if (total <= budget) ends
+    else {
+      val ids = avail.keys.toSeq.sorted
+      val adm = scala.collection.mutable.Map(
+        ids.map(p => p -> avail(p) * budget / total): _*)
+      var left = budget - adm.values.sum
+      var i = 0
+      while (left > 0) { // terminates: total > budget ⇒ spare backlog exists
+        val p = ids(i % ids.size)
+        if (adm(p) < avail(p)) { adm(p) += 1; left -= 1 }
+        i += 1
+      }
+      ids.map(p => p -> (from.getOrElse(p, 0L) + adm(p))).toMap
+    }
+  }
+
+  override def reportLatestOffset(): Offset = BrokerOffsets(log.endOffsets)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    BrokerPartitions.plan(schema,
-      log.slice(start.asInstanceOf[BrokerOffset].offset,
-        end.asInstanceOf[BrokerOffset].offset),
-      numPartitions)
+    BrokerPartitions.plan(topic,
+      start.asInstanceOf[BrokerOffsets].parts,
+      end.asInstanceOf[BrokerOffsets].parts)
 
-  override def createReaderFactory(): PartitionReaderFactory = new BrokerReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BrokerReaderFactory(schema)
 
   // broker retention: the log outlives the subscription cursor
   override def commit(end: Offset): Unit = ()
@@ -140,40 +192,44 @@ final class BrokerMicroBatchStream(schema: StructType, topic: String,
 }
 
 /** Batch scan over the whole log (the `readAll` path). */
-final class BrokerBatch(schema: StructType, topic: String, numPartitions: Int)
-    extends Batch {
+final class BrokerBatch(schema: StructType, topic: String) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val log = InMemoryBroker.topic(topic)
-    BrokerPartitions.plan(schema, log.slice(0L, log.endOffset), numPartitions)
+    BrokerPartitions.plan(topic, Map.empty, log.endOffsets)
   }
-  override def createReaderFactory(): PartitionReaderFactory = new BrokerReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BrokerReaderFactory(schema)
 }
 
 private object BrokerPartitions {
-  /** Convert the admitted slice to internal rows (driver-side, like
-    * MemoryStream) and chunk it across up to `numPartitions` tasks; the
-    * rows travel inside the partitions, so the reader needs no broker
-    * access on the executor.
+  /** One task per broker partition with a non-empty admitted range. The
+    * task carries only `(topic, partition, from, until)` — the reader
+    * fetches the rows on the executor, so nothing is materialized on the
+    * driver (on a cluster this fetch is the broker-client read).
     */
-  def plan(schema: StructType, rows: Seq[Row], numPartitions: Int)
-      : Array[InputPartition] = {
-    if (rows.isEmpty) return Array.empty
-    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
-    val internal = rows.map(r => toCatalyst(r).asInstanceOf[InternalRow]).toArray
-    val chunk = math.max(1, math.ceil(internal.length.toDouble / numPartitions).toInt)
-    internal.grouped(chunk).map(c => BrokerInputPartition(c): InputPartition).toArray
-  }
+  def plan(topic: String, from: Map[Int, Long], until: Map[Int, Long])
+      : Array[InputPartition] =
+    until.toSeq.sortBy(_._1).collect {
+      case (p, end) if end > from.getOrElse(p, 0L) =>
+        BrokerInputPartition(topic, p, from.getOrElse(p, 0L), end): InputPartition
+    }.toArray
 }
 
-final case class BrokerInputPartition(rows: Array[InternalRow]) extends InputPartition
+final case class BrokerInputPartition(topic: String, partition: Int,
+    from: Long, until: Long) extends InputPartition
 
-final class BrokerReaderFactory extends PartitionReaderFactory {
+final class BrokerReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[BrokerInputPartition].rows
+    val bp = partition.asInstanceOf[BrokerInputPartition]
+    // executor-side fetch of this task's partition slice (JVM-local
+    // broker in local mode; a broker-client read on a real cluster)
+    val rows = InMemoryBroker.topic(bp.topic).slice(bp.partition, bp.from, bp.until)
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(schema)
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
+      override def get(): InternalRow = toCatalyst(rows(i)).asInstanceOf[InternalRow]
       override def close(): Unit = ()
     }
   }

@@ -1,7 +1,7 @@
 package graft.streaming.broker
 
 import graft.streaming.Topic
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -10,28 +10,32 @@ import org.apache.spark.sql.types.StructType
   * graft.streaming.FileTopic]] (payload + `topic` + `deliveries`), so
   * every pipeline runs unmodified on either.
   *
-  * The producer side appends through the driver (`collect` → broker
-  * append), which is the embedded-broker analog of the reference's
-  * driver-created producers (util/PulsarClientWrapper.scala:151-165); a
-  * cluster deployment swaps this method body for per-partition producer
-  * clients, leaving the read path — the part with engine-visible
-  * semantics — untouched.
+  * The producer side appends from the EXECUTORS: each Spark task hands
+  * its rows to the JVM-local broker (same JVM in local mode), which
+  * round-robins them across the topic's partitions — the shape of the
+  * reference's per-task producers (util/PulsarClientWrapper.scala:151-165,
+  * where `sendAsync` is likewise called from the processing stages, not
+  * collected to a driver). On a real cluster the `foreachPartition` body
+  * becomes a broker producer-client send; nothing else changes.
   */
 final class BrokerTopic(val spark: SparkSession, val name: String,
-    schema: StructType) extends Topic {
+    schema: StructType, numPartitions: Int = 4) extends Topic {
 
   private val envelopeSchema: StructType = schema
     .add("topic", "string").add("deliveries", "int").add("not_before", "long")
 
-  InMemoryBroker.createTopic(name, envelopeSchema)
+  InMemoryBroker.createTopic(name, envelopeSchema, numPartitions)
 
   override def publish(rows: DataFrame): Unit = {
-    val out = envelope(rows).collect()
-    if (out.nonEmpty) InMemoryBroker.topic(name).append(out.toSeq)
+    val topicName = name
+    envelope(rows).foreachPartition { it: Iterator[Row] =>
+      val batch = it.toVector
+      if (batch.nonEmpty) InMemoryBroker.topic(topicName).append(batch)
+    }
   }
 
-  override def publishNonEmpty(rows: DataFrame): Unit =
-    InMemoryBroker.topic(name).append(envelope(rows).collect().toSeq)
+  // executor-side produce already skips empty tasks for free
+  override def publishNonEmpty(rows: DataFrame): Unit = publish(rows)
 
   override def publishSeed(rows: DataFrame): Unit =
     publish(rows.withColumn("deliveries", lit(0)))
@@ -60,6 +64,7 @@ final class BrokerTopic(val spark: SparkSession, val name: String,
 }
 
 object BrokerTopic {
-  def create(spark: SparkSession, name: String, schema: StructType): BrokerTopic =
-    new BrokerTopic(spark, name, schema)
+  def create(spark: SparkSession, name: String, schema: StructType,
+      numPartitions: Int = 4): BrokerTopic =
+    new BrokerTopic(spark, name, schema, numPartitions)
 }

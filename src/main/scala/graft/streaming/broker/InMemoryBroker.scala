@@ -1,55 +1,98 @@
 package graft.streaming.broker
 
+import java.util.concurrent.atomic.AtomicLong
+
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
-/** An embedded, JVM-local message broker: named append-only logs with
-  * monotonically increasing per-entry offsets — the stand-in for the
-  * reference's Pulsar standalone (S1, part1/PulsarPekkoSource.scala).
+/** An embedded, JVM-local message broker: named PARTITIONED append-only
+  * logs with monotonically increasing per-partition offsets — the
+  * stand-in for the reference's Pulsar standalone (S1,
+  * part1/PulsarPekkoSource.scala; partitioned topics are visible in the
+  * reference's `-partition-0` normalization,
+  * part3/LimitedMessageProcessor.scala:75).
   *
   * Only the broker SEMANTICS the source contract needs are modeled:
-  *  - an entry's offset is its position in the topic log (the ledger id);
+  *  - a topic is N independent ordered logs (partitions); an entry's
+  *    offset is its position in ITS partition's log;
+  *  - keyless producers spread entries round-robin across partitions
+  *    (the sticky/round-robin default every partitioned broker ships);
   *  - the log is retained after consumption (consumers track their own
-  *    cursor — here, the streaming checkpoint);
-  *  - appends are atomic and ordered.
+  *    per-partition cursor — here, the streaming checkpoint);
+  *  - appends are atomic and ordered per partition.
   *
   * Local-mode scope: the registry is a JVM singleton, which is exactly
   * right for `local[n]` (driver and executors share the JVM). On a real
   * cluster the [[BrokerMicroBatchStream]] stays identical and only the
-  * [[TopicLog]] access inside `planInputPartitions` (driver-side) and the
-  * producer side become broker-client calls — the offset/commit protocol
-  * is the part a distributed connector actually has to get right, and it
-  * is fully exercised here.
+  * [[TopicLog]] access becomes a broker-client call — on the driver the
+  * `endOffsets` poll inside `latestOffset`, on the executors the
+  * per-partition `slice` fetch inside the partition reader. The
+  * offset/commit protocol is the part a distributed connector actually
+  * has to get right, and it is fully exercised here.
   */
 object InMemoryBroker {
 
-  /** One topic's append-only log. Offsets are dense [0, endOffset). */
-  final class TopicLog(val topic: String, val schema: StructType) {
-    private val log = ArrayBuffer.empty[Row]
+  /** One topic: `numPartitions` append-only partition logs, each with
+    * dense offsets [0, endOffset(p)).
+    */
+  final class TopicLog(val topic: String, val schema: StructType,
+      val numPartitions: Int) {
+    require(numPartitions > 0, s"topic '$topic' needs >= 1 partition")
 
-    /** Atomic ordered append; returns the new end offset. */
-    def append(rows: Seq[Row]): Long = synchronized {
-      log ++= rows
-      log.length.toLong
+    private val parts = Array.fill(numPartitions)(ArrayBuffer.empty[Row])
+    private val rr = new AtomicLong(0L)
+
+    /** Atomic ordered append to one partition; returns its new end offset. */
+    def append(partition: Int, rows: Seq[Row]): Long = {
+      val p = parts(partition)
+      p.synchronized { p ++= rows; p.length.toLong }
     }
 
-    /** The offset one past the last entry (the next entry's offset). */
-    def endOffset: Long = synchronized(log.length.toLong)
+    /** Keyless producer routing: per-entry round-robin across partitions
+      * (deterministic given append order — a global counter, not random).
+      */
+    def append(rows: Seq[Row]): Unit = if (rows.nonEmpty) {
+      val base = rr.getAndAdd(rows.size.toLong)
+      rows.zipWithIndex
+        .groupBy { case (_, i) => ((base + i) % numPartitions).toInt }
+        .foreach { case (p, grouped) => append(p, grouped.map(_._1)) }
+    }
 
-    /** Entries with offsets in [from, until) — the micro-batch slice. */
-    def slice(from: Long, until: Long): Seq[Row] = synchronized {
-      log.slice(from.toInt, math.min(until, log.length.toLong).toInt).toVector
+    /** The offset one past partition `p`'s last entry. */
+    def endOffset(p: Int): Long = {
+      val part = parts(p)
+      part.synchronized(part.length.toLong)
+    }
+
+    /** Every partition's end offset (the per-trigger driver poll). */
+    def endOffsets: Map[Int, Long] =
+      (0 until numPartitions).map(p => p -> endOffset(p)).toMap
+
+    /** Total entries across partitions (diagnostics/tests). */
+    def totalEntries: Long = (0 until numPartitions).map(endOffset).sum
+
+    /** Partition `p`'s entries with offsets in [from, until) — one
+      * micro-batch task's slice, fetched by the partition reader.
+      */
+    def slice(p: Int, from: Long, until: Long): Seq[Row] = {
+      val part = parts(p)
+      part.synchronized {
+        part.slice(from.toInt, math.min(until, part.length.toLong).toInt).toVector
+      }
     }
   }
 
   private val topics = TrieMap.empty[String, TopicLog]
 
-  /** Idempotent create (broker auto-creation semantics). */
-  def createTopic(name: String, schema: StructType): TopicLog =
-    topics.getOrElseUpdate(name, new TopicLog(name, schema))
+  /** Idempotent create (broker auto-creation semantics). A topic's
+    * partition count is fixed at creation; a later create with a
+    * different count returns the existing topic unchanged.
+    */
+  def createTopic(name: String, schema: StructType, numPartitions: Int = 4): TopicLog =
+    topics.getOrElseUpdate(name, new TopicLog(name, schema, numPartitions))
 
   def topic(name: String): TopicLog =
     topics.getOrElse(name,
