@@ -27,16 +27,25 @@ object MinHash {
   def permA(j: Int): Long = (1103515245L * (j + 1)) % P
   def permB(j: Int): Long = (12345L * (j + 1) + 7) % P
 
-  /** Whole signature from a document's (distinct) shingle hashes. */
+  /** Whole signature from a document's (distinct) shingle hashes. A NULL
+    * element propagates to a NULL signature (same convention as
+    * `qdotBoxed` — silently reading a null slot as 0 would bias the
+    * signature).
+    */
   def signature(hashes: ArrayData, numHashes: Int): ArrayData = {
     val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      if (hashes.isNullAt(i)) return null
+      i += 1
+    }
     val sig = new Array[Long](numHashes)
     var j = 0
     while (j < numHashes) {
       val a = permA(j)
       val b = permB(j)
       var best = P
-      var i = 0
+      i = 0
       while (i < n) {
         val v = (a * hashes.getLong(i) + b) % P
         if (v < best) best = v
@@ -50,12 +59,18 @@ object MinHash {
 
   /** Per-band polynomial fold `(acc * 31 + m) mod P` over an LSH
     * signature split into `numBands` equal bands; returns one hash per
-    * band. The signature length must divide evenly.
+    * band. The signature length must divide evenly. A NULL element
+    * propagates to a NULL result (see [[signature]]).
     */
   def bandHashes(sig: ArrayData, numBands: Int): ArrayData = {
     val n = sig.numElements()
     require(n % numBands == 0,
       s"signature length $n is not divisible into $numBands bands")
+    var i = 0
+    while (i < n) {
+      if (sig.isNullAt(i)) return null
+      i += 1
+    }
     val rows = n / numBands
     val out = new Array[Long](numBands)
     var b = 0
@@ -82,6 +97,30 @@ private[functions] abstract class LongArrayToLongArrayExpression
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+
+  // a NULL array ELEMENT propagates to a NULL result (the eval helpers
+  // return null), so the expression is nullable whenever the child or
+  // its elements are
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
+
+  /** Java call that maps the child array to the result array. */
+  protected def evalCall(c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (nullable)
+      // the helper returns null on a null element; surface it as isNull
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = ${evalCall(c)};
+        ${ev.isNull} = ${ev.value} == null;
+      """)
+    else
+      // non-nullable child with non-nullable elements: the helper cannot
+      // return null, and ev.isNull is the literal `false` (unassignable)
+      defineCodeGen(ctx, ev, evalCall)
 }
 
 /** `MinHash.signature` as a codegen'd Catalyst expression:
@@ -95,9 +134,8 @@ case class MinHashSig(child: Expression, numHashes: Int)
   override protected def nullSafeEval(input: Any): Any =
     MinHash.signature(input.asInstanceOf[ArrayData], numHashes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHash.signature($c, $numHashes)")
+  override protected def evalCall(c: String): String =
+    s"graft.functions.MinHash.signature($c, $numHashes)"
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -119,9 +157,8 @@ case class BandHashes(child: Expression, numBands: Int)
   override protected def nullSafeEval(input: Any): Any =
     MinHash.bandHashes(input.asInstanceOf[ArrayData], numBands)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHash.bandHashes($c, $numBands)")
+  override protected def evalCall(c: String): String =
+    s"graft.functions.MinHash.bandHashes($c, $numBands)"
 
   override protected def withNewChildInternal(newChild: Expression): BandHashes =
     copy(child = newChild)

@@ -19,10 +19,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    `maxDeliveries` into a dead-letter topic;
   *  - **redelivery delay** (reference `negativeAckRedeliveryDelay` = 10 s,
   *    util/PulsarClientWrapper.scala:171) ≡ `redeliveryBackoffMs`: a
-  *    nacked row carries `not_before = now + backoff` and is re-enqueued
-  *    untouched (no processing, no delivery increment) by any trigger
-  *    that admits it early — the broker-side delayed-delivery pattern
-  *    expressed through the topic's `not_before` metadata;
+  *    nacked row carries `not_before = now + backoff`. The DSv2 broker
+  *    source HOLDS a not-yet-due entry at admission (real broker
+  *    `deliverAfter` semantics — `InMemoryBroker.admissibleEnd`), so on
+  *    the broker path this pipeline never sees an early row. A source
+  *    that cannot hold admission (the parquet [[FileTopic]] harness)
+  *    admits early; those rows are napped to their due time inside the
+  *    batch and routed exactly once — never re-enqueued per trigger,
+  *    which would leave one retained duplicate per 50 ms of backoff;
   *  - **republish with numPublishes + 1** (reference K4,
   *    part2/MessageProcessor.scala:65-68) ≡ success rows appended back to
   *    the topic with the hop counter incremented, bounded by `maxHops`
@@ -62,63 +66,101 @@ object RepublishPipeline {
       .trigger(Trigger.ProcessingTime("50 milliseconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val now = System.currentTimeMillis()
+        val notBefore = coalesce(col("not_before"), lit(0L))
         val processed = ProcessStage.withProcessing(batch, cfg.failPercent)
-          .withColumn("due", coalesce(col("not_before"), lit(0L)) <= lit(now))
+          .withColumn("due", notBefore <= lit(now))
           // foreachBatch re-evaluates its input per action below; persist so
           // the (deterministic) processing runs once per message per batch
           .persist()
         try {
-          // the output slices of one batch — each slice matches its status
-          // EXPLICITLY (never `!success`): a third status value or a NULL
-          // must surface as an unrouted row in the invariant below, not
-          // silently flow to the nack/dead-letter path
-          val isSuccess = col("due") && col("status") === ProcessStage.Success
-          val isFailure = col("due") && col("status") === ProcessStage.Failure
+          // each slice matches its status EXPLICITLY (never `!success`):
+          // a third status value or a NULL must surface as an unrouted
+          // row in the invariant below, not silently flow to the
+          // nack/dead-letter path
+          val isSuccess = col("status") === ProcessStage.Success
+          val isFailure = col("status") === ProcessStage.Failure
+
           val republishable = isSuccess &&
             Payloads.republishHop(col("numPublishes")) < cfg.maxHops
           val redeliverable = isFailure &&
             (col("deliveries") + 1) < cfg.maxDeliveries
           val dead = isFailure && (col("deliveries") + 1) >= cfg.maxDeliveries
-          // a not-yet-due row is re-enqueued untouched: admitted early by
-          // this trigger, deliverable only after its not_before
-          val deferred = !col("due")
-          // ONE counting action over the persisted batch (instead of one
-          // emptiness job per publish — 4 extra jobs per trigger)
+
+          /** K4 republish with the hop increment bounded by maxHops; T2
+            * nack → redelivery with deliveries+1 no earlier than
+            * now + backoff; dead-letter past maxDeliveries. Publishes are
+            * guarded by pre-computed slice counts, so an empty slice
+            * costs no Spark job.
+            */
+          def publishSlices(slice: DataFrame, rep: Long, redel: Long,
+              deadCnt: Long): Unit = {
+            if (rep > 0) topic.publishNonEmpty(
+              slice.filter(republishable)
+                .withColumn("numPublishes", Payloads.republishHop(col("numPublishes")))
+                .withColumn("deliveries", lit(0))
+                .withColumn("not_before", lit(0L))
+                .select(envelopeCols.map(col): _*))
+            if (redel > 0) topic.publishNonEmpty(
+              slice.filter(redeliverable)
+                .withColumn("deliveries", col("deliveries") + 1)
+                .withColumn("not_before",
+                  if (cfg.redeliveryBackoffMs > 0)
+                    lit(System.currentTimeMillis() + cfg.redeliveryBackoffMs)
+                  else lit(0L))
+                .select(envelopeCols.map(col): _*))
+            if (deadCnt > 0) deadLetter.publishNonEmpty(
+              slice.filter(dead)
+                .withColumn("deliveries", col("deliveries") + 1)
+                .withColumn("not_before", lit(0L))
+                .select(envelopeCols.map(col): _*))
+          }
+
+          // ONE counting action over the persisted batch: the due slices'
+          // publish guards, the deferred stats, and the status-domain
+          // invariant (instead of one emptiness job per publish)
           val counts = processed.select(
-            sum(republishable.cast("long")), sum(redeliverable.cast("long")),
-            sum(dead.cast("long")), sum(deferred.cast("long")),
-            sum(coalesce(col("due") && !isSuccess && !isFailure, lit(true))
-              .cast("long")),
+            sum((col("due") && republishable).cast("long")),
+            sum((col("due") && redeliverable).cast("long")),
+            sum((col("due") && dead).cast("long")),
+            sum((!col("due")).cast("long")),
+            max(when(!col("due"), notBefore)),
+            sum(coalesce(!isSuccess && !isFailure, lit(true)).cast("long")),
             count(lit(1))).head()
           def cnt(i: Int): Long = if (counts.isNullAt(i)) 0L else counts.getLong(i)
-          // status-domain assertion: every due row is success or failure
-          require(cnt(4) == 0L,
-            s"ProcessStage emitted ${cnt(4)} of ${cnt(5)} rows with " +
+          // status-domain assertion: every row is success or failure
+          require(cnt(5) == 0L,
+            s"ProcessStage emitted ${cnt(5)} of ${cnt(6)} rows with " +
               "a status outside {success, failure}; refusing to route them")
-          // K4: successful messages republished with the hop increment,
-          // feedback bounded by maxHops
-          if (cnt(0) > 0) topic.publishNonEmpty(
-            processed.filter(republishable)
-              .withColumn("numPublishes", Payloads.republishHop(col("numPublishes")))
-              .withColumn("deliveries", lit(0))
-              .withColumn("not_before", lit(0L))
-              .select(envelopeCols.map(col): _*))
-          // T2 nack path: failed messages redelivered with deliveries+1 no
-          // earlier than now + backoff, dead-lettered past maxDeliveries
-          if (cnt(1) > 0) topic.publishNonEmpty(
-            processed.filter(redeliverable)
-              .withColumn("deliveries", col("deliveries") + 1)
-              .withColumn("not_before",
-                if (cfg.redeliveryBackoffMs > 0) lit(now + cfg.redeliveryBackoffMs)
-                else lit(0L))
-              .select(envelopeCols.map(col): _*))
-          if (cnt(2) > 0) deadLetter.publishNonEmpty(
-            processed.filter(dead)
-              .withColumn("deliveries", col("deliveries") + 1)
-              .withColumn("not_before", lit(0L))
-              .select(envelopeCols.map(col): _*))
-          if (cnt(3) > 0) topic.publishNonEmpty(
-            processed.filter(deferred).select(envelopeCols.map(col): _*))
+
+          publishSlices(processed.filter(col("due")), cnt(0), cnt(1), cnt(2))
+
+          // Early-admitted rows (only possible on sources that cannot hold
+          // admission — the FileTopic harness; the DSv2 broker holds them
+          // at the source): nap to the LATEST due time in the batch, then
+          // route them exactly once. Re-enqueueing instead would leave one
+          // retained duplicate envelope per trigger of backoff (the old
+          // behavior). The nap is bounded by one backoff so a rogue stamp
+          // cannot wedge the trigger thread; anything still early after
+          // the bounded nap falls back to a single re-enqueue.
+          if (cnt(3) > 0) {
+            val latestDue = counts.getLong(4)
+            val cap = math.max(cfg.redeliveryBackoffMs, 1000L)
+            val nap = math.min(latestDue - System.currentTimeMillis(), cap)
+            if (nap > 0) Thread.sleep(nap)
+            val now2 = System.currentTimeMillis()
+            val due2 = notBefore <= lit(now2)
+            val dcounts = processed.filter(!col("due")).select(
+              sum((due2 && republishable).cast("long")),
+              sum((due2 && redeliverable).cast("long")),
+              sum((due2 && dead).cast("long")),
+              sum((!due2).cast("long"))).head()
+            def dcnt(i: Int): Long = if (dcounts.isNullAt(i)) 0L else dcounts.getLong(i)
+            publishSlices(processed.filter(!col("due") && due2),
+              dcnt(0), dcnt(1), dcnt(2))
+            if (dcnt(3) > 0) topic.publishNonEmpty(
+              processed.filter(!col("due") && !due2)
+                .select(envelopeCols.map(col): _*))
+          }
         } finally processed.unpersist()
       }
       .start()

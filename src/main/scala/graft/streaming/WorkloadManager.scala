@@ -63,15 +63,19 @@ final class WorkloadManager(spark: SparkSession,
     builder: Workload => StreamingQuery, schedulerPool: Option[String] = None,
     drainGraceMs: Long = 60000) {
 
-  // C1 drain grace (reference ShutdownHook's 1-minute drainAndShutdown,
-  // part1/PulsarPekkoSource.scala:75-81): `stop()` waits up to this long
-  // for the stream-execution thread to wind down instead of Spark's
-  // 0 = wait-forever default, and gracefulStop first lets an in-flight
-  // micro-batch finish so no trigger is interrupted mid-commit.
-  spark.conf.set("spark.sql.streaming.stopTimeout", drainGraceMs.toString)
-
   /** Drain-then-stop: wait (≤ grace) for the current trigger to complete,
     * then stop the query between batches.
+    *
+    * C1 drain grace (reference ShutdownHook's 1-minute drainAndShutdown,
+    * part1/PulsarPekkoSource.scala:75-81): `stop()` waits up to
+    * `drainGraceMs` for the stream-execution thread to wind down instead
+    * of Spark's 0 = wait-forever default. The conf is scoped to the stop
+    * call (set/restore around it) rather than mutated session-wide — the
+    * session is shared with streams this manager doesn't own. A query
+    * that is STILL draining when the grace expires throws
+    * TimeoutException from `stop()`; that query keeps winding down in the
+    * background and must not abort the rest of a reconcile/shutdown pass,
+    * so the exception is swallowed here.
     */
   private def gracefulStop(q: StreamingQuery): Unit = {
     val deadline = System.currentTimeMillis() + drainGraceMs
@@ -79,7 +83,15 @@ final class WorkloadManager(spark: SparkSession,
         && System.currentTimeMillis() < deadline) {
       Thread.sleep(10)
     }
-    q.stop()
+    val key = "spark.sql.streaming.stopTimeout"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, drainGraceMs.toString)
+    try q.stop()
+    catch { case _: java.util.concurrent.TimeoutException => () }
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   // name → running query (reference T8: TrieMap registry,

@@ -32,6 +32,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    partition slice, and each task's reader fetches ITS partition's
   *    slice from the broker — rows never round-trip through the driver
   *    (the Kafka/Pulsar-source shape);
+  *  - **delayed delivery** (`deliverAfter` — the reference's
+  *    `negativeAckRedeliveryDelay`, util/PulsarClientWrapper.scala:171):
+  *    `latestOffset` admits only each partition's deliverable prefix, so
+  *    an entry stamped `not_before` in the future is HELD at the broker
+  *    until due — consumers never see it early and nothing re-enqueues
+  *    it (see `TopicLog.admissibleEnd`);
   *  - **cursor/ack** (`acknowledgeAsync`): the streaming checkpoint is the
   *    subscription cursor; `initialOffset` starts a new subscription at 0
   *    and a restart resumes from the last committed offsets via
@@ -146,9 +152,16 @@ final class BrokerMicroBatchStream(schema: StructType, topic: String,
           s"of the log end $end — JVM-local log lost; delete the checkpoint " +
           "or re-seed the broker")
     }
+    // delayed-delivery hold: admit only each partition's deliverable
+    // prefix — an entry stamped `not_before` in the future (and anything
+    // behind it in its partition) stays at the broker until due
+    val now = System.currentTimeMillis()
+    val due = ends.map { case (p, _) =>
+      p -> log.admissibleEnd(p, from.getOrElse(p, 0L), now)
+    }
     limit match {
-      case r: ReadMaxRows => BrokerOffsets(admit(from, ends, r.maxRows()))
-      case _ => BrokerOffsets(ends)
+      case r: ReadMaxRows => BrokerOffsets(admit(from, due, r.maxRows()))
+      case _ => BrokerOffsets(due)
     }
   }
 

@@ -71,6 +71,34 @@ object InMemoryBroker {
     def endOffsets: Map[Int, Long] =
       (0 until numPartitions).map(p => p -> endOffset(p)).toMap
 
+    // position of the delayed-delivery stamp in the envelope, if the
+    // topic carries one (-1 otherwise: everything is always deliverable)
+    private val notBeforeIdx = schema.fieldNames.indexOf("not_before")
+
+    /** End of partition `p`'s DELIVERABLE prefix from `from`: the scan
+      * stops at the first entry stamped `not_before > nowMs`. This is the
+      * broker-side delayed-delivery hold (`deliverAfter` — reference
+      * `negativeAckRedeliveryDelay`, util/PulsarClientWrapper.scala:171):
+      * a deferred entry is simply not admitted until due, so consumers
+      * never see it early and nothing has to re-enqueue it. Holding also
+      * everything BEHIND it preserves per-partition order (offsets stay
+      * dense); other partitions keep flowing.
+      */
+    def admissibleEnd(p: Int, from: Long, nowMs: Long): Long = {
+      if (notBeforeIdx < 0) return endOffset(p)
+      val part = parts(p)
+      part.synchronized {
+        var i = math.max(from, 0L).toInt
+        while (i < part.length) {
+          val r = part(i)
+          val nb = if (r.isNullAt(notBeforeIdx)) 0L else r.getLong(notBeforeIdx)
+          if (nb > nowMs) return i.toLong
+          i += 1
+        }
+        part.length.toLong
+      }
+    }
+
     /** Total entries across partitions (diagnostics/tests). */
     def totalEntries: Long = (0 until numPartitions).map(endOffset).sum
 

@@ -97,6 +97,36 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(InMemoryBroker.topic(topic.name).totalEntries == 0L)
   }
 
+  test("a not-yet-due entry is held at the broker until due (delayed delivery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val topic = freshTopic("delay")
+    val due = System.currentTimeMillis() + 700L
+    topic.publish(Seq(("early", 0)).toDF("name", "numPublishes")
+      .withColumn("not_before", lit(due)))
+
+    val name = s"delay_${System.nanoTime()}"
+    val query = topic.readStream(admitPerTrigger = 16)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      // "all available" excludes the held entry: admission stops before it
+      query.processAllAvailable()
+      assert(spark.table(name).count() == 0,
+        "a not-yet-due entry must be held at the source, not delivered early")
+      // once due, a later trigger admits it — no re-enqueue involved
+      val deadline = System.currentTimeMillis() + 5000L
+      while (spark.table(name).count() == 0
+          && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+      }
+      assert(spark.table(name).count() == 1, "entry must be delivered once due")
+      assert(System.currentTimeMillis() >= due,
+        "delivery cannot precede the not_before stamp")
+      // and exactly once: the hold never duplicated it in the log
+      assert(InMemoryBroker.topic(topic.name).totalEntries == 1L)
+    } finally query.stop()
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,

@@ -72,6 +72,7 @@ class WorkloadManagerSpec extends AnyFunSuite with SparkTestSession {
         }
         .start()
     val mgr = new WorkloadManager(spark, builder, drainGraceMs = 10000)
+    val stopTimeoutBefore = spark.conf.get("spark.sql.streaming.stopTimeout")
     mgr.reconcile(Set(w("drain-a")))
     input.addData("x")
     // wait until the slow batch is genuinely in flight
@@ -80,8 +81,9 @@ class WorkloadManagerSpec extends AnyFunSuite with SparkTestSession {
     assert(completed.get() == 1,
       "the in-flight batch must complete before shutdown returns")
     assert(spark.streams.active.count(_.name == "drain-a") == 0)
-    // the grace config is surfaced on the session (reference 1-min drain)
-    assert(spark.conf.get("spark.sql.streaming.stopTimeout") == "10000")
+    // the grace conf is SCOPED to each stop call and restored after: the
+    // session is shared, streams this manager doesn't own keep theirs
+    assert(spark.conf.get("spark.sql.streaming.stopTimeout") == stopTimeoutBefore)
   }
 
   test("discovery polling picks up desired-state changes within a tick") {
