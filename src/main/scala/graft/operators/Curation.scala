@@ -65,5 +65,38 @@ object Curation {
         .replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qCuration)
+  /** q33b — the same curation result, but the near-dup stage reads the
+    * PERSISTED signature/band store ([[graft.sources.SignatureStore]])
+    * instead of re-banding the corpus from raw text. This is the
+    * incremental 100 TB pattern: signatures are computed once at ingest
+    * (and upserted by the streaming front door), and every later
+    * curation run pays only the store's exchange-free band self-join —
+    * not a full re-shingle of the corpus. The oracle is IDENTICAL to
+    * q33's (DuckDB recomputes from raw text): passing proves the store
+    * round-trip is bit-exact.
+    */
+  val qCurationFromStore: QuerySpec = QuerySpec(
+    "q33b_curation_store",
+    (s, dir) => {
+      val store = graft.sources.SignatureStore.ensure(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      val keep = docs
+        .groupBy(PolyHash(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val dupIds = graft.sources.SignatureStore.pairs(s, store)
+        .select(col("doc_id_2").as("doc_id"))
+      val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      deduped.join(docs, Seq("doc_id"))
+        .withColumn("n_words", words.cast("long"))
+        .withColumn("stop_ratio", TextMetrics.stopRatio(words, stops))
+        .filter(col("n_chars") >= 50 && col("n_chars") <= 10000
+          && col("stop_ratio") < 0.5)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
+    },
+    qCuration.oracle)
+
+  val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore)
 }

@@ -24,10 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P = PolyHash.P // 2^31 - 1
-  private val NumHashes = 16 // MinHash signature length
-  private val NumBands = 4 // LSH bands of 4 rows each
-  private val RowsPerBand = NumHashes / NumBands
+  private[graft] val P = PolyHash.P // 2^31 - 1
+  private[graft] val NumHashes = 16 // MinHash signature length
+  private[graft] val NumBands = 4 // LSH bands of 4 rows each
+  private[graft] val RowsPerBand = NumHashes / NumBands
   private val SimhashBits = 32
 
   // MinHash permutation j: (a_j * h + b_j) mod P — the ONE definition,
@@ -42,14 +42,14 @@ object Dedup {
     * codegen'd pass per row (the composed split/slice/zip_with/transform
     * form evaluated its lambdas interpreted).
     */
-  private def shingleHashRows(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashRows(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(WordShingleHashes(col("text"), 3)).as("h"))
 
   /** One hash-aggregate producing the MinHash signature columns mh0..mh15
     * (plus optionally the full shingle-hash set for Jaccard verification).
     */
-  private def minhashAgg(rows: DataFrame, withSet: Boolean): DataFrame = {
+  private[graft] def minhashAgg(rows: DataFrame, withSet: Boolean): DataFrame = {
     val mins = (0 until NumHashes).map { j =>
       min((lit(permA(j)) * col("h") + lit(permB(j))) % P).as(s"mh$j")
     }
@@ -60,12 +60,12 @@ object Dedup {
   /** Band hashes from the mh columns: polynomial fold (acc*31 + m) mod P
     * per band — plain column arithmetic, no lambdas.
     */
-  private def bandHash(b: Int): Column =
+  private[graft] def bandHash(b: Int): Column =
     (0 until RowsPerBand).foldLeft(lit(0L): Column) { (acc, r) =>
       (acc * 31L + col(s"mh${b * RowsPerBand + r}")) % P
     }
 
-  private def jaccard(h1: Column, h2: Column): Column =
+  private[graft] def jaccard(h1: Column, h2: Column): Column =
     size(array_intersect(h1, h2)).cast("double") /
       size(array_union(h1, h2)).cast("double")
 

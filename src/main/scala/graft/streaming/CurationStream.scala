@@ -2,8 +2,10 @@ package graft.streaming
 
 import graft.TextMetrics
 import graft.functions.PolyHash
-import org.apache.spark.sql.DataFrame
+import graft.sources.SignatureStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming form of the batch curation pipeline
   * ([[graft.operators.Curation]]): documents arrive continuously, and
@@ -20,15 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object CurationStream {
 
-  /** @param docs streaming DataFrame with (doc_id, ts, text, n_chars) */
+  /** @param docs streaming DataFrame with (doc_id, ts, text, n_chars)
+    * @param keepText retain the raw text column in the output (needed by
+    *                 the incremental near-dup front door, which signs
+    *                 each curated batch)
+    */
   def curate(docs: DataFrame, watermarkDelay: String = "1 hour",
       minChars: Int = 50, maxChars: Int = 10000,
-      maxStopRatio: Double = 0.5): DataFrame = {
+      maxStopRatio: Double = 0.5, keepText: Boolean = false): DataFrame = {
     // quality metrics come from the ONE shared definition (TextMetrics) so
     // the streaming gate can never silently fork from the batch gate; a
     // zero-word doc gets a NULL ratio and is dropped deterministically
     val words = TextMetrics.wordCount(col("text"))
     val stops = TextMetrics.stopCount(col("text"))
+    val out = Seq(col("doc_id"), col("text_hash"), col("n_words"),
+      col("stop_ratio")) ++ (if (keepText) Seq(col("text")) else Nil)
     docs
       .withColumn("text_hash", PolyHash(col("text")))
       .withWatermark("ts", watermarkDelay)
@@ -37,6 +45,55 @@ object CurationStream {
       .withColumn("stop_ratio", TextMetrics.stopRatio(words, stops))
       .filter(col("n_chars") >= minChars && col("n_chars") <= maxChars
         && col("stop_ratio") < maxStopRatio)
-      .select(col("doc_id"), col("text_hash"), col("n_words"), col("stop_ratio"))
+      .select(out: _*)
   }
+
+  /** The incremental near-dup front door: [[curate]] plus a persisted
+    * [[SignatureStore]] probe/upsert per micro-batch.
+    *
+    * Each curated batch is (1) PROBED against the store — a verified
+    * near-dup of ANY previously stored document is flagged and withheld
+    * from the curated output, however long ago its twin arrived; then
+    * (2) the surviving documents' signatures/bands are APPENDED to the
+    * store, so later batches (or the next batch) probe against them too.
+    * Nothing ever re-bands the corpus: the probe shuffles only the tiny
+    * admission-bounded batch side (the store is bucketed by the band
+    * key), and the upsert is a map-side signature pass plus a bucketed
+    * append.
+    *
+    * @param onBatch   receives each batch's surviving curated rows
+    * @param onFlagged receives each batch's near-dup verdicts
+    *                  (doc_id, dup_of, jaccard)
+    */
+  def startIncremental(spark: SparkSession, docs: DataFrame,
+      store: SignatureStore.Store, checkpointDir: String,
+      onBatch: DataFrame => Unit,
+      onFlagged: DataFrame => Unit = _ => ()): StreamingQuery =
+    curate(docs, keepText = true)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.limit(1).count() > 0) {
+            val verdicts = SignatureStore
+              .probe(spark, store, b.select(col("doc_id"), col("text")))
+              .persist()
+            try {
+              onFlagged(verdicts)
+              val fresh = b.join(verdicts.select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti").persist()
+              try {
+                // probe-then-append order guarantees a batch's survivors
+                // are visible to the NEXT batch but never to their own
+                // probe (no self-pairs)
+                SignatureStore.append(spark, store,
+                  fresh.select(col("doc_id"), col("text")))
+                onBatch(fresh.drop("text"))
+              } finally fresh.unpersist()
+            } finally verdicts.unpersist()
+          }
+        } finally b.unpersist()
+      }
+      .start()
 }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted signature/band store: the probe plan must never shuffle
+  * the store side (that's the whole point — a 100 TB store probed by a
+  * tiny batch), and store-derived pairs must be bit-identical to the
+  * from-text LSH pipeline (q23).
+  */
+class SignatureStoreSpec extends AnyFunSuite with SparkTestSession {
+
+  private def corpusDf(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i =>
+      (i.toLong, (0 until 40).map(w => s"w${i}x$w").mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("probe shuffles only the batch side; the store side is exchange-free") {
+    import spark.implicits._
+    val store = SignatureStore.build(spark, corpusDf(50),
+      s"probeplan${System.nanoTime()}")
+    val batch = Seq((1000L, (0 until 40).map(w => s"w1x$w").mkString(" ") + " tail"))
+      .toDF("doc_id", "text")
+
+    // pin to the shuffle path while asserting, as q45 does: the check is
+    // about bucketing, not broadcast thresholds or AQE re-planning
+    val pinned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val old = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = SignatureStore.probe(spark, store, batch)
+      val plan = probe.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.nonEmpty, "the batch side is expected to shuffle")
+      // a store scan must never be shuffled BEFORE reaching its join: the
+      // store is read in place through its bucketing. (Downstream of a
+      // join, derived candidate rows legitimately shuffle — descend from
+      // each exchange but stop at the first join.)
+      def storeScanShuffledPreJoin(n: org.apache.spark.sql.execution.SparkPlan)
+          : Boolean =
+        if (n.nodeName.contains("Join")) false
+        else if (n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+            && {
+              val s = n.verboseStringWithSuffix(1000).toLowerCase
+              s.contains(store.bands.toLowerCase) || s.contains(store.sig.toLowerCase)
+            }) true
+        else n.children.exists(storeScanShuffledPreJoin)
+      shuffles.foreach { e =>
+        assert(!e.children.exists(storeScanShuffledPreJoin),
+          s"store scan shuffled before its join:\n$e")
+      }
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("store-derived pairs are bit-identical to the from-text q23 pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val store = SignatureStore.ensure(spark, dir)
+    val fromStore = SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    val fromText = Dedup.qLshPairs.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(fromStore.nonEmpty, "sf0.001 contains near-dup pairs")
+    assert(fromStore.toSeq == fromText.toSeq)
+  }
+}
