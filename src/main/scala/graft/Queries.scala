@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Multimodal, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.Bucketed
 
 /** The full gated query registry: every entry is an implemented operator
@@ -11,7 +11,7 @@ object Queries {
   val all: Seq[QuerySpec] =
     Relational.specs ++ Similarity.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
-      Temporal.specs ++ Profiling.specs ++ Bucketed.specs
+      Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

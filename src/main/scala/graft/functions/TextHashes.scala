@@ -73,6 +73,31 @@ object TextHashes {
     toArrayData(seen)
   }
 
+  /** EVERY k-word shingle as a string, in order, duplicates KEPT (unlike
+    * [[wordShingleHashes]]): the frequency-counting form — exploding this
+    * and counting is the canonical corpus-vocabulary shape. Same word
+    * split (single space, empties kept) and same single-space join.
+    */
+  def wordShingles(s: String, k: Int): ArrayData = {
+    val toks = s.split(" ", -1)
+    val n = math.max(toks.length - k + 1, 0)
+    val out = new Array[AnyRef](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def toArrayData(seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
@@ -131,4 +156,32 @@ case class WordShingleHashes(child: Expression, k: Int) extends HashArrayExpress
 object WordShingleHashes {
   def apply(c: Column, k: Int): Column =
     GraftShims.column(WordShingleHashes(GraftShims.expression(c), k))
+}
+
+/** `wordShingles` (all occurrences, strings) as a codegen'd expression. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+  override def prettyName: String = "graft_word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.wordShingles(input.asInstanceOf[UTF8String].toString, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.wordShingles($c.toString(), $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(c: Column, k: Int): Column =
+    GraftShims.column(WordShingles(GraftShims.expression(c), k))
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.{PolyHash, WordShingleHashes, WordShingles}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level training-data operators: benchmark decontamination,
+  * deterministic stratified sampling, repetition/boilerplate scoring,
+  * and vocabulary (n-gram frequency) construction.
+  *
+  * Scale stance (same rules as [[Dedup]]):
+  *  - decontamination candidates come ONLY from an equi-join on shingle
+  *    hashes, with the (small) benchmark side broadcast — never a
+  *    text-vs-text comparison;
+  *  - sampling is a stateless map-side predicate on a deterministic
+  *    hash, so it needs no shuffle, no RNG state, and re-runs
+  *    reproducibly on any cluster layout;
+  *  - repetition ratios are per-row codegen'd kernels;
+  *  - vocabulary counting is the canonical explode → partial-agg →
+  *    shuffle-on-gram → TakeOrdered shape.
+  */
+object Corpus {
+
+  /** DuckDB CTEs `dt` (tokens) and `ds` (doc_id, distinct k-shingle
+    * hashes) — the k-parameterized twin of [[Dedup]]'s 3-gram CTE.
+    */
+  private def shingleCtes(k: Int): String = {
+    val concat = (0 until k).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | ds AS (SELECT doc_id, list_distinct(list_transform(
+       |   list_transform(range(1, greatest(len(tk) - ${k - 1}, 0) + 1),
+       |     i -> $concat),
+       |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt)""".stripMargin
+      .replaceAll("\n", "")
+  }
+
+  /** q46 — benchmark decontamination: flag every training document that
+    * shares at least one word-5-gram with the held-out evaluation set
+    * (`doc_id % 10 == 0` plays the benchmark), with the count of
+    * overlapping distinct shingles. The eval side is tiny relative to a
+    * 100 TB corpus, so it is broadcast; the train side never shuffles —
+    * the plan is scan → explode → broadcast-hash-join → partial agg →
+    * one shuffle on doc_id.
+    */
+  val qDecontaminate: QuerySpec = QuerySpec(
+    "q46_decontaminate",
+    (s, dir) => {
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(WordShingleHashes(col("text"), 5)).as("h"))
+      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+      train.join(broadcast(bench), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+    },
+    Some(s"""WITH ${shingleCtes(5)},
+            | bench AS (SELECT DISTINCT unnest(H) AS h FROM ds WHERE doc_id % 10 = 0),
+            | train AS (SELECT doc_id, unnest(H) AS h FROM ds WHERE doc_id % 10 <> 0)
+            | SELECT t.doc_id, COUNT(*) AS n_hits
+            | FROM train t JOIN bench b ON t.h = b.h
+            | GROUP BY t.doc_id""".stripMargin.replaceAll("\n", "")))
+
+  /** q47 — deterministic stratified sampling: keep a per-source fraction
+    * of documents decided by a salted [[PolyHash]] of the doc_id (rates
+    * 5/10/15/20 % derived from the source index). Hash-mod sampling is
+    * the production form at 100 TB: a pure map-side predicate —
+    * reproducible across runs and cluster layouts, no RNG state, no
+    * shuffle, and the same row set regardless of partitioning.
+    */
+  val qSampleStratified: QuerySpec = QuerySpec(
+    "q47_sample_stratified",
+    (s, dir) => {
+      val rate = lit(5) + lit(5) *
+        (substring(col("source"), 4, 10).cast("int") % 4)
+      val h = PolyHash(concat(lit("sample|"), col("doc_id").cast("string")))
+      Tables.load(s, dir, "documents")
+        .filter(h % 100 < rate)
+        .select(col("doc_id"), col("source"), col("lang"))
+    },
+    Some(s"""SELECT doc_id, source, lang FROM documents
+            | WHERE ${PolyHash.oracleSql("'sample|' || CAST(doc_id AS VARCHAR)")} % 100
+            |  < 5 + 5 * (CAST(substr(source, 4, 10) AS INT) % 4)""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q48 — repetition/boilerplate scoring (the Gopher-style quality
+    * signal): per document, the fraction of duplicate words and
+    * duplicate word-bigrams. Distinctness is counted over [[PolyHash]]
+    * values on BOTH engines, so the comparison is bit-exact; ratios are
+    * single IEEE divisions of exact integers. Pure map-side codegen —
+    * no shuffle.
+    */
+  val qRepetition: QuerySpec = QuerySpec(
+    "q48_repetition",
+    (s, dir) => {
+      val toks = size(split(col("text"), " "))
+      val uniqW = size(WordShingleHashes(col("text"), 1))
+      val uniqB = size(WordShingleHashes(col("text"), 2))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          toks.cast("long").as("n_tokens"),
+          ((toks - uniqW).cast("double") / toks.cast("double"))
+            .as("dup_word_ratio"),
+          when(toks > 1,
+            (toks - 1 - uniqB).cast("double") / (toks - 1).cast("double"))
+            .as("dup_bigram_ratio"))
+    },
+    Some {
+      // two-stage transform (materialize gram strings with `i`, hash with
+      // `s`) — inlining the hash inside the `i` lambda would let the
+      // hash's own `i` range variable SHADOW the outer one in `tk[i]`
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+         | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(tk) - len(list_distinct(list_transform(tk,
+         |    s -> ${PolyHash.oracleSql("s")}))) AS DOUBLE)
+         |   / CAST(len(tk) AS DOUBLE) AS dup_word_ratio,
+         |  CASE WHEN len(tk) > 1 THEN
+         |   CAST((len(tk) - 1) - len(list_distinct(list_transform(
+         |     list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+         |       i -> tk[i] || ' ' || tk[i + 1]),
+         |     s -> ${PolyHash.oracleSql("s")}))) AS DOUBLE)
+         |    / CAST(len(tk) - 1 AS DOUBLE) END AS dup_bigram_ratio
+         | FROM dt""".stripMargin.replaceAll("\n", "")
+    })
+
+  /** q49 — corpus vocabulary: the 20 most frequent word bigrams with a
+    * unique tiebreak on the gram itself. [[WordShingles]] keeps
+    * duplicate occurrences (unlike the dedup kernels) — frequency is the
+    * point. Map-side partial aggregation absorbs the explosion before
+    * the single shuffle on the gram; TakeOrdered keeps only k per
+    * partition.
+    */
+  val qVocabBigrams: QuerySpec = QuerySpec(
+    "q49_vocab_bigrams",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(WordShingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram").asc)
+        .limit(20),
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            | g AS (SELECT unnest(list_transform(
+            |   range(1, greatest(len(tk) - 1, 0) + 1),
+            |   i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM dt)
+            | SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+            | ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(
+    qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams)
+}

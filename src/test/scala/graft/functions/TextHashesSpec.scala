@@ -83,6 +83,22 @@ class TextHashesSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("WordShingles(2) ≡ composed join WITHOUT distinct (occurrences kept)") {
+    import spark.implicits._
+    val df = corpus(29, 300).toDF("text")
+    // the composed reference: slice/zip_with join of adjacent tokens,
+    // duplicates preserved (the frequency-counting semantics)
+    val tok = split(col("text"), " ")
+    val n = greatest(size(tok) - 1, lit(0))
+    val slow = zip_with(slice(tok, lit(1), n), slice(tok, lit(2), n),
+      (a, b) => concat(a, lit(" "), b))
+    val mismatches = df.select(
+        WordShingles(col("text"), 2).as("fast"), slow.as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("degenerate inputs: short text → empty array, never null") {
     import spark.implicits._
     val rows = Seq("", "ab", "a b").toDF("text")
