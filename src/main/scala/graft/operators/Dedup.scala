@@ -237,6 +237,74 @@ object Dedup {
            |  CAST(len(list_distinct(list_concat(d1.G, d2.G))) AS DOUBLE) AS jaccard
            | FROM g d1 JOIN g d2 ON d2.doc_id = d1.doc_id + 1""".stripMargin.replaceAll("\n", "")))
 
+  /** q50 — duplicate-cluster collapse: connected components over the
+    * verified LSH pair graph (q23), labeling every near-dup document
+    * with the minimum doc_id of its component. This is the production
+    * step BETWEEN pair generation and "keep one per cluster": per-pair
+    * removal (drop doc_id_2, as q33 does) handles chains a→b→c only
+    * transitively by luck, while a component label collapses the whole
+    * chain to one keeper deterministically.
+    *
+    * Shape: min-label propagation — per iteration ONE shuffle join
+    * (neighbor labels) + one aggregation, iterated to fixpoint; the
+    * iteration count is the component diameter (near-dup clusters are
+    * shallow — 2-3 here). The driver sees only a has-anything-changed
+    * scalar per iteration; labels stay distributed. `localCheckpoint`
+    * truncates the per-iteration lineage so the returned plan reads the
+    * converged blocks instead of replaying the loop (and nothing stays
+    * persisted across runs — blocks free when the result is dropped).
+    * At 100 TB the same loop writes each generation to a bucketed table
+    * (or graduates to pointer-jumping for log-diameter convergence).
+    *
+    * The oracle is DuckDB's recursive transitive closure over the same
+    * pair SQL — MIN over everything reachable ≡ the converged label.
+    */
+  val qDupClusters: QuerySpec = QuerySpec(
+    "q50_dup_clusters",
+    (s, dir) => {
+      val pairs = qLshPairs.build(s, dir)
+        .select(col("doc_id_1"), col("doc_id_2")).persist()
+      try {
+        val edges = pairs
+          .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
+          .toDF("u", "v").persist()
+        try {
+          var labels = edges.select(col("u")).distinct()
+            .withColumn("cluster_id", col("u")).localCheckpoint()
+          var iter = 0
+          var done = false
+          while (!done && iter < 25) {
+            val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
+              .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
+            val next = labels.join(nbrMin, Seq("u"), "left")
+              .select(col("u"),
+                least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+                  .as("cluster_id"))
+              .localCheckpoint()
+            val changed = next
+              .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
+              .filter(col("cluster_id") =!= col("prev"))
+              .limit(1).count()
+            labels = next
+            done = changed == 0L
+            iter += 1
+          }
+          require(done, s"label propagation did not converge in $iter iterations")
+          labels.select(col("u").as("doc_id"), col("cluster_id"))
+        } finally edges.unpersist()
+      } finally pairs.unpersist()
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${qLshPairs.oracle.get}),
+            | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+            |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+            | nodes AS (SELECT DISTINCT u FROM edges),
+            | reach(u, r) AS (
+            |   SELECT u, u FROM nodes
+            |   UNION
+            |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u)
+            | SELECT u AS doc_id, MIN(r) AS cluster_id
+            | FROM reach GROUP BY u""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
-    qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard)
+    qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard, qDupClusters)
 }
