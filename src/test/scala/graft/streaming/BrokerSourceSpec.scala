@@ -97,6 +97,42 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     assert(InMemoryBroker.topic(topic.name).totalEntries == 0L)
   }
 
+  test("admission splits the row budget across partitions, deterministically") {
+    import graft.streaming.broker.{BrokerMicroBatchStream, BrokerOffsets}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import spark.implicits._
+    val topic = freshTopic("admit")
+    topic.publishSeed((0 until 10).map(i => (s"m$i", 0)).toDF("name", "numPublishes"))
+    val log = InMemoryBroker.topic(topic.name)
+    val stream = new BrokerMicroBatchStream(log.schema, topic.name, 3L)
+
+    val start = BrokerOffsets.start(log)
+    val end1 = stream.latestOffset(start, ReadLimit.maxRows(3L))
+      .asInstanceOf[BrokerOffsets]
+    assert(end1.parts.map { case (p, o) => o - start.parts(p) }.sum == 3L,
+      s"exactly the budget must be admitted: $end1")
+    // repeat from the same start: identical admission (no randomness)
+    assert(stream.latestOffset(start, ReadLimit.maxRows(3L)) == end1)
+    // unbounded admission drains every partition to its end
+    val all = stream.latestOffset(start, ReadLimit.allAvailable())
+      .asInstanceOf[BrokerOffsets]
+    assert(all.parts == log.endOffsets && all.parts.values.sum == 10L)
+  }
+
+  test("a checkpoint cursor ahead of the log fails fast (lost-log restart)") {
+    import graft.streaming.broker.{BrokerMicroBatchStream, BrokerOffsets}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val topic = freshTopic("lostlog") // empty log, as after a JVM restart
+    val log = InMemoryBroker.topic(topic.name)
+    val stream = new BrokerMicroBatchStream(log.schema, topic.name, 0L)
+    val stale = BrokerOffsets(Map(0 -> 5L, 1 -> 0L, 2 -> 0L, 3 -> 0L))
+    val e = intercept[IllegalArgumentException] {
+      stream.latestOffset(stale, ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("log lost"),
+      s"expected a clear lost-log diagnostic, got: ${e.getMessage}")
+  }
+
   test("a not-yet-due entry is held at the broker until due (delayed delivery)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
