@@ -164,5 +164,52 @@ object Similarity {
             | FROM a2 JOIN probe ON a2.cid = probe.cid AND probe.prk <= 2, q
             | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(q19CosineTopK, qEmbedNearDup, qAnnIvf)
+  /** q51 — one Lloyd (k-means) step: the codebook-TRAINING half of IVF
+    * (q26 consumes a codebook; this is the iteration that produces one).
+    * Every vector is assigned to its nearest centroid by the same
+    * codegen'd map-side argmax as q26 (broadcast codebook, zero joins,
+    * zero shuffles), then centroids are recomputed as the element-wise
+    * FLOOR-average of their members' quantized coordinates — integer
+    * floor via `(s - pmod(s, n)) / n`, so both engines agree bit-exactly
+    * even on negative sums (a plain `/`+trunc or `div` would round
+    * toward zero and diverge from DuckDB's floor semantics).
+    *
+    * Output is exploded to (cid, d, cval) scalar rows (the q22
+    * convention — the compare never depends on array encodings). Scale
+    * shape: explode ×dim feeds map-side partial aggregation before the
+    * single shuffle on (cid, d) — K×dim groups; a full k-means run is
+    * this step iterated with the new codebook re-collected (tiny) per
+    * round.
+    */
+  val qKmeansStep: QuerySpec = QuerySpec(
+    "q51_kmeans_step",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val cents: Seq[Seq[Long]] = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("qe")).collect().toSeq
+        .sortBy(_.getInt(0)).map(_.getSeq[Long](1))
+      emb.withColumn("cid", NearestCentroid(col("qe"), cents))
+        .select(col("cid"), posexplode(col("qe")))
+        .select(col("cid"), col("pos").cast("long").as("d"), col("col").as("v"))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("d"),
+          ((col("s") - pmod(col("s"), col("n"))) / col("n"))
+            .cast("long").as("cval"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+            | FROM embeddings),
+            | c AS (SELECT vec_id AS cid, qe AS cqe FROM e WHERE vec_id < 8),
+            | assign AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY e.vec_id
+            |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+            |  FROM e, c),
+            | a1 AS (SELECT vec_id, qe, cid FROM assign WHERE rk = 1),
+            | sums AS (SELECT cid, d, SUM(qe[CAST(d AS INT) + 1]) AS s, COUNT(*) AS n
+            |  FROM a1, range(0, $Dim) t(d) GROUP BY cid, d)
+            | SELECT cid, d, CAST((s - (((s % n) + n) % n)) / n AS BIGINT) AS cval
+            | FROM sums""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep)
 }
