@@ -52,6 +52,7 @@ object Bench {
     // the exchange-free reads the layouts buy
     graft.sources.Bucketed.prepare(spark, sfDir)
     graft.sources.SignatureStore.ensure(spark, sfDir)
+    graft.sources.EmbeddingIndex.ensure(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{Corpus, Curation, Dedup, Multimodal, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
-import graft.sources.Bucketed
+import graft.sources.{Bucketed, EmbeddingIndex}
 
 /** The full gated query registry: every entry is an implemented operator
   * from SURVEY.md §2 (or the LLM-pipeline extension surface) exposed as a
@@ -11,7 +11,8 @@ object Queries {
   val all: Seq[QuerySpec] =
     Relational.specs ++ Similarity.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
-      Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs
+      Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs ++
+      EmbeddingIndex.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

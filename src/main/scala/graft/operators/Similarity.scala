@@ -27,7 +27,7 @@ object Similarity {
   // exact same closed form is evaluated in the DuckDB oracle, so bucket
   // assignments agree bit-for-bit. |w| < 2^15, |q| < 2^21, dim 64 → the
   // integer dot stays far inside 63 bits.
-  private val NumPlanes = 8
+  private[graft] val NumPlanes = 8
   private val Dim = 64
   private def planeWeight(j: Int, d: Int): Long =
     ((1103515245L * (j * Dim + d) + 12345L) % 65536L) - 32768L
@@ -39,7 +39,7 @@ object Similarity {
     Exact.qdot(qe, typedlit((0 until Dim).map(d => planeWeight(j, d))))
 
   /** LSH bucket id: 8 sign bits of hyperplane dots. */
-  private def bucketCol(qe: Column): Column =
+  private[graft] def bucketCol(qe: Column): Column =
     (0 until NumPlanes).map(j =>
       when(planeDot(qe, j) > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

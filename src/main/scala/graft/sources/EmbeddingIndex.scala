@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.Tables
+import graft.functions.{Exact, PolyHash}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted sign-LSH embedding index — the embedding twin of
+  * [[SignatureStore]]: quantized vectors with their LSH bucket,
+  * bucketed-by-`bucket` on disk, so
+  *
+  *  - probing a new batch of embeddings shuffles ONLY the batch side
+  *    (the store is read in place through its bucketing), and
+  *  - the full-corpus near-dup pair scan is a bucketed SELF-join —
+  *    exchange-free on BOTH sides.
+  *
+  * The index row carries the quantized vector itself, so cosine
+  * verification needs no second lookup join (unlike the text store,
+  * where the shingle sets live in a separate `sig` table). Same
+  * quantization/bucket math as q25 ([[Similarity.bucketCol]] /
+  * [[Exact.quantize]]) — index-derived pairs are bit-identical to the
+  * from-raw-embedding computation, so they stay oracle-checkable.
+  */
+object EmbeddingIndex {
+
+  val Buckets = 16
+  private val CosThreshold = 0.3
+
+  /** (vec_id, qe, bucket) rows for an (vec_id, embedding) DataFrame. */
+  def indexRows(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      .withColumn("bucket", Similarity.bucketCol(col("qe")))
+
+  def build(s: SparkSession, emb: DataFrame, tag: String): String = {
+    val table = s"graft_embidx_$tag"
+    Bucketed.dropStale(s, table)
+    Bucketed.write(indexRows(emb), table, Buckets, "bucket")
+    table
+  }
+
+  private val prepared = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The index over `dir`'s embeddings table (built on first use). */
+  def ensure(s: SparkSession, dir: String): String =
+    prepared.getOrElseUpdate(dir, {
+      val tag = java.lang.Long.toHexString(PolyHash.hash(dir))
+      build(s, Tables.load(s, dir, "embeddings").select("vec_id", "embedding"), tag)
+    })
+
+  /** Upsert with the same bucket spec (probe first: caller guarantees
+    * new vec_ids).
+    */
+  def append(s: SparkSession, table: String, emb: DataFrame): Unit =
+    indexRows(emb).write.bucketBy(Buckets, "bucket").sortBy("bucket")
+      .mode("append").saveAsTable(table)
+
+  /** Probe a (vec_id, embedding) batch against the index: verified
+    * near-dups `(vec_id, dup_of, cos_sim)` with an already-indexed
+    * vector. Candidates ONLY from the bucket equi-join; the store side
+    * never shuffles.
+    */
+  def probe(s: SparkSession, table: String, batch: DataFrame): DataFrame =
+    indexRows(batch).alias("n")
+      .join(s.table(table).alias("o"),
+        col("n.bucket") === col("o.bucket") && col("n.vec_id") =!= col("o.vec_id"))
+      .select(col("n.vec_id").as("vec_id"), col("o.vec_id").as("dup_of"),
+        Exact.cosineFromQuantized(col("n.qe"), col("o.qe")).as("cos_sim"))
+      .filter(col("cos_sim") >= CosThreshold)
+
+  /** Full-corpus verified near-dup pairs FROM THE INDEX — the q25
+    * result as a bucketed self-join, exchange-free on both sides.
+    */
+  def pairs(s: SparkSession, table: String): DataFrame = {
+    val idx = s.table(table)
+    idx.alias("a")
+      .join(idx.alias("c"),
+        col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("c.vec_id").as("vec_id_2"),
+        Exact.cosineFromQuantized(col("a.qe"), col("c.qe")).as("cos_sim"))
+      .filter(col("cos_sim") >= CosThreshold)
+  }
+
+  /** q52 — q25's near-dup pairs computed from the PERSISTED index
+    * instead of re-quantizing/re-bucketing the corpus; oracled against
+    * q25's unchanged from-raw-embeddings SQL, proving the index
+    * round-trip is bit-exact.
+    */
+  val qEmbedNearDupIndex: graft.QuerySpec = graft.QuerySpec(
+    "q52_embed_neardup_index",
+    (s, dir) => pairs(s, ensure(s, dir)),
+    Similarity.qEmbedNearDup.oracle)
+
+  val specs: Seq[graft.QuerySpec] = Seq(qEmbedNearDupIndex)
+}
