@@ -54,6 +54,8 @@ object Registry {
       (es => CharNgramHashes(es.head, intArg(es(1), "n"))),
     "graft_word_shingle_hashes" ->
       (es => WordShingleHashes(es.head, intArg(es(1), "k"))),
+    "graft_word_shingles" ->
+      (es => WordShingles(es.head, intArg(es(1), "k"))),
     "graft_minhash_sig" ->
       (es => MinHashSig(es.head, intArg(es(1), "numHashes"))),
     "graft_band_hash" ->

@@ -82,13 +82,18 @@ object Multimodal {
 
   /** Fit (w, h) into a box preserving aspect ratio — the integer/double
     * arithmetic a real scaler performs, deterministic and SQL-checkable.
+    * A nonzero dimension clamps to ≥ 1 after scaling: flooring an
+    * extreme-aspect input (998×1 into 320×240) to height 0 would turn a
+    * real image into a degenerate one and break idempotency — found by
+    * the `resizeFit` ScalaCheck law.
     */
   def resizeFit(w: Long, h: Long, maxW: Long, maxH: Long): (Long, Long) =
     if (w == 0 || h == 0) (0L, 0L)
     else if (w <= maxW && h <= maxH) (w, h)
     else {
       val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
-      (math.floor(w * scale).toLong, math.floor(h * scale).toLong)
+      (math.max(1L, math.floor(w * scale).toLong),
+        math.max(1L, math.floor(h * scale).toLong))
     }
 
   /** Decode + strided frame sampling + resize + per-frame fingerprint in
@@ -206,11 +211,11 @@ object Multimodal {
          | rs AS (SELECT *, CASE
          |    WHEN w = 0 OR ht = 0 THEN 0
          |    WHEN w <= 320 AND ht <= 240 THEN w
-         |    ELSE CAST(floor(w * least(320.0 / w, 240.0 / ht)) AS BIGINT) END AS out_w,
+         |    ELSE greatest(1, CAST(floor(w * least(320.0 / w, 240.0 / ht)) AS BIGINT)) END AS out_w,
          |   CASE
          |    WHEN w = 0 OR ht = 0 THEN 0
          |    WHEN w <= 320 AND ht <= 240 THEN ht
-         |    ELSE CAST(floor(ht * least(320.0 / w, 240.0 / ht)) AS BIGINT) END AS out_h
+         |    ELSE greatest(1, CAST(floor(ht * least(320.0 / w, 240.0 / ht)) AS BIGINT)) END AS out_h
          |  FROM meta)
          | SELECT doc_id, unnest(range(0, nf, (nf + 7) // 8)) AS frame_idx,
          |  out_w, out_h, (h * 31 + unnest(range(0, nf, (nf + 7) // 8)))

@@ -102,5 +102,85 @@ object Temporal {
            |  MIN(event_id) AS first_event_id, MIN(tus) AS start_us
            | FROM s GROUP BY user_id, session_seq""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize)
+  /** q53 — sequential-conversion funnel (view → click → purchase): per
+    * user, the earliest view, the earliest click STRICTLY AFTER that
+    * view, the earliest purchase strictly after that click; output the
+    * per-stage user counts. The strictly-after chaining is what makes a
+    * funnel a sequence query and not three independent counts.
+    *
+    * Shape: each stage is one hash-aggregate on user_id joined to the
+    * previous stage's (user_id, cutoff) — all equi-joins on the funnel
+    * key, re-shuffling only the (shrinking) per-stage event subsets. All
+    * comparisons run in integer epoch-µs (`unix_micros` ≡ DuckDB
+    * `epoch_us`), the one timestamp representation both engines agree on
+    * bit-for-bit.
+    */
+  val qFunnel: QuerySpec = QuerySpec(
+    "q53_funnel",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("tus") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("tus") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t3"))
+      t1.agg(count(lit(1)).as("users")).select(lit("view").as("stage"), col("users"))
+        .unionAll(t2.agg(count(lit(1)).as("users"))
+          .select(lit("click").as("stage"), col("users")))
+        .unionAll(t3.agg(count(lit(1)).as("users"))
+          .select(lit("purchase").as("stage"), col("users")))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+           | t1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+           |   WHERE event_type = 'view' GROUP BY user_id),
+           | t2 AS (SELECT e.user_id, MIN(e.tus) AS t2 FROM e
+           |   JOIN t1 ON e.user_id = t1.user_id AND e.tus > t1.t1
+           |   WHERE e.event_type = 'click' GROUP BY e.user_id),
+           | t3 AS (SELECT e.user_id, MIN(e.tus) AS t3 FROM e
+           |   JOIN t2 ON e.user_id = t2.user_id AND e.tus > t2.t2
+           |   WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+           | SELECT 'view' AS stage, COUNT(*) AS users FROM t1
+           | UNION ALL SELECT 'click', COUNT(*) FROM t2
+           | UNION ALL SELECT 'purchase', COUNT(*) FROM t3""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q54 — cohort retention: users grouped by the DAY of their first
+    * event (the cohort), counted once per later active day, keyed by the
+    * day offset from their cohort day — the retention-curve table every
+    * analytics engine ships. Days are integer epoch-day numbers
+    * (`epoch-µs div 86400000000` — floor ≡ trunc, everything
+    * non-negative), never DATE/TIMESTAMP values, so the two engines
+    * cannot disagree on calendar semantics.
+    *
+    * Shape: one distinct on (user, day) with map-side partial agg, one
+    * aggregate for first-day, one equi-join on user_id, one final small
+    * aggregate — every shuffle is on the user key or the tiny cohort
+    * grid.
+    */
+  val qRetention: QuerySpec = QuerySpec(
+    "q54_retention",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("period_offset"))
+        .agg(count(lit(1)).as("users"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           |   FROM events),
+           | f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+           | SELECT f.cohort_day, e.day - f.cohort_day AS period_offset,
+           |  COUNT(*) AS users
+           | FROM e JOIN f ON e.user_id = f.user_id
+           | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize, qFunnel, qRetention)
 }

@@ -18,12 +18,14 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
       """SELECT graft_polyhash(text) AS h,
         | graft_char_ngram_hashes(text, 3) AS cg,
         | graft_word_shingle_hashes(text, 2) AS ws,
+        | graft_word_shingles(text, 2) AS wg,
         | graft_qdot(graft_quantize(vec), graft_quantize(vec)) AS qd
         | FROM reg_probe""".stripMargin).collect()
     val viaApi = spark.table("reg_probe").select(
       PolyHash(col("text")).as("h"),
       CharNgramHashes(col("text"), 3).as("cg"),
       WordShingleHashes(col("text"), 2).as("ws"),
+      WordShingles(col("text"), 2).as("wg"),
       QDot(Quantize(col("vec")), Quantize(col("vec"))).as("qd")).collect()
     assert(viaSql.toSeq == viaApi.toSeq)
   }
