@@ -19,18 +19,32 @@ import org.apache.spark.sql.types.StructType
   * becomes a broker producer-client send; nothing else changes.
   */
 final class BrokerTopic(val spark: SparkSession, val name: String,
-    schema: StructType, numPartitions: Int = 4) extends Topic {
+    schema: StructType, numPartitions: Int = 4,
+    keyColumn: Option[String] = None) extends Topic {
 
   private val envelopeSchema: StructType = schema
     .add("topic", "string").add("deliveries", "int").add("not_before", "long")
 
   InMemoryBroker.createTopic(name, envelopeSchema, numPartitions)
 
+  // keyed producer (Pulsar keyed/KeyShared, Kafka keyed records): route
+  // every row by hash(key) so same-key entries share a partition and
+  // per-partition order is per-key order; keyless topics round-robin
+  private val keyIdx: Option[Int] = keyColumn.map { c =>
+    val i = envelopeSchema.fieldNames.indexOf(c)
+    require(i >= 0, s"key column '$c' not in topic schema")
+    i
+  }
+
   override def publish(rows: DataFrame): Unit = {
     val topicName = name
+    val ki = keyIdx
     envelope(rows).foreachPartition { it: Iterator[Row] =>
       val batch = it.toVector
-      if (batch.nonEmpty) InMemoryBroker.topic(topicName).append(batch)
+      if (batch.nonEmpty) ki match {
+        case Some(i) => InMemoryBroker.topic(topicName).appendKeyed(batch, i)
+        case None => InMemoryBroker.topic(topicName).append(batch)
+      }
     }
   }
 
@@ -65,6 +79,6 @@ final class BrokerTopic(val spark: SparkSession, val name: String,
 
 object BrokerTopic {
   def create(spark: SparkSession, name: String, schema: StructType,
-      numPartitions: Int = 4): BrokerTopic =
-    new BrokerTopic(spark, name, schema, numPartitions)
+      numPartitions: Int = 4, keyColumn: Option[String] = None): BrokerTopic =
+    new BrokerTopic(spark, name, schema, numPartitions, keyColumn)
 }

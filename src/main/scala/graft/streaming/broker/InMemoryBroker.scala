@@ -61,6 +61,22 @@ object InMemoryBroker {
         .foreach { case (p, grouped) => append(p, grouped.map(_._1)) }
     }
 
+    /** Key-based producer routing (the broker's key→partition hash —
+      * Pulsar keyed/KeyShared producers, Kafka keyed records): every
+      * entry with the same key lands in the same partition, so
+      * per-partition append order IS per-key order end-to-end. NULL
+      * keys route to partition 0.
+      */
+    def appendKeyed(rows: Seq[Row], keyIdx: Int): Unit = if (rows.nonEmpty) {
+      rows.groupBy { r =>
+        if (r.isNullAt(keyIdx)) 0
+        else {
+          val h = graft.functions.PolyHash.hash(String.valueOf(r.get(keyIdx)))
+          (h % numPartitions).toInt
+        }
+      }.foreach { case (p, grouped) => append(p, grouped) }
+    }
+
     /** The offset one past partition `p`'s last entry. */
     def endOffset(p: Int): Long = {
       val part = parts(p)

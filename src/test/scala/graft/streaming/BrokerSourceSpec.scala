@@ -163,6 +163,39 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally query.stop()
   }
 
+  test("keyed topics route same-key entries to one partition, in order") {
+    import spark.implicits._
+    val topic = BrokerTopic.create(spark,
+      s"keyed-${System.nanoTime()}", Payloads.payloadSchema,
+      numPartitions = 4, keyColumn = Some("name"))
+    // 3 keys × 5 sequenced entries each, published in sequence order
+    // with one row per publish (so producer-side batching cannot mask
+    // misrouting)
+    for (seq <- 0 until 5; k <- Seq("ka", "kb", "kc")) {
+      topic.publishSeed(Seq((k, seq)).toDF("name", "numPublishes"))
+    }
+    val log = InMemoryBroker.topic(topic.name)
+    val byPartition = (0 until 4).map { p =>
+      p -> log.slice(p, 0L, log.endOffset(p))
+        .map(r => (r.getString(0), r.getInt(1)))
+    }.toMap
+    // every key lives in exactly one partition
+    val homes = byPartition.toSeq.flatMap { case (p, rows) =>
+      rows.map { case (k, _) => (k, p) }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(homes.keySet == Set("ka", "kb", "kc"))
+    homes.foreach { case (k, ps) =>
+      assert(ps.size == 1, s"key $k spread across partitions $ps")
+    }
+    // and within its partition, a key's entries appear in publish order
+    byPartition.values.foreach { rows =>
+      rows.groupBy(_._1).values.foreach { perKey =>
+        assert(perKey.map(_._2) == perKey.map(_._2).sorted,
+          s"per-key order broken: $perKey")
+      }
+    }
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,
