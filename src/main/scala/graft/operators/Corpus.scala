@@ -146,6 +146,31 @@ object Corpus {
             | ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q55 — per-group top-k: the 2 longest documents per source (unique
+    * tiebreak on doc_id). The per-entity top-k shape — rank within a
+    * window partition, filter rank ≤ k — distinct from global top-k
+    * (q15, TakeOrdered) and full ranking (q13): one shuffle on the
+    * group key, and the rank filter truncates each group before
+    * anything downstream sees it.
+    */
+  val qGroupedTopK: QuerySpec = QuerySpec(
+    "q55_grouped_topk",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables.load(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_chars"))
+    },
+    Some("""SELECT source, rk, doc_id, n_chars FROM (
+           |  SELECT source, doc_id, n_chars, CAST(ROW_NUMBER() OVER (
+           |    PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk
+           |  FROM documents)
+           | WHERE rk <= 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
-    qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams)
+    qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams, qGroupedTopK)
 }
