@@ -171,6 +171,51 @@ object Corpus {
            |  FROM documents)
            | WHERE rk <= 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q56 — sequence packing (concat-and-chunk): lay documents out
+    * end-to-end in a deterministic order and cut fixed token-budget
+    * training sequences, letting documents straddle a cut — the layout
+    * step between tokenization and training. Each doc gets its global
+    * start offset within its shard's token stream, the sequence id it
+    * starts in, and the offset inside that sequence.
+    *
+    * Packing is per SOURCE shard: a single global prefix sum is
+    * inherently sequential (one-partition window — wrong at 100 TB),
+    * while sharded packing is embarrassingly parallel — each shard's
+    * window cumsum shuffles once on the shard key, and shards pack
+    * independently exactly like per-file/per-shard packing in real
+    * pretraining pipelines. Token counts are whitespace tokens (the q29
+    * ws_tokens definition).
+    */
+  val qSequencePack: QuerySpec = QuerySpec(
+    "q56_sequence_pack",
+    (s, dir) => {
+      val budget = 4096L
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("start_tok"),
+          (col("start_tok") / budget).cast("long").as("seq_id"),
+          (col("start_tok") % budget).as("seq_off"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           | c AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+           |   PARTITION BY source ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |   AS start_tok
+           |  FROM t)
+           | SELECT source, doc_id, n_tok, start_tok,
+           |  start_tok // 4096 AS seq_id, start_tok % 4096 AS seq_off
+           | FROM c""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
-    qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams, qGroupedTopK)
+    qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
+    qGroupedTopK, qSequencePack)
 }
