@@ -36,6 +36,15 @@ object PureLawsProps extends Properties("graft.pure") {
       TextHashes.wordShingleHashes(s, k).toLongArray().toSeq == expected
     }
 
+  property("wordShingles = ALL k-word windows in order, duplicates kept") =
+    Prop.forAll(textGen, Gen.choose(1, 4)) { (s, k) =>
+      val toks = s.split(" ", -1)
+      val expected = toks.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSeq
+      TextHashes.wordShingles(s, k).toArray[AnyRef](
+        org.apache.spark.sql.types.StringType).toSeq.map(_.toString) == expected
+    }
+
   property("quantizeValue round-trips integers exactly") =
     Prop.forAll(Gen.choose(-1000000L, 1000000L)) { micros =>
       VectorOps.quantizeValue(micros.toDouble / 1000000.0) == micros
