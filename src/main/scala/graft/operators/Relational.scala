@@ -476,10 +476,50 @@ object Relational {
             | COUNT(*) AS cnt, ${Exact.dsumSql("value")} AS sum_value
             | FROM events GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q57 — FULL OUTER join with unmatched rows on BOTH sides: rich
+    * customers against urgent-order counts. Each side's filter leaves
+    * keys the other side lacks, so the null-extension is exercised in
+    * both directions; the join key is COALESCEd into one output column.
+    * Shuffle SMJ on the key — both sides scale with data, correctly not
+    * broadcast.
+    */
+  val q57FullOuter: QuerySpec = QuerySpec(
+    "q57_full_outer",
+    (s, dir) => {
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      rich.join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_urgent"))
+    },
+    Some("""SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_urgent
+           | FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) r
+           | FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+           |   WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) u
+           | ON c_custkey = o_custkey""".stripMargin.replaceAll("\n", "")))
+
+  /** q58 — CUBE: all 2^2 grouping combinations over (lang, source) in
+    * one pass (q12 covers ROLLUP's prefix lattice; CUBE is the full
+    * lattice). Same partial-aggregate expansion, one shuffle.
+    */
+  val q58Cube: QuerySpec = QuerySpec(
+    "q58_cube",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
+    Some("""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+           | FROM documents GROUP BY CUBE(lang, source)""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
-    q39Percentiles, q40Pivot, q42ScalarFns)
+    q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube)
 }
