@@ -249,10 +249,11 @@ object Dedup {
     * (neighbor labels) + one aggregation, iterated to fixpoint; the
     * iteration count is the component diameter (near-dup clusters are
     * shallow — 2-3 here). The driver sees only a has-anything-changed
-    * scalar per iteration; labels stay distributed. `localCheckpoint`
-    * truncates the per-iteration lineage so the returned plan reads the
-    * converged blocks instead of replaying the loop (and nothing stays
-    * persisted across runs — blocks free when the result is dropped).
+    * scalar per iteration; labels stay distributed. Each generation is
+    * eagerly materialized to a persisted RDD (truncating the
+    * per-iteration lineage) and the superseded generation is unpersisted
+    * immediately, so storage holds exactly one label generation at any
+    * time and nothing pins blocks across runs.
     * At 100 TB the same loop writes each generation to a bucketed table
     * (or graduates to pointer-jumping for log-diameter convergence).
     *
@@ -269,22 +270,37 @@ object Dedup {
           .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
           .toDF("u", "v").persist()
         try {
-          var labels = edges.select(col("u")).distinct()
-            .withColumn("cluster_id", col("u")).localCheckpoint()
+          // Each generation is pinned through an EXPLICIT RDD handle
+          // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
+          // the materialized blocks, truncating the per-iteration plan) so
+          // the superseded generation can be unpersisted the moment the
+          // next one lands — only ONE generation is ever live, and the
+          // final one frees via the ContextCleaner when the returned
+          // result is dropped (recompute-on-loss keeps that safe).
+          import s.implicits._
+          var labelsRdd = edges.select(col("u")).distinct()
+            .withColumn("cluster_id", col("u"))
+            .as[(Long, Long)].rdd.persist()
+          labelsRdd.count()
+          var labels = labelsRdd.toDF("u", "cluster_id")
           var iter = 0
           var done = false
           while (!done && iter < 25) {
             val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
               .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
-            val next = labels.join(nbrMin, Seq("u"), "left")
+            val nextRdd = labels.join(nbrMin, Seq("u"), "left")
               .select(col("u"),
                 least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
                   .as("cluster_id"))
-              .localCheckpoint()
+              .as[(Long, Long)].rdd.persist()
+            nextRdd.count()
+            val next = nextRdd.toDF("u", "cluster_id")
             val changed = next
               .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
               .filter(col("cluster_id") =!= col("prev"))
               .limit(1).count()
+            labelsRdd.unpersist(blocking = false)
+            labelsRdd = nextRdd
             labels = next
             done = changed == 0L
             iter += 1

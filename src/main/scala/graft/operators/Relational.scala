@@ -512,7 +512,8 @@ object Relational {
       t(s, dir, "documents")
         .cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")),
-    Some("""SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+           | CAST(SUM(n_chars) AS BIGINT) AS sum_chars
            | FROM documents GROUP BY CUBE(lang, source)""".stripMargin
       .replaceAll("\n", "")))
 

@@ -79,9 +79,14 @@ object FunnelStream {
               state.update(st)
               // TTL measured from the LAST stage advancement, in
               // watermark time: when the watermark passes it, the
-              // partial funnel is abandoned
+              // partial funnel is abandoned. Clamped to watermark+1:
+              // a stage-irrelevant event arriving after the TTL horizon
+              // would otherwise re-set a timeout already behind the
+              // watermark, which Spark rejects and kills the query.
               val sinceTus = math.max(st.viewTus, st.clickTus)
-              state.setTimeoutTimestamp(sinceTus / 1000L + ttlMs)
+              state.setTimeoutTimestamp(
+                math.max(sinceTus / 1000L + ttlMs,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             out.result().iterator
           }

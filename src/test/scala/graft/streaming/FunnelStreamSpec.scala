@@ -77,4 +77,46 @@ class FunnelStreamSpec extends AnyFunSuite with SparkTestSession {
         == Seq(9L))
     } finally query.stop()
   }
+
+  test("a stage-irrelevant event after the TTL horizon must not kill the query") {
+    import spark.implicits._
+    // With no-data micro-batches disabled (a common latency config) the
+    // engine never runs the timeout-only batch after a watermark jump, so
+    // an idle user's state survives with its timeout already BEHIND the
+    // watermark; when that user returns with a stage-irrelevant event the
+    // in-batch data suppresses hasTimedOut and the handler re-sets a
+    // timeout derived from the stale stage time — without the watermark
+    // clamp Spark rejects the behind-watermark timestamp and the query
+    // dies.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val src = Sources.queue[(Long, String, Timestamp)](spark)
+      val name = s"funnel_stale_${System.nanoTime()}"
+      val query = FunnelStream.completions(
+          src.toDS().toDF("user_id", "event_type", "ts"),
+          watermarkDelay = "1 minute", ttlMs = 2 * 60 * 1000L)
+        .writeStream.format("memory").outputMode("append").queryName(name).start()
+      try {
+        // u7 views at t0, then goes idle at stage 1
+        src.addData(Seq((7L, "view", t(0))))
+        query.processAllAvailable()
+        // other traffic pushes the watermark far past u7's t0+TTL timeout;
+        // no timeout-only batch runs, so u7's state stays live
+        src.addData(Seq((6L, "view", t(30))))
+        query.processAllAvailable()
+        // u7 returns with a REPEAT view (stage-irrelevant at stage 1)
+        src.addData(Seq((7L, "view", t(31))))
+        query.processAllAvailable()
+        assert(query.isActive, "stale-timeout event must not kill the query")
+        assert(spark.table(name).count() == 0)
+        // the stream is still fully functional afterwards
+        src.addData(Seq((5L, "view", t(32)), (5L, "click", t(33)),
+          (5L, "purchase", t(34))))
+        query.processAllAvailable()
+        assert(spark.table(name).select("user_id").as[Long].collect().toSeq
+          == Seq(5L))
+      } finally query.stop()
+    } finally
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+  }
 }
