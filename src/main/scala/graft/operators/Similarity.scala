@@ -22,12 +22,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  // ---- deterministic sign-LSH hyperplanes --------------------------------
+  // ---- deterministic banded sign-LSH hyperplanes -------------------------
   // Integer hyperplane weights derived from an LCG on (plane, dim) — the
-  // exact same closed form is evaluated in the DuckDB oracle, so bucket
+  // exact same closed form is evaluated in the DuckDB oracle, so band
   // assignments agree bit-for-bit. |w| < 2^15, |q| < 2^21, dim 64 → the
   // integer dot stays far inside 63 bits.
-  private[graft] val NumPlanes = 8
+  //
+  // BANDED (4 bands × 16 planes), not one flat bucket id: a single 8-bit
+  // bucket space (256 ids) makes within-bucket pairing grow ~N²/256 — a
+  // scale-killer at 100 TB. With 2^16 ids PER BAND, candidate volume
+  // stays near-linear in N (pairs come from 4 band equi-joins, q23's
+  // shape), and OR-ing 4 bands amplifies recall for true near-dups.
+  private[graft] val NumBands = 4
+  private[graft] val PlanesPerBand = 16
   private val Dim = 64
   private def planeWeight(j: Int, d: Int): Long =
     ((1103515245L * (j * Dim + d) + 12345L) % 65536L) - 32768L
@@ -38,21 +45,33 @@ object Similarity {
   private def planeDot(qe: Column, j: Int): Column =
     Exact.qdot(qe, typedlit((0 until Dim).map(d => planeWeight(j, d))))
 
-  /** LSH bucket id: 8 sign bits of hyperplane dots. */
-  private[graft] def bucketCol(qe: Column): Column =
-    (0 until NumPlanes).map(j =>
-      when(planeDot(qe, j) > 0, lit(1L << j)).otherwise(lit(0L)))
+  /** Band hash for band `b`: 16 sign bits of hyperplane dots (planes
+    * b*16 … b*16+15) → an id in [0, 2^16).
+    */
+  private[graft] def bandHashCol(qe: Column, b: Int): Column =
+    (0 until PlanesPerBand).map(i =>
+      when(planeDot(qe, b * PlanesPerBand + i) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Explode a (…, qe) frame to one row per band: (…, qe, band, bh). */
+  private[graft] def withBandRows(df: DataFrame): DataFrame =
+    df.select(col("*"),
+        posexplode(array((0 until NumBands).map(b => bandHashCol(col("qe"), b)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
 
   /** Driver-side exact integer dot (same arithmetic as [[Exact.qdot]]). */
   private def dotL(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
 
-  private def bucketSql(qe: String): String =
-    s"""list_sum(list_transform(range(0, $NumPlanes), j -> CASE WHEN
+  /** DuckDB band-hash over `qe` for the band variable `bv` (a BIGINT
+    * column from `range(0, NumBands)`). Lambda vars `i`/`d` are distinct
+    * from each other and from `bv` (the documented shadowing gotcha).
+    */
+  private[graft] def bandHashSql(qe: String, bv: String): String =
+    s"""list_sum(list_transform(range(0, $PlanesPerBand), i -> CASE WHEN
        | list_sum(list_transform(range(0, $Dim), d ->
-       |   $qe[d + 1] * (((1103515245 * (j * $Dim + d) + 12345) % 65536) - 32768))) > 0
-       | THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))""".stripMargin.replaceAll("\n", "")
+       |   $qe[d + 1] * (((1103515245 * (($bv * $PlanesPerBand + i) * $Dim + d) + 12345) % 65536) - 32768))) > 0
+       | THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))""".stripMargin.replaceAll("\n", "")
 
   /** Q19 — brute-force cosine top-k against the vec_id=0 query vector.
     * The single-row query vector is inlined as a literal (at cluster scale:
@@ -80,31 +99,42 @@ object Similarity {
          | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")
     })
 
-  /** Embedding-cosine near-duplicate pairs via sign-LSH bucketing: pairs
-    * are generated ONLY within a bucket (equi-join on bucket id — shuffle
-    * partitionable, no cartesian product), then exact-cosine filtered.
+  /** Embedding-cosine near-duplicate pairs via BANDED sign-LSH: pairs are
+    * generated ONLY from per-band equi-joins on (band, band-hash) —
+    * shuffle-partitionable, no cartesian product, 2^16 ids per band so
+    * candidate volume stays near-linear in N — then exact-cosine
+    * filtered. A pair colliding in several bands dedups through the
+    * final DISTINCT (cos_sim is deterministic per pair, so the tuple
+    * collapses exactly). The quantized vector rides along the band rows
+    * (4 × ~0.5 KB per vector) to keep verification join-free; at extreme
+    * dims the q23 alternative (bare candidate ids, vectors re-fetched by
+    * two hash joins) trades that shuffle weight for join depth.
     */
   val qEmbedNearDup: QuerySpec = QuerySpec(
     "q25_embed_neardup",
     (s, dir) => {
-      val qe = Exact.quantize(col("embedding"))
-      val b = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), qe.as("qe"))
-        .withColumn("bucket", bucketCol(col("qe")))
-      val a = b.select(col("vec_id").as("vec_id_1"), col("qe").as("qe1"), col("bucket"))
+      val b = withBandRows(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe")))
+      val a = b.select(col("vec_id").as("vec_id_1"), col("qe").as("qe1"),
+        col("band"), col("bh"))
       val c = b.select(col("vec_id").as("vec_id_2"), col("qe").as("qe2"),
-        col("bucket").as("bucket2"))
-      a.join(c, col("bucket") === col("bucket2") && col("vec_id_1") < col("vec_id_2"))
+        col("band").as("band2"), col("bh").as("bh2"))
+      a.join(c, col("band") === col("band2") && col("bh") === col("bh2")
+          && col("vec_id_1") < col("vec_id_2"))
         .select(col("vec_id_1"), col("vec_id_2"),
           Exact.cosineFromQuantized(col("qe1"), col("qe2")).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
+        .distinct()
     },
     Some(s"""WITH b AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
             | FROM embeddings),
-            | bb AS (SELECT vec_id, qe, ${bucketSql("qe")} AS bucket FROM b)
-            | SELECT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2,
+            | bb AS (SELECT vec_id, qe, t.band AS band,
+            |   ${bandHashSql("qe", "t.band")} AS bh
+            |  FROM b, range(0, $NumBands) t(band))
+            | SELECT DISTINCT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2,
             | ${Exact.cosineSql("a.qe", "c.qe")} AS cos_sim
-            | FROM bb a JOIN bb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            | FROM bb a JOIN bb c ON a.band = c.band AND a.bh = c.bh
+            |   AND a.vec_id < c.vec_id
             | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin.replaceAll("\n", "")))
 
   /** IVF-style ANN: K=8 fixed centroids (vec_id < 8), every vector is

@@ -6,9 +6,9 @@ import graft.operators.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Persisted sign-LSH embedding index — the embedding twin of
-  * [[SignatureStore]]: quantized vectors with their LSH bucket,
-  * bucketed-by-`bucket` on disk, so
+/** Persisted banded sign-LSH embedding index — the embedding twin of
+  * [[SignatureStore]]: quantized vectors with one row per LSH band
+  * (band, band-hash), bucketed-by-(band, bh) on disk, so
   *
   *  - probing a new batch of embeddings shuffles ONLY the batch side
   *    (the store is read in place through its bucketing), and
@@ -18,24 +18,29 @@ import org.apache.spark.sql.functions._
   * The index row carries the quantized vector itself, so cosine
   * verification needs no second lookup join (unlike the text store,
   * where the shingle sets live in a separate `sig` table). Same
-  * quantization/bucket math as q25 ([[Similarity.bucketCol]] /
+  * quantization/band math as q25 ([[Similarity.withBandRows]] /
   * [[Exact.quantize]]) — index-derived pairs are bit-identical to the
   * from-raw-embedding computation, so they stay oracle-checkable.
+  * Banding (4 × 16 planes, 2^16 ids per band) rather than one flat
+  * 256-id bucket keeps within-bucket pairing near-linear in N — the
+  * 100 TB shape.
   */
 object EmbeddingIndex {
 
   val Buckets = 16
   private val CosThreshold = 0.3
 
-  /** (vec_id, qe, bucket) rows for an (vec_id, embedding) DataFrame. */
+  /** (vec_id, qe, band, bh) rows for a (vec_id, embedding) DataFrame —
+    * one row per band per vector.
+    */
   def indexRows(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
-      .withColumn("bucket", Similarity.bucketCol(col("qe")))
+    Similarity.withBandRows(
+      emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe")))
 
   def build(s: SparkSession, emb: DataFrame, tag: String): String = {
     val table = s"graft_embidx_$tag"
     Bucketed.dropStale(s, table)
-    Bucketed.write(indexRows(emb), table, Buckets, "bucket")
+    Bucketed.write(indexRows(emb), table, Buckets, "band", "bh")
     table
   }
 
@@ -52,37 +57,44 @@ object EmbeddingIndex {
     * new vec_ids).
     */
   def append(s: SparkSession, table: String, emb: DataFrame): Unit =
-    indexRows(emb).write.bucketBy(Buckets, "bucket").sortBy("bucket")
+    indexRows(emb).write.bucketBy(Buckets, "band", "bh").sortBy("band", "bh")
       .mode("append").saveAsTable(table)
 
   /** Probe a (vec_id, embedding) batch against the index: verified
     * near-dups `(vec_id, dup_of, cos_sim)` with an already-indexed
-    * vector. Candidates ONLY from the bucket equi-join; the store side
-    * never shuffles.
+    * vector. Candidates ONLY from the (band, bh) equi-join; the store
+    * side never shuffles; multi-band collisions collapse through the
+    * DISTINCT (cos_sim is deterministic per pair).
     */
   def probe(s: SparkSession, table: String, batch: DataFrame): DataFrame =
     indexRows(batch).alias("n")
       .join(s.table(table).alias("o"),
-        col("n.bucket") === col("o.bucket") && col("n.vec_id") =!= col("o.vec_id"))
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh")
+          && col("n.vec_id") =!= col("o.vec_id"))
       .select(col("n.vec_id").as("vec_id"), col("o.vec_id").as("dup_of"),
         Exact.cosineFromQuantized(col("n.qe"), col("o.qe")).as("cos_sim"))
       .filter(col("cos_sim") >= CosThreshold)
+      .distinct()
 
   /** Full-corpus verified near-dup pairs FROM THE INDEX — the q25
-    * result as a bucketed self-join, exchange-free on both sides.
+    * result as a bucketed self-join, exchange-free on both sides (the
+    * only exchange left is the final pair-dedup DISTINCT, over the
+    * already-verified pair set).
     */
   def pairs(s: SparkSession, table: String): DataFrame = {
     val idx = s.table(table)
     idx.alias("a")
       .join(idx.alias("c"),
-        col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
+        col("a.band") === col("c.band") && col("a.bh") === col("c.bh")
+          && col("a.vec_id") < col("c.vec_id"))
       .select(col("a.vec_id").as("vec_id_1"), col("c.vec_id").as("vec_id_2"),
         Exact.cosineFromQuantized(col("a.qe"), col("c.qe")).as("cos_sim"))
       .filter(col("cos_sim") >= CosThreshold)
+      .distinct()
   }
 
   /** q52 — q25's near-dup pairs computed from the PERSISTED index
-    * instead of re-quantizing/re-bucketing the corpus; oracled against
+    * instead of re-quantizing/re-banding the corpus; oracled against
     * q25's unchanged from-raw-embeddings SQL, proving the index
     * round-trip is bit-exact.
     */

@@ -3,6 +3,7 @@ package graft.sources
 import graft.SparkTestSession
 import graft.operators.Similarity
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.{max, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The persisted sign-LSH embedding index: probe must not shuffle the
@@ -48,6 +49,27 @@ class EmbeddingIndexSpec extends AnyFunSuite with SparkTestSession {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("banded LSH keeps bucket occupancy and candidate volume near-linear at sf0.1") {
+    import spark.implicits._
+    // The reason sign-LSH is BANDED (4 × 16 planes, 2^16 ids per band)
+    // instead of one flat 8-bit bucket id: within-bucket pairing must
+    // stay near-linear in N or the near-dup join dies at 100 TB. Bound
+    // both the max (band, bh) occupancy and the implied candidate-pair
+    // count (sum of n·(n−1)/2 over buckets) at the largest local SF.
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val occ = EmbeddingIndex.indexRows(emb)
+      .groupBy($"band", $"bh").count()
+      .agg(max($"count").as("maxOcc"),
+        sum($"count" * ($"count" - 1) / 2).as("candPairs"))
+      .as[(Long, Double)].head()
+    assert(occ._1 <= n / 20,
+      s"max band-bucket occupancy ${occ._1} exceeds N/20 (N=$n)")
+    assert(occ._2 <= 20.0 * n,
+      s"candidate pairs ${occ._2} exceed 20·N (N=$n)")
   }
 
   test("index-derived pairs are bit-identical to the from-raw q25 pairs") {
