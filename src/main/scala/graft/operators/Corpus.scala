@@ -178,26 +178,55 @@ object Corpus {
     * start offset within its shard's token stream, the sequence id it
     * starts in, and the offset inside that sequence.
     *
-    * Packing is per SOURCE shard: a single global prefix sum is
-    * inherently sequential (one-partition window — wrong at 100 TB),
-    * while sharded packing is embarrassingly parallel — each shard's
-    * window cumsum shuffles once on the shard key, and shards pack
-    * independently exactly like per-file/per-shard packing in real
-    * pretraining pipelines. Token counts are whitespace tokens (the q29
-    * ws_tokens definition).
+    * Packing is per SOURCE stream, but the prefix sum is computed
+    * TWO-LEVEL: source cardinality is tiny (4 here), so a
+    * `Window.partitionBy(source)` cumsum would serialize each source's
+    * entire stream through ONE task — a 25 TB sequential scan per
+    * source at target scale. Instead:
+    *
+    *  1. docs are sharded into fixed (source, block) ranges
+    *     (`block = doc_id div 1024`) and the within-block exclusive
+    *     cumsum runs as a window over (source, block) — thousands of
+    *     parallel partitions, and the follow-up per-block total
+    *     aggregation reuses the SAME partitioning (no extra shuffle;
+    *     AQE reuses the one exchange for both branches);
+    *  2. block totals (N/1024 rows) get their own per-source exclusive
+    *     cumsum — a window over the tiny summary table — and the block
+    *     offset is broadcast-joined back and added.
+    *
+    * The composition is EXACTLY the per-source prefix sum (blocks are
+    * doc_id-ordered), which is why the oracle stays the direct
+    * one-window-per-source SQL: the gate proves the two-level
+    * decomposition equivalent. At even larger scale the summary-level
+    * window recurses the same way. Token counts are whitespace tokens
+    * (the q29 ws_tokens definition).
     */
   val qSequencePack: QuerySpec = QuerySpec(
     "q56_sequence_pack",
     (s, dir) => {
       val budget = 4096L
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("block"))
         .orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.load(s, dir, "documents")
+      val wBlk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("block"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val inBlock = Tables.load(s, dir, "documents")
         .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr("doc_id div 1024").as("block"))
+        .withColumn("in_off", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      // last doc's exclusive offset + its tokens = the block total; the
+      // groupBy keys equal the window partition keys, so no new shuffle
+      val blockOff = inBlock
+        .groupBy(col("source"), col("block"))
+        .agg(max(col("in_off") + col("n_tok")).as("blk_tok"))
+        .withColumn("blk_off", coalesce(sum(col("blk_tok")).over(wBlk), lit(0L)))
+        .select(col("source"), col("block"), col("blk_off"))
+      inBlock.join(broadcast(blockOff), Seq("source", "block"))
+        .withColumn("start_tok", col("blk_off") + col("in_off"))
         .select(col("source"), col("doc_id"), col("n_tok"),
           col("start_tok"),
           (col("start_tok") / budget).cast("long").as("seq_id"),
