@@ -20,12 +20,13 @@ import org.apache.spark.sql.types.StructType
   */
 final class BrokerTopic(val spark: SparkSession, val name: String,
     schema: StructType, numPartitions: Int = 4,
-    keyColumn: Option[String] = None) extends Topic {
+    keyColumn: Option[String] = None,
+    logDir: Option[String] = None) extends Topic {
 
   private val envelopeSchema: StructType = schema
     .add("topic", "string").add("deliveries", "int").add("not_before", "long")
 
-  InMemoryBroker.createTopic(name, envelopeSchema, numPartitions)
+  InMemoryBroker.createTopic(name, envelopeSchema, numPartitions, logDir)
 
   // keyed producer (Pulsar keyed/KeyShared, Kafka keyed records): route
   // every row by hash(key) so same-key entries share a partition and
@@ -78,7 +79,12 @@ final class BrokerTopic(val spark: SparkSession, val name: String,
 }
 
 object BrokerTopic {
+  /** `logDir` makes the topic durable (see [[InMemoryBroker.createTopic]]):
+    * a fresh process re-creating the topic over the same directory
+    * resumes from the checkpointed subscription cursor.
+    */
   def create(spark: SparkSession, name: String, schema: StructType,
-      numPartitions: Int = 4, keyColumn: Option[String] = None): BrokerTopic =
-    new BrokerTopic(spark, name, schema, numPartitions, keyColumn)
+      numPartitions: Int = 4, keyColumn: Option[String] = None,
+      logDir: Option[String] = None): BrokerTopic =
+    new BrokerTopic(spark, name, schema, numPartitions, keyColumn, logDir)
 }

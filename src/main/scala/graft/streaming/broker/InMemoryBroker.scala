@@ -1,5 +1,6 @@
 package graft.streaming.broker
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.concurrent.TrieMap
@@ -8,12 +9,11 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
-/** An embedded, JVM-local message broker: named PARTITIONED append-only
-  * logs with monotonically increasing per-partition offsets — the
-  * stand-in for the reference's Pulsar standalone (S1,
-  * part1/PulsarPekkoSource.scala; partitioned topics are visible in the
-  * reference's `-partition-0` normalization,
-  * part3/LimitedMessageProcessor.scala:75).
+/** An embedded message broker: named PARTITIONED append-only logs with
+  * monotonically increasing per-partition offsets — the stand-in for the
+  * reference's Pulsar standalone (S1, part1/PulsarPekkoSource.scala;
+  * partitioned topics are visible in the reference's `-partition-0`
+  * normalization, part3/LimitedMessageProcessor.scala:75).
   *
   * Only the broker SEMANTICS the source contract needs are modeled:
   *  - a topic is N independent ordered logs (partitions); an entry's
@@ -22,7 +22,15 @@ import org.apache.spark.sql.types.StructType
   *    (the sticky/round-robin default every partitioned broker ships);
   *  - the log is retained after consumption (consumers track their own
   *    per-partition cursor — here, the streaming checkpoint);
-  *  - appends are atomic and ordered per partition.
+  *  - appends are atomic and ordered per partition;
+  *  - OPTIONALLY durable: a topic created with a `logDir` persists every
+  *    append to a per-partition file (length-prefixed blocks) and
+  *    replays it on (re)creation — the Pulsar-standalone persistence
+  *    property (reference docker-compose.yaml:3-14): a fresh process
+  *    that re-creates the topic over the same directory RESUMES from
+  *    the checkpointed subscription cursor, because the log and its
+  *    offsets survive the process. A torn trailing block (crash mid
+  *    append) is dropped at replay — append-log recovery semantics.
   *
   * Local-mode scope: the registry is a JVM singleton, which is exactly
   * right for `local[n]` (driver and executors share the JVM). On a real
@@ -36,19 +44,72 @@ import org.apache.spark.sql.types.StructType
 object InMemoryBroker {
 
   /** One topic: `numPartitions` append-only partition logs, each with
-    * dense offsets [0, endOffset(p)).
+    * dense offsets [0, endOffset(p)). With a `logDir`, each partition
+    * log is mirrored to `logDir/part-N.log` and replayed on open.
     */
   final class TopicLog(val topic: String, val schema: StructType,
-      val numPartitions: Int) {
+      val numPartitions: Int, logDir: Option[File] = None) {
     require(numPartitions > 0, s"topic '$topic' needs >= 1 partition")
 
     private val parts = Array.fill(numPartitions)(ArrayBuffer.empty[Row])
     private val rr = new AtomicLong(0L)
 
+    // ---- durability -----------------------------------------------------
+    // One append-only file per partition; each append writes one
+    // [int length][java-serialized Seq[Row]] block and flushes. Replay
+    // stops at the first incomplete block (torn tail from a crash).
+    private val partFiles: Array[Option[DataOutputStream]] =
+      logDir match {
+        case None => Array.fill(numPartitions)(None)
+        case Some(dir) =>
+          dir.mkdirs()
+          Array.tabulate(numPartitions) { p =>
+            val f = new File(dir, s"part-$p.log")
+            if (f.exists()) replay(f, parts(p))
+            Some(new DataOutputStream(new FileOutputStream(f, true)))
+          }
+      }
+
+    private def replay(f: File, into: ArrayBuffer[Row]): Unit = {
+      val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+      try {
+        var done = false
+        while (!done) {
+          val len =
+            try in.readInt()
+            catch { case _: EOFException => done = true; -1 }
+          if (!done) {
+            val buf = new Array[Byte](len)
+            try {
+              in.readFully(buf)
+              val ois = new ObjectInputStream(new ByteArrayInputStream(buf))
+              into ++= ois.readObject().asInstanceOf[Seq[Row]]
+            } catch { case _: EOFException => done = true } // torn tail
+          }
+        }
+      } finally in.close()
+    }
+
+    private def persist(p: Int, rows: Seq[Row]): Unit = partFiles(p).foreach { out =>
+      val bytes = new ByteArrayOutputStream()
+      val oos = new ObjectOutputStream(bytes)
+      oos.writeObject(rows.toVector: Seq[Row])
+      oos.close()
+      out.writeInt(bytes.size())
+      bytes.writeTo(out)
+      out.flush()
+    }
+
+    /** Release file handles (process shutdown / registry eviction). The
+      * log files themselves are retained — re-creating the topic over
+      * the same directory reopens them.
+      */
+    def close(): Unit = partFiles.foreach(_.foreach(_.close()))
+
     /** Atomic ordered append to one partition; returns its new end offset. */
     def append(partition: Int, rows: Seq[Row]): Long = {
       val p = parts(partition)
-      p.synchronized { p ++= rows; p.length.toLong }
+      p.synchronized { p ++= rows; persist(partition, rows); p.length.toLong }
     }
 
     /** Keyless producer routing: per-entry round-robin across partitions
@@ -133,14 +194,24 @@ object InMemoryBroker {
 
   /** Idempotent create (broker auto-creation semantics). A topic's
     * partition count is fixed at creation; a later create with a
-    * different count returns the existing topic unchanged.
+    * different count returns the existing topic unchanged. With a
+    * `logDir`, the topic is durable: creation replays any existing log
+    * files under the directory, so offsets (and the subscription
+    * cursors pointing into them) survive process restarts.
     */
-  def createTopic(name: String, schema: StructType, numPartitions: Int = 4): TopicLog =
-    topics.getOrElseUpdate(name, new TopicLog(name, schema, numPartitions))
+  def createTopic(name: String, schema: StructType, numPartitions: Int = 4,
+      logDir: Option[String] = None): TopicLog =
+    topics.getOrElseUpdate(name,
+      new TopicLog(name, schema, numPartitions, logDir.map(new File(_))))
 
   def topic(name: String): TopicLog =
     topics.getOrElse(name,
       throw new NoSuchElementException(s"broker topic '$name' does not exist"))
 
-  def deleteTopic(name: String): Unit = topics.remove(name)
+  /** Evict from the JVM-local registry, closing any log-file handles.
+    * Durable topics keep their files (broker retention) — re-creating
+    * over the same `logDir` replays them, which is also how a process
+    * restart is simulated in tests.
+    */
+  def deleteTopic(name: String): Unit = topics.remove(name).foreach(_.close())
 }

@@ -196,6 +196,54 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("a durable topic resumes across a process boundary (new broker, same log dir)") {
+    import spark.implicits._
+    // Pulsar-standalone persistence (reference docker-compose.yaml:3-14):
+    // the broker's log outlives the process, so a restarted consumer
+    // resumes from its checkpointed subscription cursor. The JVM-local
+    // stand-in for "fresh process": evict the topic from the registry
+    // (memory log and file handles gone) and re-create it over the SAME
+    // log dir — the in-memory twin would fail fast here (lost-log test).
+    val name = s"durable-${System.nanoTime()}"
+    val logDir = java.nio.file.Files.createTempDirectory("graft-broker-log-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-broker-ckpt-").toString
+    val seen = new ConcurrentLinkedQueue[String]()
+
+    def open(): BrokerTopic = BrokerTopic.create(spark, name,
+      Payloads.payloadSchema, logDir = Some(logDir))
+    def run(topic: BrokerTopic): Unit = {
+      val q = topic.readStream(admitPerTrigger = 16)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.select("name").collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val topic1 = open()
+    topic1.publishSeed(Seq(("a", 0), ("b", 0), ("c", 0)).toDF("name", "numPublishes"))
+    val endsBefore = InMemoryBroker.topic(name).endOffsets
+    run(topic1)
+    assert(seen.asScala.toSeq.sorted == Seq("a", "b", "c"))
+
+    // process boundary: registry evicted, new broker instance over the
+    // same directory must replay the log with identical offsets
+    InMemoryBroker.deleteTopic(name)
+    val topic2 = open()
+    assert(InMemoryBroker.topic(name).endOffsets == endsBefore,
+      "replayed log must restore every partition's end offset")
+
+    // new traffic lands in the reopened log; the consumer restart must
+    // RESUME from the checkpointed cursor — not fail fast (the memory
+    // twin's behavior) and not replay a/b/c
+    topic2.publishSeed(Seq(("d", 0), ("e", 0)).toDF("name", "numPublishes"))
+    run(topic2)
+    assert(seen.asScala.toSeq.sorted == Seq("a", "b", "c", "d", "e"),
+      "restart across the process boundary must resume, not replay or fail")
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,
