@@ -53,6 +53,7 @@ object Bench {
     graft.sources.Bucketed.prepare(spark, sfDir)
     graft.sources.SignatureStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
+    graft.operators.Similarity.ensureTrained(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
