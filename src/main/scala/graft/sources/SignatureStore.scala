@@ -81,14 +81,27 @@ object SignatureStore {
   /** Upsert: append a batch's signatures/bands with the SAME bucket
     * spec, so later probes stay exchange-free on the store side (each
     * bucket is a file set; appends add files per bucket, never reshuffle
-    * existing ones). Caller guarantees doc_ids are new (probe first).
+    * existing ones).
+    *
+    * IDEMPOTENT per doc_id: a replayed micro-batch (foreachBatch is
+    * at-least-once — a crash after this append re-delivers the batch)
+    * re-offers doc_ids that are already stored; the anti-join against
+    * the sig table (bucketed by doc_id — exchange-free on the store
+    * side, only the tiny batch shuffles) drops them instead of silently
+    * duplicating sig/band rows forever. Bands are written BEFORE sig:
+    * a crash between the two writes then leaves at worst duplicate band
+    * rows for one batch (harmless — candidates are DISTINCTed), never a
+    * stored signature whose bands are missing (which would permanently
+    * hide the doc from future probes).
     */
   def append(s: SparkSession, t: Store, docs: DataFrame): Unit = {
-    val (sig, bands) = sigAndBands(docs)
-    sig.write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
-      .mode("append").saveAsTable(t.sig)
+    val fresh = docs.join(s.table(t.sig).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val (sig, bands) = sigAndBands(fresh)
     bands.write.bucketBy(Buckets, "bk").sortBy("bk")
       .mode("append").saveAsTable(t.bands)
+    sig.write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
+      .mode("append").saveAsTable(t.sig)
   }
 
   /** Probe a (doc_id, text) micro-batch against the store: every
@@ -105,6 +118,12 @@ object SignatureStore {
         col("n.bk") === col("o.bk") && col("n.doc_id") =!= col("o.doc_id"))
       .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("dup_of"))
       .distinct()
+      // a REPLAYED batch (at-least-once foreachBatch) probes a store
+      // that already contains the batch itself; batch-local doc_ids are
+      // not "previously stored", so they are excluded from dup_of —
+      // replay verdicts match the original run's (in normal operation
+      // this anti-join is a no-op: probe runs before append)
+      .join(batch.select(col("doc_id").as("dup_of")), Seq("dup_of"), "left_anti")
     cand
       .join(bSig.select(col("doc_id"), col("H").as("H_new")), "doc_id")
       .join(s.table(t.sig).select(col("doc_id").as("dup_of"), col("H").as("H_old")),

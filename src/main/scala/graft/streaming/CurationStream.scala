@@ -61,6 +61,15 @@ object CurationStream {
     * key), and the upsert is a map-side signature pass plus a bucketed
     * append.
     *
+    * Failure/replay contract: foreachBatch is at-least-once, so a crash
+    * after the append re-delivers the batch. The STORE stays exact:
+    * [[SignatureStore.append]] is idempotent per doc_id (anti-join
+    * against the stored sig set) and [[SignatureStore.probe]] excludes
+    * the batch's own doc_ids from `dup_of`, so a replay produces the
+    * original verdicts and appends nothing twice. The callbacks
+    * themselves remain at-least-once (as with every foreachBatch sink) —
+    * downstream consumers dedupe on doc_id if they need exactly-once.
+    *
     * @param onBatch   receives each batch's surviving curated rows
     * @param onFlagged receives each batch's near-dup verdicts
     *                  (doc_id, dup_of, jaccard)

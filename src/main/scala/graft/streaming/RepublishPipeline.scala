@@ -24,9 +24,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    `deliverAfter` semantics — `InMemoryBroker.admissibleEnd`), so on
   *    the broker path this pipeline never sees an early row. A source
   *    that cannot hold admission (the parquet [[FileTopic]] harness)
-  *    admits early; those rows are napped to their due time inside the
-  *    batch and routed exactly once — never re-enqueued per trigger,
-  *    which would leave one retained duplicate per 50 ms of backoff;
+  *    admits early; those rows nap inside the batch (capped at 1 s of
+  *    trigger-latency degradation per batch — the documented cost of a
+  *    hold-less source) and any row still early after the nap is
+  *    re-enqueued with its stamp intact, so waiting costs at most one
+  *    retained duplicate per SECOND of backoff, not per 50 ms trigger;
   *  - **republish with numPublishes + 1** (reference K4,
   *    part2/MessageProcessor.scala:65-68) ≡ success rows appended back to
   *    the topic with the hop counter incremented, bounded by `maxHops`
@@ -136,16 +138,21 @@ object RepublishPipeline {
 
           // Early-admitted rows (only possible on sources that cannot hold
           // admission — the FileTopic harness; the DSv2 broker holds them
-          // at the source): nap to the LATEST due time in the batch, then
-          // route them exactly once. Re-enqueueing instead would leave one
-          // retained duplicate envelope per trigger of backoff (the old
-          // behavior). The nap is bounded by one backoff so a rogue stamp
-          // cannot wedge the trigger thread; anything still early after
-          // the bounded nap falls back to a single re-enqueue.
+          // at the source): nap toward the LATEST due time in the batch,
+          // then route whatever is due exactly once. Re-enqueueing every
+          // trigger instead would append one retained duplicate envelope
+          // per 50 ms of backoff. The nap runs ON the micro-batch thread,
+          // so it is HARD-CAPPED at 1 s however large the backoff — a
+          // batch holding a not-yet-due row degrades trigger latency by
+          // at most that second — and anything still early after the nap
+          // falls back to ONE re-enqueue (log churn bounded at one
+          // envelope per second of remaining backoff, not one per
+          // trigger). Deferred rows reuse the ProcessStage result
+          // computed at admission — sound because processing is
+          // deterministic in the payload.
           if (cnt(3) > 0) {
             val latestDue = counts.getLong(4)
-            val cap = math.max(cfg.redeliveryBackoffMs, 1000L)
-            val nap = math.min(latestDue - System.currentTimeMillis(), cap)
+            val nap = math.min(latestDue - System.currentTimeMillis(), 1000L)
             if (nap > 0) Thread.sleep(nap)
             val now2 = System.currentTimeMillis()
             val due2 = notBefore <= lit(now2)

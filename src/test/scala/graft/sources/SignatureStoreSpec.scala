@@ -61,6 +61,40 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("append is idempotent and probe verdicts are replay-stable") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: a crash after the upsert re-delivers
+    // the same batch. The store must absorb the replay exactly — no
+    // duplicated sig/band rows, and the re-probe must return the ORIGINAL
+    // run's verdicts (the batch's own docs, now present in the store, are
+    // not "prior art" against themselves).
+    val store = SignatureStore.build(spark, corpusDf(30),
+      s"replay${System.nanoTime()}")
+    val base = (0 until 40).map(w => s"fresh$w").mkString(" ")
+    val batch = Seq((2001L, base), (2002L, base + " tail"))
+      .toDF("doc_id", "text") // two near-dups OF EACH OTHER, new to the store
+    assert(SignatureStore.probe(spark, store, batch).count() == 0,
+      "nothing similar is stored yet")
+    SignatureStore.append(spark, store, batch)
+    val sigN = spark.table(store.sig).count()
+    val bandN = spark.table(store.bands).count()
+
+    // replay after a post-append crash
+    assert(SignatureStore.probe(spark, store, batch).count() == 0,
+      "replay verdicts must match the original run")
+    SignatureStore.append(spark, store, batch)
+    assert(spark.table(store.sig).count() == sigN,
+      "sig rows must not duplicate on replay")
+    assert(spark.table(store.bands).count() == bandN,
+      "band rows must not duplicate on replay")
+
+    // a LATER batch still probes against the replay-appended docs
+    val later = Seq((2003L, base + " coda")).toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, store, later)
+      .select("dup_of").as[Long].collect().toSet == Set(2001L, 2002L),
+      "genuinely new near-dups are still caught against the stored batch")
+  }
+
   test("store-derived pairs are bit-identical to the from-text q23 pairs") {
     val dir = "/root/testdata/sf0.001"
     val store = SignatureStore.ensure(spark, dir)
