@@ -54,6 +54,7 @@ object Bench {
     graft.sources.SignatureStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
     graft.operators.Similarity.ensureTrained(spark, sfDir)
+    graft.operators.Similarity.ensureClustered(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -321,6 +321,53 @@ object Dedup {
             | SELECT u AS doc_id, MIN(r) AS cluster_id
             | FROM reach GROUP BY u""".stripMargin.replaceAll("\n", "")))
 
+  /** q59 — exact-span dedup: pairs of documents sharing at least one
+    * identical 8-word span, with the count of shared spans — the
+    * "identical boilerplate / copied passage" detector (exact-substring
+    * dedup at word granularity), complementary to q23's MinHash (whole-
+    * document near-dup) and q46's cross-set decontamination.
+    *
+    * Scale shape: spans hash map-side ([[WordShingleHashes]], one
+    * codegen'd pass, distinct within doc), candidates come ONLY from the
+    * span-hash equi-join, and spans appearing in more than `MaxSpanDf`
+    * documents are dropped FIRST (ubiquitous boilerplate is noise, and
+    * the cap bounds any single hash's join fanout at MaxSpanDf² — the
+    * skew guard that keeps the self-join linear-ish at 100 TB). The df
+    * aggregation and the join share the same `h` partitioning, so the
+    * exchange is reused.
+    */
+  private val SpanWords = 8
+  private val MaxSpanDf = 100
+  val qSpanDedup: QuerySpec = QuerySpec(
+    "q59_span_dedup",
+    (s, dir) => {
+      val sp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(WordShingleHashes(col("text"), SpanWords)).as("h"))
+      val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxSpanDf).select(col("h"))
+      val filtered = sp.join(rare, Seq("h"))
+      filtered.alias("a")
+        .join(filtered.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+        .groupBy(col("doc_id_1"), col("doc_id_2"))
+        .agg(count(lit(1)).as("n_shared_spans"))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            | sg AS (SELECT doc_id, list_distinct(list_transform(
+            |   list_transform(range(1, greatest(len(tk) - ${SpanWords - 1}, 0) + 1),
+            |     i -> ${(0 until SpanWords).map(o => s"tk[i + $o]").mkString(" || ' ' || ")}),
+            |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt),
+            | sp AS (SELECT doc_id, unnest(H) AS h FROM sg),
+            | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf)
+            | SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+            |  COUNT(*) AS n_shared_spans
+            | FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id
+            | WHERE a.h IN (SELECT h FROM rare)
+            | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
-    qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard, qDupClusters)
+    qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
+    qDupClusters, qSpanDedup)
 }

@@ -375,6 +375,63 @@ object Similarity {
             | FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= 2, q
             | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] =
-    Seq(q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained)
+  // ---- clustered-at-rest ANN layout (IVF with partition pruning) ---------
+
+  private val clustered =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Persist `(vec_id, qe, cid)` PARTITIONED BY the trained cluster id —
+    * the at-rest form of an IVF index. At 100 TB this is what makes ANN
+    * sub-linear in I/O, not just in compute: a probe reads ONLY its
+    * nprobe clusters' partitions (catalog partition pruning — the scan
+    * never touches the other K-nprobe shares of the corpus), where q26/
+    * q26b still scan everything and discard map-side. Built once per
+    * dataset (Bench warmup, with the other layouts).
+    */
+  def ensureClustered(s: SparkSession, dir: String): String =
+    clustered.getOrElseUpdate(dir, {
+      val tag = java.lang.Long.toHexString(
+        graft.functions.PolyHash.hash(dir))
+      val table = s"graft_annclu_$tag"
+      graft.sources.Bucketed.dropStale(s, table)
+      val cents = ensureTrained(s, dir)
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+        .withColumn("cid", NearestCentroid(col("qe"), cents))
+        .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
+      table
+    })
+
+  /** q26c — q26b's probe through the PARTITIONED layout: identical
+    * result (same trained codebook, same 2-cluster probe set, same
+    * cosine ordering — oracled against q26b's SQL), but the plan reads
+    * only the probed partitions. `AnnPrunedSpec` asserts the partition
+    * filter is present and only nprobe/K of the files are scanned.
+    */
+  val qAnnPruned: QuerySpec = QuerySpec(
+    "q26c_ann_pruned",
+    (s, dir) => {
+      val cents = ensureTrained(s, dir)
+      val table = ensureClustered(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(Exact.quantize(col("embedding")).as("qe"))
+        .head().getSeq[Long](0)
+      val qn = math.sqrt(dotL(q, q).toDouble)
+      val probeCids = cents.zipWithIndex
+        .map { case (cq, cid) =>
+          (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
+        }
+        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1)
+      s.table(table)
+        .filter(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"),
+          Exact.cosineFromQuantized(col("qe"), typedlit(q)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    qAnnTrained.oracle)
+
+  val specs: Seq[QuerySpec] = Seq(
+    q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained, qAnnPruned)
 }

@@ -39,7 +39,7 @@ object Bucketed {
   // the in-memory catalog forgets tables across JVMs but their warehouse
   // directories survive: drop the catalog entry AND any leftover location
   // before (re)writing, or CTAS fails with LOCATION_ALREADY_EXISTS
-  private[sources] def dropStale(s: SparkSession, table: String): Unit = {
+  private[graft] def dropStale(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
     val loc = new java.io.File(
