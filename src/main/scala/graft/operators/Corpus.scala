@@ -244,7 +244,71 @@ object Corpus {
            |  start_tok // 4096 AS seq_id, start_tok % 4096 AS seq_off
            | FROM c""".stripMargin.replaceAll("\n", "")))
 
+  /** q61 — mixture sampling to a token budget: the data-mixing step of a
+    * pretraining pipeline. Each source gets a target share of a global
+    * token budget (weights derived deterministically from the source
+    * name), the per-source sampling rate is `min(1, desired/available)`,
+    * and documents are admitted by hash-mod against the rate — fully
+    * deterministic, layout-independent, reproducible.
+    *
+    * Scale shape: one pass computes per-source token mass (partial-agg,
+    * 20 groups), the one-row global total cross-joins back (both sides
+    * tiny), and the admission predicate is pure map-side over the corpus
+    * with the 20-row rate table broadcast. No shuffle touches the
+    * corpus except the final per-source count aggregation.
+    *
+    * Determinism of the rate: weights are INTEGERS (their sum is exact),
+    * and the double arithmetic is a fixed parenthesization of IEEE
+    * mul/div on exactly-converted integers — no libm, no double SUM —
+    * then floored to an integer threshold out of 10^6.
+    */
+  val qMixtureSample: QuerySpec = QuerySpec(
+    "q61_mixture_sample",
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val perSrc = toks.groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("wraw",
+          (lit(1) + substring(col("source"), 4, 10).cast("int") % 4).cast("long"))
+      val tot = perSrc.agg(sum(col("src_tok")).as("tot_tok"),
+        sum(col("wraw")).as("wsum"))
+      val rates = perSrc.crossJoin(tot)
+        .withColumn("rate",
+          least(lit(1.0d),
+            col("tot_tok").cast("double") * 0.5d * col("wraw").cast("double")
+              / col("wsum").cast("double") / col("src_tok").cast("double")))
+        .withColumn("thr", floor(col("rate") * 1000000.0d).cast("long"))
+        .select(col("source"), col("thr"))
+      toks.join(broadcast(rates), Seq("source"))
+        .filter(PolyHash(concat(lit("mix|"), col("doc_id").cast("string")))
+          % 1000000L < col("thr"))
+        .groupBy(col("source"), col("thr"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok_sampled"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            |  FROM documents),
+            | ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok,
+            |   CAST(1 + CAST(substr(source, 4, 10) AS INT) % 4 AS BIGINT) AS wraw
+            |  FROM t GROUP BY source),
+            | tot AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS tot_tok,
+            |   CAST(SUM(wraw) AS BIGINT) AS wsum FROM ps),
+            | rates AS (SELECT source,
+            |   CAST(floor(least(1.0,
+            |     CAST(tot_tok AS DOUBLE) * 0.5 * CAST(wraw AS DOUBLE)
+            |       / CAST(wsum AS DOUBLE) / CAST(src_tok AS DOUBLE))
+            |     * 1000000.0) AS BIGINT) AS thr
+            |  FROM ps, tot)
+            | SELECT t.source, r.thr, COUNT(*) AS n_docs,
+            |  CAST(SUM(t.n_tok) AS BIGINT) AS n_tok_sampled
+            | FROM t JOIN rates r ON t.source = r.source
+            | WHERE ${PolyHash.oracleSql("'mix|' || CAST(doc_id AS VARCHAR)")}
+            |   % 1000000 < r.thr
+            | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
-    qGroupedTopK, qSequencePack)
+    qGroupedTopK, qSequencePack, qMixtureSample)
 }

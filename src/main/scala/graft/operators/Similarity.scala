@@ -432,6 +432,41 @@ object Similarity {
     },
     qAnnTrained.oracle)
 
+  /** q60 — ANN recall@10: |brute-force top-10 ∩ trained-IVF top-10| / 10
+    * — the evaluation metric every ANN deployment tracks. Composes the
+    * existing gated operators (q19 exact scan vs q26b trained probe);
+    * both sides are LIMIT-10 subplans, so the join is trivially
+    * broadcast and the output is one scalar row. Exact arithmetic:
+    * COUNT is integer, the one division is IEEE-exact by a power of 10.
+    */
+  val qAnnRecall: QuerySpec = QuerySpec(
+    "q60_ann_recall",
+    (s, dir) => {
+      val bf = q19CosineTopK.build(s, dir).select(col("vec_id"))
+      val ivf = qAnnTrained.build(s, dir).select(col("vec_id"))
+      bf.join(ivf, Seq("vec_id"))
+        .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+    },
+    Some(s"""WITH $trainSqlCtes,
+            | q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+            | fa AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY e.vec_id
+            |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+            |  FROM e, c$TrainIters c),
+            | fm AS (SELECT vec_id, qe, cid FROM fa WHERE rk = 1),
+            | probe AS (SELECT c.cid, ROW_NUMBER() OVER (
+            |   ORDER BY ${Exact.cosineSql("c.cqe", "q.qqe")} DESC, c.cid) AS prk
+            |  FROM c$TrainIters c, q),
+            | ivf AS (SELECT fm.vec_id, ${Exact.cosineSql("fm.qe", "q.qqe")} AS cos_sim
+            |  FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= 2, q
+            |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+            | bf AS (SELECT e.vec_id, ${Exact.cosineSql("e.qe", "q.qqe")} AS cos_sim
+            |  FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 10)
+            | SELECT CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+            | FROM bf JOIN ivf ON bf.vec_id = ivf.vec_id""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
-    q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained, qAnnPruned)
+    q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
+    qAnnPruned, qAnnRecall)
 }
