@@ -124,6 +124,10 @@ final class BrokerMicroBatchStream(schema: StructType, topic: String,
 
   private def log = InMemoryBroker.topic(topic)
 
+  // the streaming-progress source description (SourceProgress.description
+  // is this toString) — BrokerLag keys off the `topic=` fragment
+  override def toString: String = s"graft-broker topic=$topic"
+
   // a fresh subscription starts at every partition's log head; restarts
   // never come here (the engine deserializes the checkpointed cursors)
   override def initialOffset(): Offset = BrokerOffsets.start(log)

@@ -244,6 +244,27 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
       "restart across the process boundary must resume, not replay or fail")
   }
 
+  test("consumer lag reports per-partition backlog and drains to zero") {
+    import spark.implicits._
+    import graft.streaming.broker.BrokerLag
+    val topic = freshTopic("lag")
+    val name = s"lag_${System.nanoTime()}"
+    val query = topic.readStream(admitPerTrigger = 16)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      topic.publishSeed((0 until 10).map(i => (s"m$i", 0)).toDF("name", "numPublishes"))
+      query.processAllAvailable()
+      assert(BrokerLag.totalLag(query, topic.name) == 0L,
+        "a drained query has zero lag on every partition")
+      // traffic lands while the consumer is stopped: lag = the backlog
+      query.stop()
+      topic.publishSeed((10 until 15).map(i => (s"m$i", 0)).toDF("name", "numPublishes"))
+      val perPart = BrokerLag.lag(query, topic.name)
+      assert(perPart.values.sum == 5L, s"expected 5 backlogged entries: $perPart")
+      assert(perPart.keySet == InMemoryBroker.topic(topic.name).endOffsets.keySet)
+    } finally if (query.isActive) query.stop()
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,
