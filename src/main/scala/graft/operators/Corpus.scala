@@ -308,7 +308,40 @@ object Corpus {
             |   % 1000000 < r.thr
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q62 — deterministic training shuffle: give every document a
+    * reproducible pseudo-random position in one of 64 shards — the
+    * global-shuffle layout step between curation and sequence packing
+    * (training wants decorrelated document order; a seeded hash gives
+    * the same permutation on any cluster, any layout, any retry).
+    *
+    * Scale shape: shard = hash % 64 is map-side; the within-shard
+    * position is a window over the shard key — 64 parallel partitions
+    * (and the shard count scales with the cluster, unlike a single
+    * global ORDER BY, which would funnel the corpus through one task).
+    * The (hash, doc_id) ordering key is collision-proof: doc_id breaks
+    * ties deterministically.
+    */
+  val qShardShuffle: QuerySpec = QuerySpec(
+    "q62_shard_shuffle",
+    (s, dir) => {
+      val h = PolyHash(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard", pmod(col("h"), lit(64L)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+            |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")} AS h
+            |  FROM documents)
+            | SELECT doc_id, h % 64 AS shard,
+            |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+            |    AS BIGINT) AS pos
+            | FROM t""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
-    qGroupedTopK, qSequencePack, qMixtureSample)
+    qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle)
 }
