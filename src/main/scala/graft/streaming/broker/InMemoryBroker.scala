@@ -57,7 +57,11 @@ object InMemoryBroker {
     // ---- durability -----------------------------------------------------
     // One append-only file per partition; each append writes one
     // [int length][java-serialized Seq[Row]] block and flushes. Replay
-    // stops at the first incomplete block (torn tail from a crash).
+    // stops at the first incomplete or undecodable block (torn tail from
+    // a crash) and the file is TRUNCATED back to the last complete block
+    // before the append stream opens — without that, a block appended
+    // after a torn fragment would sit at a misaligned offset and poison
+    // every later replay.
     private val partFiles: Array[Option[DataOutputStream]] =
       logDir match {
         case None => Array.fill(numPartitions)(None)
@@ -65,13 +69,23 @@ object InMemoryBroker {
           dir.mkdirs()
           Array.tabulate(numPartitions) { p =>
             val f = new File(dir, s"part-$p.log")
-            if (f.exists()) replay(f, parts(p))
+            if (f.exists()) {
+              val validLen = replay(f, parts(p))
+              if (validLen < f.length()) {
+                val raf = new java.io.RandomAccessFile(f, "rw")
+                try raf.setLength(validLen) finally raf.close()
+              }
+            }
             Some(new DataOutputStream(new FileOutputStream(f, true)))
           }
       }
 
-    private def replay(f: File, into: ArrayBuffer[Row]): Unit = {
+    /** Replays complete blocks into `into`; returns the byte length of
+      * the valid prefix (everything past it is a torn/corrupt tail).
+      */
+    private def replay(f: File, into: ArrayBuffer[Row]): Long = {
       val in = new DataInputStream(new BufferedInputStream(new FileInputStream(f)))
+      var valid = 0L
       try {
         var done = false
         while (!done) {
@@ -84,9 +98,15 @@ object InMemoryBroker {
               in.readFully(buf)
               val ois = new ObjectInputStream(new ByteArrayInputStream(buf))
               into ++= ois.readObject().asInstanceOf[Seq[Row]]
-            } catch { case _: EOFException => done = true } // torn tail
+              valid += 4L + len
+            } catch {
+              // EOF = torn tail; anything else = corrupt tail — block
+              // boundaries past it are lost either way, so stop here
+              case scala.util.control.NonFatal(_) => done = true
+            }
           }
         }
+        valid
       } finally in.close()
     }
 

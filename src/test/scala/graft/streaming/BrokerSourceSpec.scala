@@ -265,6 +265,39 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     } finally if (query.isActive) query.stop()
   }
 
+  test("a torn trailing block (crash mid-append) is dropped at replay; appends continue") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val name = s"torn-${System.nanoTime()}"
+    val logDir = java.nio.file.Files.createTempDirectory("graft-broker-torn-")
+    val schema = StructType(Seq(StructField("v", StringType), StructField("n", LongType)))
+    // single partition so the torn file is deterministic
+    val log1 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+      logDir = Some(logDir.toString))
+    log1.append(0, Seq(Row("a", 1L), Row("b", 2L)))
+    log1.append(0, Seq(Row("c", 3L)))
+    InMemoryBroker.deleteTopic(name)
+
+    // crash mid-append: chop bytes off the end of the partition file,
+    // leaving the second block incomplete
+    val f = logDir.resolve("part-0.log")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.write(f, java.util.Arrays.copyOf(bytes, bytes.length - 7))
+
+    val log2 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+      logDir = Some(logDir.toString))
+    assert(log2.endOffset(0) == 2L,
+      "replay must keep the complete first block and drop the torn tail")
+    assert(log2.slice(0, 0L, 2L).map(_.getString(0)) == Seq("a", "b"))
+    // the reopened log accepts appends and they replay cleanly again
+    log2.append(0, Seq(Row("d", 4L)))
+    InMemoryBroker.deleteTopic(name)
+    val log3 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+      logDir = Some(logDir.toString))
+    assert(log3.slice(0, 0L, 3L).map(_.getString(0)) == Seq("a", "b", "d"))
+    InMemoryBroker.deleteTopic(name)
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,
