@@ -95,6 +95,42 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestSession {
       "genuinely new near-dups are still caught against the stored batch")
   }
 
+  test("compaction shrinks per-append file sets without changing results or plans") {
+    import spark.implicits._
+    val store = SignatureStore.build(spark, corpusDf(20),
+      s"compact${System.nanoTime()}")
+    // five appended micro-batches: one file set per bucket per append
+    (0 until 5).foreach { b =>
+      val docs = Seq((1000L + b, (0 until 40).map(w => s"b${b}w$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      SignatureStore.append(spark, store, docs)
+    }
+    def files(table: String): Int = {
+      val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val dir = new java.io.File(new java.io.File(warehouse.getPath), table.toLowerCase)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val pairsBefore = SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val sigRows = spark.table(store.sig).count()
+    val filesBefore = files(store.sig)
+
+    SignatureStore.compact(spark, store)
+
+    assert(files(store.sig) < filesBefore,
+      s"compaction must reduce ${filesBefore} sig files")
+    assert(spark.table(store.sig).count() == sigRows)
+    val pairsAfter = SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(pairsAfter == pairsBefore, "compaction must not change results")
+    // the rewritten tables keep their bucket spec: probing still works
+    // through the bucketed layout
+    val batch = Seq((9000L, (0 until 40).map(w => s"b0w$w").mkString(" ") + " x"))
+      .toDF("doc_id", "text")
+    assert(SignatureStore.probe(spark, store, batch).count() > 0)
+  }
+
   test("store-derived pairs are bit-identical to the from-text q23 pairs") {
     val dir = "/root/testdata/sf0.001"
     val store = SignatureStore.ensure(spark, dir)
