@@ -50,6 +50,35 @@ object Bucketed {
     }
   }
 
+  /** Compact a bucketed table's small files: per-batch appends leave one
+    * file set per bucket per batch, eroding the exchange-free read the
+    * bucketing buys. Rewrites through a CTAS with the SAME bucket spec
+    * and swaps it in via rename. The read forces the BUCKETED scan
+    * (auto-bucketed-scan off) so each input partition holds exactly one
+    * bucket and the write emits ONE file per non-empty bucket with no
+    * shuffle — a per-file read would re-emit per-task-per-bucket files
+    * and merge nothing. The 100 TB cadence is log-structured: appends
+    * per trigger, compaction per hour/day.
+    */
+  def compact(s: SparkSession, table: String, buckets: Int, key: String,
+      moreKeys: String*): Unit = {
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = s.conf.getOption(confKey)
+    s.conf.set(confKey, "false")
+    try {
+      val tmp = s"${table}_compact"
+      dropStale(s, tmp)
+      // the CTAS into tmp materializes before the old table drops
+      s.table(table).write.bucketBy(buckets, key, moreKeys: _*)
+        .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
+      dropStale(s, table)
+      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    } finally old match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+  }
+
   /** Materialize the bucketed layout ahead of time (idempotent). Bench
     * calls this in its untimed warmup so q45 times the exchange-free
     * READ the layout buys, not the one-time CTAS — mixing the two made

@@ -60,6 +60,10 @@ object EmbeddingIndex {
     indexRows(emb).write.bucketBy(Buckets, "band", "bh").sortBy("band", "bh")
       .mode("append").saveAsTable(table)
 
+  /** Compact the index's per-append file sets ([[Bucketed.compact]]). */
+  def compact(s: SparkSession, table: String): Unit =
+    Bucketed.compact(s, table, Buckets, "band", "bh")
+
   /** Probe a (vec_id, embedding) batch against the index: verified
     * near-dups `(vec_id, dup_of, cos_sim)` with an already-indexed
     * vector. Candidates ONLY from the (band, bh) equi-join; the store

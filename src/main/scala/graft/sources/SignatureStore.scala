@@ -104,41 +104,14 @@ object SignatureStore {
       .mode("append").saveAsTable(t.sig)
   }
 
-  /** Compact the store's tables: per-batch appends add one file set per
-    * bucket per batch (the streaming front door appends every trigger),
-    * and small files erode the exchange-free read the bucketing buys.
-    * Rewrites each table through a fresh CTAS with the SAME bucket spec
-    * and swaps it in via rename — readers started before the swap keep
-    * their snapshot; rows, bucketing, and probe plans are unchanged.
-    * The 100 TB cadence is the usual log-structured one: appends per
-    * trigger, compaction per hour/day.
+  /** Compact the store's tables ([[Bucketed.compact]]): per-batch
+    * appends add one file set per bucket per batch (the streaming front
+    * door appends every trigger); the rewrite merges them to one file
+    * per bucket without changing rows, bucketing, or probe plans.
     */
   def compact(s: SparkSession, t: Store): Unit = {
-    // force the BUCKETED scan for the rewrite reads: one input partition
-    // per bucket (auto-bucketed-scan would flatten a bare SELECT * to
-    // per-file splits, and then every task re-emits its own file per
-    // bucket — nothing merges). With partition i holding exactly bucket
-    // i's rows, the bucketed write produces ONE file per non-empty
-    // bucket, shuffle-free.
-    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = s.conf.getOption(confKey)
-    s.conf.set(confKey, "false")
-    try {
-      def rewrite(table: String, buckets: Int, key: String): Unit = {
-        val tmp = s"${table}_compact"
-        Bucketed.dropStale(s, tmp)
-        // the CTAS into tmp materializes before the old table drops
-        s.table(table).write.bucketBy(buckets, key).sortBy(key)
-          .mode("overwrite").saveAsTable(tmp)
-        Bucketed.dropStale(s, table)
-        s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      }
-      rewrite(t.sig, Buckets, "doc_id")
-      rewrite(t.bands, Buckets, "bk")
-    } finally old match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
-    }
+    Bucketed.compact(s, t.sig, Buckets, "doc_id")
+    Bucketed.compact(s, t.bands, Buckets, "bk")
   }
 
   /** Probe a (doc_id, text) micro-batch against the store: every

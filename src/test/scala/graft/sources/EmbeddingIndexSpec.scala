@@ -72,6 +72,22 @@ class EmbeddingIndexSpec extends AnyFunSuite with SparkTestSession {
       s"candidate pairs ${occ._2} exceed 20·N (N=$n)")
   }
 
+  test("index compaction preserves pairs and the exchange-free probe") {
+    import spark.implicits._
+    val corpus = graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding")
+    val table = EmbeddingIndex.build(spark, corpus.filter($"vec_id" < 400),
+      s"compact${System.nanoTime()}")
+    EmbeddingIndex.append(spark, table,
+      corpus.filter($"vec_id" >= 400 && $"vec_id" < 450))
+    val before = EmbeddingIndex.pairs(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    EmbeddingIndex.compact(spark, table)
+    val after = EmbeddingIndex.pairs(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(before.nonEmpty && after == before)
+  }
+
   test("index-derived pairs are bit-identical to the from-raw q25 pairs") {
     val table = EmbeddingIndex.ensure(spark, dir)
     val fromIndex = EmbeddingIndex.pairs(spark, table)
