@@ -73,17 +73,27 @@ object CurationStream {
     * @param onBatch   receives each batch's surviving curated rows
     * @param onFlagged receives each batch's near-dup verdicts
     *                  (doc_id, dup_of, jaccard)
+    * @param compactEvery run [[SignatureStore.compact]] after every Nth
+    *                  batch (0 = never): per-trigger appends add one
+    *                  file set per bucket per batch, and periodic
+    *                  compaction is what keeps the store's probe reads
+    *                  from degrading over a long-running ingest. Probes
+    *                  re-resolve the table per batch, so the rename swap
+    *                  is safe between batches.
     */
   def startIncremental(spark: SparkSession, docs: DataFrame,
       store: SignatureStore.Store, checkpointDir: String,
       onBatch: DataFrame => Unit,
-      onFlagged: DataFrame => Unit = _ => ()): StreamingQuery =
+      onFlagged: DataFrame => Unit = _ => (),
+      compactEvery: Int = 0): StreamingQuery =
     curate(docs, keepText = true)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
         try {
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+            SignatureStore.compact(spark, store)
           if (b.limit(1).count() > 0) {
             val verdicts = SignatureStore
               .probe(spark, store, b.select(col("doc_id"), col("text")))

@@ -83,4 +83,41 @@ class CurationStreamSpec extends AnyFunSuite with SparkTestSession {
       assert(curated.asScala.toSet == Set(101L))
     } finally query.stop()
   }
+
+  test("in-stream compaction keeps flagging twins across the rename swap") {
+    import spark.implicits._
+    import graft.sources.SignatureStore
+    def text(prefix: String) = (0 until 40).map(w => s"$prefix$w").mkString(" ")
+    val store = SignatureStore.build(spark,
+      Seq((1L, text("seed"))).toDF("doc_id", "text"), s"cmp${System.nanoTime()}")
+    val src = Sources.queue[(Long, Timestamp, String, Long)](spark)
+    val flagged = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cmp-ckpt-").toString
+    val query = CurationStream.startIncremental(
+      spark,
+      src.toDS().toDF("doc_id", "ts", "text", "n_chars")
+        .withColumn("n_chars", org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text"))),
+      store, ckpt,
+      onBatch = _ => (),
+      onFlagged = f => f.select("doc_id", "dup_of").collect()
+        .foreach(r => flagged.add((r.getLong(0), r.getLong(1)))),
+      compactEvery = 1) // compact before every batch after the first
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+      // three batches, each appending a new doc; batches 2 and 3 run
+      // AFTER a compaction rename-swap and must still probe/append fine
+      src.addData(Seq((10L, t(0), text("one"), 0L)))
+      query.processAllAvailable()
+      src.addData(Seq((11L, t(1), text("two"), 0L)))
+      query.processAllAvailable()
+      // twin of a doc streamed BEFORE a compaction: the swapped store
+      // must still hold its signatures
+      src.addData(Seq((12L, t(2), text("one") + " tail", 0L)))
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(flagged.asScala.toSet == Set((12L, 10L)),
+        s"twin must be flagged through the compacted store: $flagged")
+    } finally query.stop()
+  }
 }
