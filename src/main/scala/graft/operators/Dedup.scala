@@ -245,17 +245,23 @@ object Dedup {
     * transitively by luck, while a component label collapses the whole
     * chain to one keeper deterministically.
     *
-    * Shape: min-label propagation — per iteration ONE shuffle join
-    * (neighbor labels) + one aggregation, iterated to fixpoint; the
-    * iteration count is the component diameter (near-dup clusters are
-    * shallow — 2-3 here). The driver sees only a has-anything-changed
-    * scalar per iteration; labels stay distributed. Each generation is
-    * eagerly materialized to a persisted RDD (truncating the
-    * per-iteration lineage) and the superseded generation is unpersisted
-    * immediately, so storage holds exactly one label generation at any
-    * time and nothing pins blocks across runs.
-    * At 100 TB the same loop writes each generation to a bucketed table
-    * (or graduates to pointer-jumping for log-diameter convergence).
+    * Shape: min-label propagation WITH POINTER JUMPING — each iteration
+    * is (1) a neighbor-min step (one shuffle join + aggregation) and
+    * (2) a jump step `label(u) ← min(label(u), label(label(u)))` (one
+    * more shuffle join of the labels against themselves), which halves
+    * remaining path lengths, so convergence is O(log diameter) rather
+    * than O(diameter) — the property that matters when a 100 TB corpus
+    * contains a long boilerplate chain instead of the shallow 2-3-hop
+    * clusters seen here. Both steps only ever lower a label toward its
+    * component minimum (labels are always node ids, so the jump lookup
+    * always hits), hence the fixpoint is exactly the component min and
+    * the convergence-strategy-independent oracle is unchanged. The
+    * driver sees only a has-anything-changed scalar per iteration;
+    * labels stay distributed. Each generation is eagerly materialized
+    * to a persisted RDD (truncating the per-iteration lineage) and the
+    * superseded generation is unpersisted immediately, so storage holds
+    * exactly one label generation at any time. At 100 TB the same loop
+    * writes each generation to a bucketed table.
     *
     * The oracle is DuckDB's recursive transitive closure over the same
     * pair SQL — MIN over everything reachable ≡ the converged label.
@@ -288,12 +294,29 @@ object Dedup {
           while (!done && iter < 25) {
             val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
               .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
-            val nextRdd = labels.join(nbrMin, Seq("u"), "left")
+            // materialize the propagated generation once: the jump step
+            // self-joins it, and an unmaterialized plan would recompute
+            // the neighbor join on both sides (transiently two
+            // generations live — inherent to path-halving — freed below)
+            val propRdd = labels.join(nbrMin, Seq("u"), "left")
               .select(col("u"),
                 least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
                   .as("cluster_id"))
               .as[(Long, Long)].rdd.persist()
+            propRdd.count()
+            val prop = propRdd.toDF("u", "cluster_id")
+            // pointer jump: label(u) ← min(label(u), label(label(u))) —
+            // path-halving, O(log diameter) total iterations; every
+            // label is a node id, so the lookup matches exactly one row
+            val lookup = prop
+              .select(col("u").as("cluster_id"), col("cluster_id").as("cc"))
+            val nextRdd = prop.join(lookup, Seq("cluster_id"), "left")
+              .select(col("u"),
+                least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
+                  .as("cluster_id"))
+              .as[(Long, Long)].rdd.persist()
             nextRdd.count()
+            propRdd.unpersist(blocking = false)
             val next = nextRdd.toDF("u", "cluster_id")
             val changed = next
               .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
