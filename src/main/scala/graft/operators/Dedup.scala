@@ -266,6 +266,69 @@ object Dedup {
     * The oracle is DuckDB's recursive transitive closure over the same
     * pair SQL — MIN over everything reachable ≡ the converged label.
     */
+  /** Min-label connected components over undirected `edges` (u, v; both
+    * directions present). Returns the converged (u, cluster_id) frame
+    * and the iteration count — see [[qDupClusters]] for the algorithm
+    * and storage discipline.
+    */
+  private[graft] def connectedComponents(s: SparkSession, edges: DataFrame,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    // Each generation is pinned through an EXPLICIT RDD handle
+    // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
+    // the materialized blocks, truncating the per-iteration plan) so
+    // the superseded generation can be unpersisted the moment the
+    // next one lands — only ONE generation is ever live, and the
+    // final one frees via the ContextCleaner when the returned
+    // result is dropped (recompute-on-loss keeps that safe).
+    import s.implicits._
+    var labelsRdd = edges.select(col("u")).distinct()
+      .withColumn("cluster_id", col("u"))
+      .as[(Long, Long)].rdd.persist()
+    labelsRdd.count()
+    var labels = labelsRdd.toDF("u", "cluster_id")
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
+        .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
+      // materialize the propagated generation once: the jump step
+      // self-joins it, and an unmaterialized plan would recompute
+      // the neighbor join on both sides (transiently two
+      // generations live — inherent to path-halving — freed below)
+      val propRdd = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"),
+          least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
+            .as("cluster_id"))
+        .as[(Long, Long)].rdd.persist()
+      propRdd.count()
+      val prop = propRdd.toDF("u", "cluster_id")
+      // pointer jump: label(u) ← min(label(u), label(label(u))) —
+      // path-halving, O(log diameter) total iterations; every
+      // label is a node id, so the lookup matches exactly one row
+      val lookup = prop
+        .select(col("u").as("cluster_id"), col("cluster_id").as("cc"))
+      val nextRdd = prop.join(lookup, Seq("cluster_id"), "left")
+        .select(col("u"),
+          least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
+            .as("cluster_id"))
+        .as[(Long, Long)].rdd.persist()
+      nextRdd.count()
+      propRdd.unpersist(blocking = false)
+      val next = nextRdd.toDF("u", "cluster_id")
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
+        .filter(col("cluster_id") =!= col("prev"))
+        .limit(1).count()
+      labelsRdd.unpersist(blocking = false)
+      labelsRdd = nextRdd
+      labels = next
+      done = changed == 0L
+      iter += 1
+    }
+    require(done, s"label propagation did not converge in $iter iterations")
+    (labels, iter)
+  }
+
   val qDupClusters: QuerySpec = QuerySpec(
     "q50_dup_clusters",
     (s, dir) => {
@@ -276,59 +339,7 @@ object Dedup {
           .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
           .toDF("u", "v").persist()
         try {
-          // Each generation is pinned through an EXPLICIT RDD handle
-          // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
-          // the materialized blocks, truncating the per-iteration plan) so
-          // the superseded generation can be unpersisted the moment the
-          // next one lands — only ONE generation is ever live, and the
-          // final one frees via the ContextCleaner when the returned
-          // result is dropped (recompute-on-loss keeps that safe).
-          import s.implicits._
-          var labelsRdd = edges.select(col("u")).distinct()
-            .withColumn("cluster_id", col("u"))
-            .as[(Long, Long)].rdd.persist()
-          labelsRdd.count()
-          var labels = labelsRdd.toDF("u", "cluster_id")
-          var iter = 0
-          var done = false
-          while (!done && iter < 25) {
-            val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
-              .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
-            // materialize the propagated generation once: the jump step
-            // self-joins it, and an unmaterialized plan would recompute
-            // the neighbor join on both sides (transiently two
-            // generations live — inherent to path-halving — freed below)
-            val propRdd = labels.join(nbrMin, Seq("u"), "left")
-              .select(col("u"),
-                least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
-                  .as("cluster_id"))
-              .as[(Long, Long)].rdd.persist()
-            propRdd.count()
-            val prop = propRdd.toDF("u", "cluster_id")
-            // pointer jump: label(u) ← min(label(u), label(label(u))) —
-            // path-halving, O(log diameter) total iterations; every
-            // label is a node id, so the lookup matches exactly one row
-            val lookup = prop
-              .select(col("u").as("cluster_id"), col("cluster_id").as("cc"))
-            val nextRdd = prop.join(lookup, Seq("cluster_id"), "left")
-              .select(col("u"),
-                least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
-                  .as("cluster_id"))
-              .as[(Long, Long)].rdd.persist()
-            nextRdd.count()
-            propRdd.unpersist(blocking = false)
-            val next = nextRdd.toDF("u", "cluster_id")
-            val changed = next
-              .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
-              .filter(col("cluster_id") =!= col("prev"))
-              .limit(1).count()
-            labelsRdd.unpersist(blocking = false)
-            labelsRdd = nextRdd
-            labels = next
-            done = changed == 0L
-            iter += 1
-          }
-          require(done, s"label propagation did not converge in $iter iterations")
+          val (labels, _) = connectedComponents(s, edges)
           labels.select(col("u").as("doc_id"), col("cluster_id"))
         } finally edges.unpersist()
       } finally pairs.unpersist()

@@ -13,6 +13,20 @@ class StorageLeakSpec extends AnyFunSuite with SparkTestSession {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("pointer jumping converges a 64-node chain in O(log d) iterations") {
+    import spark.implicits._
+    // a path graph of diameter 63: plain min-label propagation needs 63
+    // rounds (and would blow the iteration cap); path-halving must land
+    // the whole chain on label 0 in ~log2(63) + a couple
+    val edges = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("u", "v")
+    val (labels, iters) = Dedup.connectedComponents(spark, edges)
+    assert(labels.select("cluster_id").distinct().as[Long].collect().toSeq
+      == Seq(0L), "every node must collapse to the component minimum")
+    assert(labels.count() == 64)
+    assert(iters <= 10, s"expected O(log 63) ~ <=10 iterations, took $iters")
+  }
+
   test("q50 label propagation pins at most one generation after materializing") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.qDupClusters.build(spark, dir)
