@@ -98,5 +98,76 @@ object Curation {
     },
     qCuration.oracle)
 
-  val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore)
+  /** q33c — curation with CLUSTER collapse for the near-dup stage:
+    * instead of dropping the higher id of each verified pair (q33 —
+    * which can keep TWO docs of one transitive cluster, e.g. component
+    * {3, 5, 10} with edges (5,10),(10,3) keeps 3 AND 5), connected
+    * components (q50's pointer-jumping propagation) label every doc
+    * with its component minimum and exactly ONE keeper survives per
+    * near-dup cluster. This is the transitively-correct production
+    * form of the pipeline; the oracle swaps the pair NOT IN for the
+    * recursive-closure keeper set.
+    */
+  val qCurationClusters: QuerySpec = QuerySpec(
+    "q33c_curation_clusters",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keep = docs
+        .groupBy(PolyHash(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val pairs = Dedup.qLshPairs.build(s, dir)
+        .select(col("doc_id_1"), col("doc_id_2")).persist()
+      val dupIds =
+        try {
+          val edges = pairs
+            .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
+            .toDF("u", "v").persist()
+          try {
+            val (labels, _) = Dedup.connectedComponents(s, edges)
+            // non-keepers: every clustered doc that is not its
+            // component's minimum (docs outside the graph never appear)
+            labels.filter(col("cluster_id") =!= col("u"))
+              .select(col("u").as("doc_id"))
+          } finally edges.unpersist()
+        } finally pairs.unpersist()
+      val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      deduped.join(docs, Seq("doc_id"))
+        .withColumn("n_words", words.cast("long"))
+        .withColumn("stop_ratio", TextMetrics.stopRatio(words, stops))
+        .filter(col("n_chars") >= 50 && col("n_chars") <= 10000
+          && col("stop_ratio") < 0.5)
+        .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
+    },
+    Some {
+      val lsh = Dedup.qLshPairs.oracle.get
+      s"""WITH RECURSIVE keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY ${PolyHash.oracleSql("text")}),
+         | pairs AS ($lsh),
+         | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+         |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+         | nodes AS (SELECT DISTINCT u FROM edges),
+         | reach(u, r) AS (
+         |   SELECT u, u FROM nodes
+         |   UNION
+         |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u),
+         | labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+         |   FROM reach GROUP BY u),
+         | dupped AS (SELECT doc_id FROM labels WHERE cluster_id <> doc_id),
+         | deduped AS (
+         |  SELECT doc_id FROM keep
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dupped))
+         | SELECT d.doc_id, d.lang,
+         |  CAST(${TextMetrics.wordCountSql("d.text")} AS BIGINT) AS n_words,
+         |  ${TextMetrics.stopRatioSql("d.text")} AS stop_ratio
+         | FROM deduped JOIN documents d ON deduped.doc_id = d.doc_id
+         | WHERE d.n_chars >= 50 AND d.n_chars <= 10000
+         |  AND ${TextMetrics.stopRatioSql("d.text")} < 0.5""".stripMargin
+        .replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters)
 }
