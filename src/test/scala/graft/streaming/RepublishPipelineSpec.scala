@@ -21,9 +21,17 @@ class RepublishPipelineSpec extends AnyFunSuite with SparkTestSession {
       case "file" => FileTopic.create(spark, name, base, Payloads.payloadSchema)
       case "broker" =>
         BrokerTopic.create(spark, s"$name-${System.nanoTime()}", Payloads.payloadSchema)
+      case "broker-durable" =>
+        // persisted log: the pipeline's concurrent executor-side appends
+        // (feedback republish + redelivery) all flow through the
+        // per-partition file mirror
+        BrokerTopic.create(spark, s"$name-${System.nanoTime()}",
+          Payloads.payloadSchema,
+          logDir = Some(java.nio.file.Files
+            .createTempDirectory("graft-durable-log-").toString))
     }
 
-  for (kind <- Seq("file", "broker")) {
+  for (kind <- Seq("file", "broker", "broker-durable")) {
 
     test(s"[$kind] no message lost under injected failures; hops increment once per republish") {
       import spark.implicits._
