@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the repo's central determinism claim directly: gated results are
+  * BITWISE identical at any parallelism. The oracle gate proves
+  * engine-vs-DuckDB equality at one partitioning; this spec proves
+  * engine-vs-engine equality across partitionings — the property that
+  * makes the same query safe on local[32] and a 1000-executor cluster:
+  * decimal-exact double sums (q9), fixed-point vector math (q25),
+  * distributive exact percentiles (q39).
+  */
+class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectAt(partitions: Int, q: graft.QuerySpec): Seq[String] = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, partitions.toString)
+    try q.build(spark, dir).collect().map(_.toString).sorted.toSeq
+    finally spark.conf.set(key, old)
+  }
+
+  for (q <- Seq(Relational.q9Agg, Similarity.qEmbedNearDup,
+      Relational.q39Percentiles)) {
+    test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
+      val results = Seq(3, 7, 32).map(collectAt(_, q))
+      assert(results(0).nonEmpty)
+      assert(results(0) == results(1) && results(1) == results(2),
+        s"${q.name} diverged across partitionings")
+    }
+  }
+}
