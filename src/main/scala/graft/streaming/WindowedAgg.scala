@@ -54,4 +54,31 @@ object WindowedAgg {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("cnt"))
+
+  /** Streaming per-window top-k — the continuous twin of the batch
+    * grouped top-k (q55): the k busiest event types of each closed
+    * event-time window. Ranking needs the WHOLE window, so it cannot
+    * live inside the append-mode streaming aggregation; the standard
+    * shape is a two-stage pipeline — the watermarked windowed aggregate
+    * emits exactly-once per closed window, and the rank runs as a plain
+    * batch window function over each emitted micro-batch (a batch is a
+    * set of complete windows, so ranking per batch ≡ ranking per
+    * window). Ties break on event_type for determinism.
+    */
+  def topKPerWindow(events: DataFrame, k: Int = 3,
+      watermarkDelay: String = "10 minutes", windowLength: String = "1 hour")(
+      onWindow: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    tumbling(events, watermarkDelay, windowLength)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("window_start"))
+          .orderBy(col("cnt").desc, col("event_type").asc)
+        onWindow(batch
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= k)
+          .select(col("window_start"), col("rk").cast("long").as("rk"),
+            col("event_type"), col("cnt")))
+      }
+      .start()
 }

@@ -221,8 +221,14 @@ object InMemoryBroker {
     */
   def createTopic(name: String, schema: StructType, numPartitions: Int = 4,
       logDir: Option[String] = None): TopicLog =
-    topics.getOrElseUpdate(name,
-      new TopicLog(name, schema, numPartitions, logDir.map(new File(_))))
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk twice
+    // under a race, and a losing DURABLE TopicLog would leave its append
+    // streams open forever (topic creation is rare topology setup — the
+    // hot paths, append/slice/endOffsets, never take this lock)
+    synchronized {
+      topics.getOrElseUpdate(name,
+        new TopicLog(name, schema, numPartitions, logDir.map(new File(_))))
+    }
 
   def topic(name: String): TopicLog =
     topics.getOrElse(name,

@@ -91,4 +91,41 @@ class WindowedAggSpec extends AnyFunSuite with SparkTestSession {
         s"got $got")
     } finally query.stop()
   }
+
+  test("streaming per-window top-k ranks each closed window (batch q55 twin)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Timestamp, Long, String, Long)]()
+    val query = WindowedAgg.topKPerWindow(input.toDF(), k = 2,
+      watermarkDelay = "0 seconds") { ranked =>
+      ranked.select("window_start", "rk", "event_type", "cnt")
+        .as[(Timestamp, Long, String, Long)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.TIMESTAMP,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .collect().foreach(got.add)
+    }
+    try {
+      // hour-10 window: click×3, view×2, buy×1 — top-2 = click, view
+      input.addData(Seq(
+        Ev(t("2024-01-01 10:01:00"), "click", 1), Ev(t("2024-01-01 10:02:00"), "click", 1),
+        Ev(t("2024-01-01 10:03:00"), "click", 1), Ev(t("2024-01-01 10:04:00"), "view", 1),
+        Ev(t("2024-01-01 10:05:00"), "view", 1), Ev(t("2024-01-01 10:06:00"), "buy", 1)))
+      query.processAllAvailable()
+      // advance the watermark to close hour 10
+      input.addData(Seq(Ev(t("2024-01-01 12:01:00"), "view", 1)))
+      query.processAllAvailable()
+      input.addData(Seq(Ev(t("2024-01-01 12:02:00"), "view", 1)))
+      query.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val hour10 = got.asScala.filter(_._1 == t("2024-01-01 10:00:00")).toSet
+      assert(hour10 == Set(
+        (t("2024-01-01 10:00:00"), 1L, "click", 3L),
+        (t("2024-01-01 10:00:00"), 2L, "view", 2L)),
+        s"top-2 of the closed hour-10 window: $hour10")
+    } finally query.stop()
+  }
 }
