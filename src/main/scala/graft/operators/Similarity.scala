@@ -12,13 +12,17 @@ import org.apache.spark.sql.functions._
   * integer dot products are associative and overflow-free, so scores are
   * bit-identical across partitionings and vs the DuckDB oracle.
   *
-  * Three operators:
+  * The operator family:
   *  - q19: brute-force top-k scan (the correctness baseline — linear, no
   *    shuffle, embarrassingly parallel at 100 TB);
-  *  - sign-LSH bucketed near-duplicate pairs (the scale path: candidate
-  *    pairs only within a bucket — never all-pairs);
-  *  - IVF-style ANN: assign to nearest of K centroids map-side (centroids
-  *    broadcast), probe the 2 best clusters for the query.
+  *  - q25: BANDED sign-LSH near-duplicate pairs (candidate pairs only
+  *    from per-band equi-joins — never all-pairs);
+  *  - q26/q51: IVF-style ANN probe + the Lloyd training step (centroids
+  *    broadcast, map-side codegen'd argmax);
+  *  - q26b: the probe against the CONVERGED codebook ([[ensureTrained]]);
+  *  - q26c: the probe through the clustered-at-rest layout — vectors
+  *    partitioned by cid, reads pruned to nprobe/K ([[ensureClustered]]);
+  *  - q60: recall@10 of the approximate path vs the exact scan.
   */
 object Similarity {
 
