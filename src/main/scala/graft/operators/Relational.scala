@@ -517,10 +517,56 @@ object Relational {
            | FROM documents GROUP BY CUBE(lang, source)""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q63 — exact Pearson correlation per group (n_chars vs whitespace
+    * tokens, by lang): the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are INTEGER aggregates (both variables are integers), so the
+    * partial-aggregated shuffle is order-insensitive and bit-exact; the
+    * only floating-point steps are the final two sqrts and one divide of
+    * a fixed parenthesization — identical IEEE results on both engines
+    * (a naive corr() over doubles would be partition-order dependent).
+    * BIGINT moments hold to ~10^9 rows × 10^4 magnitudes; past that the
+    * sums graduate to DECIMAL(38) (DuckDB's HUGEINT does this
+    * automatically — hence the oracle's explicit BIGINT casts).
+    */
+  val q63Correlation: QuerySpec = QuerySpec(
+    "q63_correlation",
+    (s, dir) => {
+      val x = col("n_chars")
+      val y = size(split(col("text"), " ")).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"), x.as("x"), y.as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lang"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("pearson_r"))
+    },
+    Some("""WITH m AS (SELECT lang, COUNT(*) AS n,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sx,
+           |  CAST(SUM(y) AS BIGINT) AS sy,
+           |  CAST(SUM(n_chars * y) AS BIGINT) AS sxy,
+           |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+           |  CAST(SUM(y * y) AS BIGINT) AS syy
+           | FROM (SELECT lang, n_chars,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents)
+           | GROUP BY lang)
+           | SELECT lang, n,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |   (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+           | FROM m""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
-    q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube)
+    q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube,
+    q63Correlation)
 }
