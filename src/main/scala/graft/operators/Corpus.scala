@@ -309,13 +309,14 @@ object Corpus {
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
   /** q62 — deterministic training shuffle: give every document a
-    * reproducible pseudo-random position in one of 64 shards — the
+    * reproducible pseudo-random position in one of 4096 shards — the
     * global-shuffle layout step between curation and sequence packing
     * (training wants decorrelated document order; a seeded hash gives
     * the same permutation on any cluster, any layout, any retry).
     *
-    * Scale shape: shard = hash % 64 is map-side; the within-shard
-    * position is a window over the shard key — 64 parallel partitions
+    * Scale shape: shard = hash % 4096 is map-side; the within-shard
+    * position is a window over the shard key — 4096 parallel partitions
+    * sized to stay small even at 10^9 documents (~250k rows per shard)
     * (and the shard count scales with the cluster, unlike a single
     * global ORDER BY, which would funnel the corpus through one task).
     * The (hash, doc_id) ordering key is collision-proof: doc_id breaks
@@ -329,15 +330,15 @@ object Corpus {
         .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), h.as("h"))
-        .withColumn("shard", pmod(col("h"), lit(64L)))
+        .withColumn("shard", pmod(col("h"), lit(4096L)))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
     },
     Some(s"""WITH t AS (SELECT doc_id,
             |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")} AS h
             |  FROM documents)
-            | SELECT doc_id, h % 64 AS shard,
-            |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h, doc_id)
+            | SELECT doc_id, h % 4096 AS shard,
+            |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 4096 ORDER BY h, doc_id)
             |    AS BIGINT) AS pos
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
