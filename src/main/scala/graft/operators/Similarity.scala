@@ -470,7 +470,37 @@ object Similarity {
             | FROM bf JOIN ivf ON bf.vec_id = ivf.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q64 — translation-pair mining: embedding near-duplicates whose
+    * documents carry DIFFERENT language tags — the standard bitext-
+    * mining recipe (semantically-equivalent cross-lingual pairs sit
+    * close in a multilingual embedding space; same-language hits are
+    * ordinary near-dups, q25's business). Composes the banded-LSH pair
+    * generator with two id-equi-joins onto document metadata; the
+    * verified pair set is tiny relative to the corpus, so both metadata
+    * joins broadcast the pair side at scale.
+    */
+  val qTranslationPairs: QuerySpec = QuerySpec(
+    "q64_translation_pairs",
+    (s, dir) => {
+      val langs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      qEmbedNearDup.build(s, dir)
+        .join(langs.select(col("doc_id").as("vec_id_1"), col("lang").as("lang_1")),
+          "vec_id_1")
+        .join(langs.select(col("doc_id").as("vec_id_2"), col("lang").as("lang_2")),
+          "vec_id_2")
+        .filter(col("lang_1") =!= col("lang_2"))
+        .select(col("vec_id_1"), col("vec_id_2"), col("lang_1"), col("lang_2"),
+          col("cos_sim"))
+    },
+    Some(s"""WITH p AS (${qEmbedNearDup.oracle.get})
+            | SELECT p.vec_id_1, p.vec_id_2, d1.lang AS lang_1,
+            |  d2.lang AS lang_2, p.cos_sim
+            | FROM p JOIN documents d1 ON p.vec_id_1 = d1.doc_id
+            |  JOIN documents d2 ON p.vec_id_2 = d2.doc_id
+            | WHERE d1.lang <> d2.lang""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
-    qAnnPruned, qAnnRecall)
+    qAnnPruned, qAnnRecall, qTranslationPairs)
 }
