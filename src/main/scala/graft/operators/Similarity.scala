@@ -500,7 +500,43 @@ object Similarity {
             |  JOIN documents d2 ON p.vec_id_2 = d2.doc_id
             | WHERE d1.lang <> d2.lang""".stripMargin.replaceAll("\n", "")))
 
+  /** q65 — IVF cluster-cohesion report: per trained cluster, its size
+    * and the mean cosine of members to their centroid — the index-health
+    * metric paired with q60's recall (shrinking cohesion says the
+    * codebook needs retraining as the corpus drifts). Assignment is the
+    * same map-side codegen'd argmax; the per-member cosine goes through
+    * an 8-way literal centroid lookup (the broadcast codebook again),
+    * and the mean uses [[Exact.davg]] (decimal-summed — a raw AVG over
+    * doubles would be partition-order dependent).
+    */
+  val qClusterCohesion: QuerySpec = QuerySpec(
+    "q65_cluster_cohesion",
+    (s, dir) => {
+      val cents = ensureTrained(s, dir)
+      val centCos = cents.zipWithIndex
+        .foldLeft(lit(null).cast("double")) { case (acc, (cq, cid)) =>
+          when(col("cid") === cid,
+            Exact.cosineFromQuantized(col("qe"), typedlit(cq))).otherwise(acc)
+        }
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+        .withColumn("cid", NearestCentroid(col("qe"), cents))
+        .withColumn("cos_c", centCos)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), Exact.davg(col("cos_c")).as("avg_cos"))
+        .select(col("cid").cast("long").as("cid"), col("n"), col("avg_cos"))
+    },
+    Some(s"""WITH $trainSqlCtes,
+            | fa AS (SELECT e.vec_id, e.qe, c.cid, c.cqe, ROW_NUMBER() OVER (
+            |   PARTITION BY e.vec_id
+            |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+            |  FROM e, c$TrainIters c),
+            | fm AS (SELECT vec_id, qe, cid, cqe FROM fa WHERE rk = 1)
+            | SELECT CAST(cid AS BIGINT) AS cid, COUNT(*) AS n,
+            |  ${Exact.davgSql(Exact.cosineSql("qe", "cqe"))} AS avg_cos
+            | FROM fm GROUP BY cid""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
-    qAnnPruned, qAnnRecall, qTranslationPairs)
+    qAnnPruned, qAnnRecall, qTranslationPairs, qClusterCohesion)
 }
