@@ -27,6 +27,33 @@ class StorageLeakSpec extends AnyFunSuite with SparkTestSession {
     assert(iters <= 10, s"expected O(log 63) ~ <=10 iterations, took $iters")
   }
 
+  test("connectedComponents matches a union-find model on random graphs") {
+    import spark.implicits._
+    // The oracle gates one instance (the LSH pair graph); this pins the
+    // algorithm itself — propagation + pointer jumping — against a
+    // driver-side union-find over random graphs with varied shapes.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 10 + rnd.nextInt(20)
+      val m = 5 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n.toLong.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(u => u -> find(u.toInt).toLong).toMap
+      val edges = (pairs ++ pairs.map(_.swap)).toDF("u", "v")
+      val (labels, _) = Dedup.connectedComponents(spark, edges)
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial (n=$n m=$m): $got vs $expected")
+    }
+  }
+
   test("q50 label propagation pins at most one generation after materializing") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.qDupClusters.build(spark, dir)
