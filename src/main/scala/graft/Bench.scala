@@ -19,6 +19,11 @@ import java.nio.file.{Files, Paths}
   * 17-expression projection measured 3.5 s on run 1 vs 0.31 s steady),
   * manufacturing fake regressions in the gate artifact. The median of 3
   * discards the compile-heavy first run and one outlier.
+  *
+  * The artifact also carries each query's per-rep `[min, median, max]`
+  * (`"spread"`): a wide min–max band with a near-baseline min reads as
+  * host interference, a uniformly shifted band as a real regression —
+  * distinguishable from the artifact alone, with no re-run needed.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -58,6 +63,7 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     Queries.all.filter(_.headline).foreach { q =>
       val runs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -73,6 +79,8 @@ object Bench {
         // lower median: 3 reps → true median; 2 reps → the faster run
         // (the slower one carries the one-time codegen compile)
         timings(q.name) = sorted((sorted.size - 1) / 2)
+        spreads(q.name) =
+          Seq(sorted.head, sorted((sorted.size - 1) / 2), sorted.last)
       } catch {
         case e: Throwable =>
           timings(q.name) = -1.0
@@ -83,10 +91,12 @@ object Bench {
 
     val ok = timings.filter(_._2 >= 0)
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) =>
+      s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"reps":$reps,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // the contract line, printed last so it is the final stdout line
     println(line)

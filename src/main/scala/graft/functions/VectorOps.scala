@@ -122,6 +122,13 @@ object VectorOps {
     var selfDot = 0L
     var i = 0
     while (i < n) { val v = qe.getLong(i); selfDot += v * v; i += 1 }
+    // a zero vector has no cosine direction: every cosine is NaN, never
+    // beats -Infinity, and the row would get cid -1 and silently drop
+    // from the gated queries while the oracle keeps it — fail fast
+    // instead (matching quantizeValue's non-finite guard)
+    if (selfDot == 0L)
+      throw new ArithmeticException(
+        "nearest centroid of a zero vector is undefined (cosine is NaN)")
     val selfNorm = math.sqrt(selfDot.toDouble)
     var best = Double.NegativeInfinity
     var bestIdx = -1

@@ -50,6 +50,24 @@ object Bucketed {
     }
   }
 
+  /** Adopt the canonical `table` after a [[compact]] crashed mid-swap:
+    * the swap window (drop of `table` → rename of `${table}_compact`)
+    * can die leaving only the `_compact` twin, and every later open /
+    * probe / replayed compact would then fail with NoSuchTable — against
+    * the store's replay-idempotence contract. The twin is complete
+    * whenever it exists without the canonical table (the CTAS registers
+    * it only after full materialization), so adoption is just the rename
+    * the crash skipped. Idempotent; [[compact]] self-heals through it on
+    * entry, stores call it on open.
+    */
+  def recover(s: SparkSession, table: String): Unit = synchronized {
+    val tmp = s"${table}_compact"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(tmp)) {
+      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      s.catalog.refreshTable(table)
+    }
+  }
+
   /** Compact a bucketed table's small files: per-batch appends leave one
     * file set per bucket per batch, eroding the exchange-free read the
     * bucketing buys. Rewrites through a CTAS with the SAME bucket spec
@@ -59,24 +77,31 @@ object Bucketed {
     * shuffle — a per-file read would re-emit per-task-per-bucket files
     * and merge nothing. The 100 TB cadence is log-structured: appends
     * per trigger, compaction per hour/day.
+    *
+    * Crash discipline: the CTAS fully materializes (and only then
+    * registers) the `_compact` twin BEFORE the canonical name is
+    * touched, so every crash point leaves either the old table intact
+    * (pre-swap: the stale twin is dropped on the next attempt) or the
+    * complete twin adoptable by [[recover]] (mid-swap). The rewrite runs
+    * on its own session (shared catalog, isolated conf): disabling the
+    * auto-bucketed scan on the caller's session would silently re-plan
+    * every concurrently planned query (other streams, bench warmup)
+    * without bucketed reads.
     */
-  def compact(s: SparkSession, table: String, buckets: Int, key: String,
+  def compact(s0: SparkSession, table: String, buckets: Int, key: String,
       moreKeys: String*): Unit = {
-    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val old = s.conf.getOption(confKey)
-    s.conf.set(confKey, "false")
-    try {
-      val tmp = s"${table}_compact"
-      dropStale(s, tmp)
-      // the CTAS into tmp materializes before the old table drops
-      s.table(table).write.bucketBy(buckets, key, moreKeys: _*)
-        .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
-      dropStale(s, table)
-      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    } finally old match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
-    }
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    recover(s, table) // a previous compact may have died mid-swap
+    val tmp = s"${table}_compact"
+    dropStale(s, tmp)
+    s.table(table).write.bucketBy(buckets, key, moreKeys: _*)
+      .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
+    dropStale(s, table)
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // the swap ran on the isolated session: the CALLER's relation cache
+    // still lists the dropped table's files — refresh it there
+    s0.catalog.refreshTable(table)
   }
 
   /** Materialize the bucketed layout ahead of time (idempotent). Bench

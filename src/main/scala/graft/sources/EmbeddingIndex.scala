@@ -64,6 +64,10 @@ object EmbeddingIndex {
   def compact(s: SparkSession, table: String): Unit =
     Bucketed.compact(s, table, Buckets, "band", "bh")
 
+  /** Heal a compaction swap that crashed mid-rename ([[Bucketed.recover]]). */
+  def recover(s: SparkSession, table: String): Unit =
+    Bucketed.recover(s, table)
+
   /** Probe a (vec_id, embedding) batch against the index: verified
     * near-dups `(vec_id, dup_of, cos_sim)` with an already-indexed
     * vector. Candidates ONLY from the (band, bh) equi-join; the store

@@ -114,6 +114,16 @@ object SignatureStore {
     Bucketed.compact(s, t.bands, Buckets, "bk")
   }
 
+  /** Heal a compaction swap that crashed mid-rename ([[Bucketed.recover]])
+    * — call when (re)opening a store handle; [[compact]] also self-heals
+    * on entry, so an at-least-once replay of a compacting batch recovers
+    * without intervention.
+    */
+  def recover(s: SparkSession, t: Store): Unit = {
+    Bucketed.recover(s, t.sig)
+    Bucketed.recover(s, t.bands)
+  }
+
   /** Probe a (doc_id, text) micro-batch against the store: every
     * verified near-dup `(doc_id, dup_of, jaccard)` where `dup_of` is an
     * already-stored document. Candidates come ONLY from the band

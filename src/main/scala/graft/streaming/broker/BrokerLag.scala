@@ -22,7 +22,10 @@ object BrokerLag {
     val ends = InMemoryBroker.topic(topic).endOffsets
     val processed = Option(query.lastProgress).toSeq
       .flatMap(_.sources.toSeq)
-      .filter(s => Option(s.description).exists(_.contains(s"topic=$topic")))
+      // EXACT description match: a contains-check on "topic=events" also
+      // matches "topic=events2" and merges a different topic's offsets
+      // into this lag map
+      .filter(s => Option(s.description).contains(s"graft-broker topic=$topic"))
       .flatMap(s => BrokerOffsets.fromJson(s.endOffset).parts)
       .toMap
     ends.map { case (p, e) => p -> math.max(e - processed.getOrElse(p, 0L), 0L) }

@@ -93,8 +93,13 @@ object InMemoryBroker {
             try in.readInt()
             catch { case _: EOFException => done = true; -1 }
           if (!done) {
-            val buf = new Array[Byte](len)
-            try {
+            // a corrupt LENGTH PREFIX is a corrupt tail too: validate
+            // before allocating, or a negative/huge len throws
+            // NegativeArraySizeException / OOMs out of topic creation
+            // instead of truncating to the valid prefix
+            if (len <= 0 || len > f.length() - valid - 4L) done = true
+            else try {
+              val buf = new Array[Byte](len)
               in.readFully(buf)
               val ois = new ObjectInputStream(new ByteArrayInputStream(buf))
               into ++= ois.readObject().asInstanceOf[Seq[Row]]

@@ -109,4 +109,19 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(0).isNullAt(0), "null slot must yield NULL assignment")
     assert(rows(1).getInt(0) == 0)
   }
+
+  test("NearestCentroid of a zero vector fails fast (cosine undefined)") {
+    import spark.implicits._
+    // every cosine against a zero vector is NaN: a silent -1 assignment
+    // would drop the row from gated queries while the oracle keeps it
+    val cents = Seq(Seq(1000000L, 0L), Seq(0L, 1000000L))
+    val e = intercept[Exception] {
+      Seq(Seq(0L, 0L)).toDF("q")
+        .select(NearestCentroid(col("q"), cents)).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("zero vector")),
+      s"expected a zero-vector diagnostic, got: $messages")
+  }
 }

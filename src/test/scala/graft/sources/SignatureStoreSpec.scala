@@ -131,6 +131,58 @@ class SignatureStoreSpec extends AnyFunSuite with SparkTestSession {
     assert(SignatureStore.probe(spark, store, batch).count() > 0)
   }
 
+  test("a compaction swap killed between drop and rename recovers on reopen/replay") {
+    import spark.implicits._
+    val store = SignatureStore.build(spark, corpusDf(25),
+      s"crashswap${System.nanoTime()}")
+    val docs = Seq((3001L, (0 until 40).map(w => s"cw$w").mkString(" ")))
+      .toDF("doc_id", "text")
+    SignatureStore.append(spark, store, docs)
+    val pairsBefore = SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val sigRows = spark.table(store.sig).count()
+
+    // simulate the crash window inside compact: the `_compact` twin is
+    // fully materialized, the canonical table already dropped, the
+    // rename never ran — the state that used to need a manual rename
+    val tmp = s"${store.sig}_compact"
+    spark.table(store.sig).write.bucketBy(SignatureStore.Buckets, "doc_id")
+      .sortBy("doc_id").mode("overwrite").saveAsTable(tmp)
+    Bucketed.dropStale(spark, store.sig)
+    assert(!spark.catalog.tableExists(store.sig), "crash state: canonical gone")
+
+    // the at-least-once replay path re-runs compact, which must self-heal
+    // instead of failing with NoSuchTable
+    SignatureStore.compact(spark, store)
+    assert(spark.catalog.tableExists(store.sig))
+    assert(!spark.catalog.tableExists(tmp), "twin adopted, not left behind")
+    assert(spark.table(store.sig).count() == sigRows)
+    val pairsAfter = SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(pairsAfter == pairsBefore, "recovered store must be unchanged")
+
+    // same crash state healed by the open path (recover), without compact
+    spark.table(store.bands).write.bucketBy(SignatureStore.Buckets, "bk")
+      .sortBy("bk").mode("overwrite").saveAsTable(s"${store.bands}_compact")
+    Bucketed.dropStale(spark, store.bands)
+    SignatureStore.recover(spark, store)
+    assert(spark.catalog.tableExists(store.bands))
+    assert(SignatureStore.pairs(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      == pairsBefore)
+  }
+
+  test("compact isolates its conf: the caller's session keeps auto-bucketed scans") {
+    import spark.implicits._
+    val confKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.getOption(confKey)
+    val store = SignatureStore.build(spark, corpusDf(10),
+      s"confiso${System.nanoTime()}")
+    SignatureStore.compact(spark, store)
+    assert(spark.conf.getOption(confKey) == before,
+      "compact must not toggle session-global conf on the shared session")
+  }
+
   test("store-derived pairs are bit-identical to the from-text q23 pairs") {
     val dir = "/root/testdata/sf0.001"
     val store = SignatureStore.ensure(spark, dir)

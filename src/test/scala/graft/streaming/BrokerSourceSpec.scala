@@ -298,6 +298,68 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     InMemoryBroker.deleteTopic(name)
   }
 
+  test("a corrupt length prefix truncates to the valid prefix (no crash out of replay)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", StringType), StructField("n", LongType)))
+    // a corrupt 4-byte prefix must be treated exactly like a torn tail:
+    // negative (would throw NegativeArraySizeException out of topic
+    // creation) and absurdly large (would OOM on allocation) both
+    // truncate back to the last complete block
+    for (badLen <- Seq(-1, Int.MaxValue)) {
+      val name = s"badlen-$badLen-${System.nanoTime()}"
+      val logDir = java.nio.file.Files.createTempDirectory("graft-broker-badlen-")
+      val log1 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+        logDir = Some(logDir.toString))
+      log1.append(0, Seq(Row("a", 1L), Row("b", 2L)))
+      log1.append(0, Seq(Row("c", 3L)))
+      InMemoryBroker.deleteTopic(name)
+
+      // corrupt the SECOND block's length prefix in place (it sits right
+      // after the first block: 4 length bytes + that block's payload)
+      val f = logDir.resolve("part-0.log")
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      val len1 = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+      java.nio.ByteBuffer.wrap(bytes, 4 + len1, 4).putInt(badLen)
+      java.nio.file.Files.write(f, bytes)
+
+      val log2 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+        logDir = Some(logDir.toString))
+      assert(log2.endOffset(0) == 2L,
+        s"replay with prefix $badLen must keep the first block and truncate")
+      assert(log2.slice(0, 0L, 2L).map(_.getString(0)) == Seq("a", "b"))
+      // the truncated log accepts appends and replays cleanly again
+      log2.append(0, Seq(Row("d", 4L)))
+      InMemoryBroker.deleteTopic(name)
+      val log3 = InMemoryBroker.createTopic(name, schema, numPartitions = 1,
+        logDir = Some(logDir.toString))
+      assert(log3.slice(0, 0L, 3L).map(_.getString(0)) == Seq("a", "b", "d"))
+      InMemoryBroker.deleteTopic(name)
+    }
+  }
+
+  test("lag matches the topic description exactly (no prefix bleed between topics)") {
+    import spark.implicits._
+    import graft.streaming.broker.BrokerLag
+    val base = s"lagx-${System.nanoTime()}"
+    val topicA = BrokerTopic.create(spark, base, Payloads.payloadSchema)
+    val topicB = BrokerTopic.create(spark, s"${base}2", Payloads.payloadSchema)
+    topicA.publishSeed((0 until 5).map(i => (s"a$i", 0)).toDF("name", "numPublishes"))
+    topicB.publishSeed((0 until 5).map(i => (s"b$i", 0)).toDF("name", "numPublishes"))
+    val name = s"lagx_${System.nanoTime()}"
+    val query = topicB.readStream(admitPerTrigger = 16)
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      query.processAllAvailable()
+      assert(BrokerLag.totalLag(query, topicB.name) == 0L)
+      // the query consumes `${base}2`; a contains-match on "topic=<base>"
+      // would merge its drained cursors into <base>'s lag map and wrongly
+      // cancel the untouched backlog
+      assert(BrokerLag.totalLag(query, base) == 5L,
+        "a query on topic 'X2' must not report progress against topic 'X'")
+    } finally query.stop()
+  }
+
   test("restart resumes per-partition cursors on a 4-partition topic") {
     import spark.implicits._
     val topic = BrokerTopic.create(spark,
