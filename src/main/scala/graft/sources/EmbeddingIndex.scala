@@ -60,6 +60,27 @@ object EmbeddingIndex {
     indexRows(emb).write.bucketBy(Buckets, "band", "bh").sortBy("band", "bh")
       .mode("append").saveAsTable(table)
 
+  /** IDEMPOTENT upsert for the at-least-once streaming front door: a
+    * replayed micro-batch re-offers vec_ids that are already indexed.
+    * Already-stored detection rides the (band, bh) equi-join — the
+    * store side stays exchange-free through its bucketing (vec_id
+    * equality is an extra predicate on the same join: equal vec_ids
+    * imply equal band hashes, so co-location on (band, bh) suffices) —
+    * and the anti-join drops re-offered vectors instead of duplicating
+    * their index rows forever.
+    */
+  def appendFresh(s: SparkSession, table: String, emb: DataFrame): Unit = {
+    val rows = indexRows(emb)
+    val stored = rows.alias("n")
+      .join(s.table(table).alias("o"),
+        col("n.band") === col("o.band") && col("n.bh") === col("o.bh")
+          && col("n.vec_id") === col("o.vec_id"), "left_semi")
+      .select(col("vec_id")).distinct()
+    rows.join(stored, Seq("vec_id"), "left_anti")
+      .write.bucketBy(Buckets, "band", "bh").sortBy("band", "bh")
+      .mode("append").saveAsTable(table)
+  }
+
   /** Compact the index's per-append file sets ([[Bucketed.compact]]). */
   def compact(s: SparkSession, table: String): Unit =
     Bucketed.compact(s, table, Buckets, "band", "bh")
@@ -83,6 +104,12 @@ object EmbeddingIndex {
         Exact.cosineFromQuantized(col("n.qe"), col("o.qe")).as("cos_sim"))
       .filter(col("cos_sim") >= CosThreshold)
       .distinct()
+      // a REPLAYED batch (at-least-once foreachBatch) probes an index
+      // that already contains the batch itself; batch-local vec_ids are
+      // not "previously indexed", so they are excluded from dup_of —
+      // replay verdicts match the original run's (in normal operation
+      // this anti-join is a no-op: probe runs before append)
+      .join(batch.select(col("vec_id").as("dup_of")), Seq("dup_of"), "left_anti")
 
   /** Full-corpus verified near-dup pairs FROM THE INDEX — the q25
     * result as a bucketed self-join, exchange-free on both sides (the
