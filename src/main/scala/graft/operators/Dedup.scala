@@ -291,42 +291,56 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("u", "v"), "v")
         .groupBy(col("u")).agg(min(col("cluster_id")).as("nbr"))
-      // materialize the propagated generation once: the jump step
-      // self-joins it, and an unmaterialized plan would recompute
-      // the neighbor join on both sides (transiently two
-      // generations live — inherent to path-halving — freed below)
+      // materialize the propagated generation once, CARRYING the
+      // previous label: the jump step self-joins it (an unmaterialized
+      // plan would recompute the neighbor join on both sides), and
+      // change detection folds into the jump pass below instead of
+      // costing its own join + limit(1).count() job per iteration
       val propRdd = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"),
           least(col("cluster_id"), coalesce(col("nbr"), col("cluster_id")))
-            .as("cluster_id"))
-        .as[(Long, Long)].rdd.persist()
+            .as("cluster_id"),
+          col("cluster_id").as("prev"))
+        .as[(Long, Long, Long)].rdd.persist()
       propRdd.count()
-      val prop = propRdd.toDF("u", "cluster_id")
+      val prop = propRdd.toDF("u", "cluster_id", "prev")
       // pointer jump: label(u) ← min(label(u), label(label(u))) —
       // path-halving, O(log diameter) total iterations; every
-      // label is a node id, so the lookup matches exactly one row
+      // label is a node id, so the lookup matches exactly one row.
+      // The changed count rides the SAME materializing pass through an
+      // accumulator; recompute-on-loss can only over-count, and only
+      // the zero/non-zero distinction is read (a no-change pass stays
+      // zero under any re-execution), so the fixpoint test is exact.
       val lookup = prop
         .select(col("u").as("cluster_id"), col("cluster_id").as("cc"))
+      val changedAcc = s.sparkContext.longAccumulator
       val nextRdd = prop.join(lookup, Seq("cluster_id"), "left")
         .select(col("u"),
           least(col("cluster_id"), coalesce(col("cc"), col("cluster_id")))
-            .as("cluster_id"))
-        .as[(Long, Long)].rdd.persist()
+            .as("cluster_id"),
+          col("prev"))
+        .as[(Long, Long, Long)].rdd
+        .map { case (u, c, p) => if (c != p) changedAcc.add(1L); (u, c) }
+        .persist()
       nextRdd.count()
       propRdd.unpersist(blocking = false)
-      val next = nextRdd.toDF("u", "cluster_id")
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "u")
-        .filter(col("cluster_id") =!= col("prev"))
-        .limit(1).count()
       labelsRdd.unpersist(blocking = false)
       labelsRdd = nextRdd
-      labels = next
-      done = changed == 0L
+      labels = nextRdd.toDF("u", "cluster_id")
+      done = changedAcc.value == 0L
       iter += 1
     }
     require(done, s"label propagation did not converge in $iter iterations")
-    (labels, iter)
+    // consume-then-release: flush the converged generation to scratch
+    // parquet (the 100 TB form writes a bucketed table here) and free
+    // its storage NOW — returning the persisted plan would pin the last
+    // generation until the ContextCleaner eventually noticed, long
+    // after the caller consumed the result
+    val out = java.nio.file.Files.createTempDirectory("graft-cc-")
+      .resolve("labels").toString
+    labels.write.mode("overwrite").parquet(out)
+    labelsRdd.unpersist(blocking = false)
+    (s.read.parquet(out), iter)
   }
 
   val qDupClusters: QuerySpec = QuerySpec(

@@ -54,16 +54,17 @@ class StorageLeakSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("q50 label propagation pins at most one generation after materializing") {
+  test("q50 label propagation pins nothing after materializing") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = Dedup.qDupClusters.build(spark, dir)
     assert(result.count() > 0)
     val pinnedAfter = spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => before.contains(id) }
-    // the converged generation legitimately backs the returned plan;
-    // superseded generations and the pairs/edges scaffolding must be gone
-    assert(pinnedAfter.size <= 1,
-      s"q50 left ${pinnedAfter.size} RDDs pinned (expected <= 1 — the " +
-        s"converged labels): ${pinnedAfter.values.map(_.name).mkString(", ")}")
+    // the converged generation is flushed to scratch parquet and
+    // released inside connectedComponents; superseded generations and
+    // the pairs/edges scaffolding must be gone too
+    assert(pinnedAfter.isEmpty,
+      s"q50 left ${pinnedAfter.size} RDDs pinned (expected 0): " +
+        pinnedAfter.values.map(_.name).mkString(", "))
   }
 }
