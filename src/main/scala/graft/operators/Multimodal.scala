@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media treated as opaque BINARY columns with
   * typed metadata, decoded/feature-extracted in batched partition passes.
   *
-  * The real decode (image/audio codec) is STUBBED — this container has no
-  * media libraries — with a deterministic fake that derives metadata from
-  * the bytes ([[StubDecoder.decode]]). Everything around the stub is the
-  * real Spark shape: a typed `Dataset[MediaRow]`, `mapPartitions` so a
-  * future native decoder amortizes per-batch init (codec contexts, model
-  * weights) across a whole partition, and scalar metadata columns out.
+  * For the GATED queries the decode is a deterministic fake that derives
+  * metadata from the bytes ([[StubDecoder.decode]]) — the testdata corpus
+  * is text, and the stub keeps the gate SQL-oracle-checkable. A REAL
+  * pure-JVM codec exists behind the same seam ([[PpmDecoder]] /
+  * [[PpmEncoder]]: binary PPM parsing, per-frame pixel fingerprints,
+  * chunk-mean features), proving the contract carries an actual decoder;
+  * heavier codecs (JPEG, audio) are the same injection, with native libs.
+  * Everything around the decoder is the real Spark shape: a typed
+  * `Dataset[MediaRow]`, `mapPartitions` so a decoder amortizes per-batch
+  * init (codec contexts, model weights) across a whole partition, and
+  * scalar metadata columns out.
   *
   * The media bytes here are the documents' UTF-8 text (the only corpus in
   * the testdata), which keeps the whole path oracle-checkable in SQL.

@@ -31,6 +31,55 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       (0L until 4L).map(i => (i, 320L, 240L, 1000L + i)))
   }
 
+  test("PPM codec: decode -> sample -> fingerprint runs on real pixel bytes") {
+    import spark.implicits._
+    // a two-frame 4x2 "video" (concatenated P6 frames) + a single-frame
+    // extreme-aspect image that exercises the resize clamp
+    val f0 = Array.tabulate(4 * 2 * 3)(i => i.toByte)
+    val f1 = Array.tabulate(4 * 2 * 3)(i => (255 - i).toByte)
+    val video = Ppm.encodeFrame(4, 2, f0) ++ Ppm.encodeFrame(4, 2, f1)
+    val wide = Ppm.encodeFrame(998, 1, Array.fill(998 * 3)(7.toByte))
+    val media = Seq(MediaRow(1L, video), MediaRow(2L, wide)).toDS()
+
+    val meta = decodeAll(media, PpmDecoder).collect().sortBy(_.doc_id)
+    assert(meta(0) == MediaMeta(1L, video.length.toLong, 4L, 2L, 2L))
+    assert(meta(1) == MediaMeta(2L, wide.length.toLong, 998L, 1L, 1L))
+
+    // independent expected fingerprint: a plain fold over the known pixels
+    def fold(bs: Array[Byte]): Long = bs.map(b => (b & 0xff).toLong)
+      .reduceLeft((h, b) => (h * 31L + b) % 2147483647L)
+    val frames = sampleFrames(media, maxFrames = 8, PpmDecoder).collect()
+    val v = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    assert(v.map(f => (f.frame_idx, f.out_w, f.out_h, f.frame_hash)).toSeq ==
+      Seq((0L, 4L, 2L, fold(f0)), (1L, 4L, 2L, fold(f1))))
+    // 998x1 aspect-fits to 320 wide; the height floor clamps to 1
+    assert(frames.filter(_.doc_id == 2L).map(f => (f.out_w, f.out_h)).toSeq
+      == Seq((320L, 1L)))
+
+    // headers may carry comments
+    val commented = ("P6\n# a comment\n4 2\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)) ++ f0
+    assert(PpmDecoder.decode(MediaRow(3L, commented))
+      == MediaMeta(3L, commented.length.toLong, 4L, 2L, 1L))
+
+    // corruption fails fast, never a silent partial decode
+    intercept[IllegalArgumentException] {
+      PpmDecoder.decode(MediaRow(4L, "P5\n4 2\n255\n".getBytes ++ f0))
+    }
+    intercept[IllegalArgumentException] {
+      PpmDecoder.decode(MediaRow(5L, video.dropRight(3)))
+    }
+  }
+
+  test("PPM encoder extracts fixed-point chunk-mean features from real pixels") {
+    import spark.implicits._
+    val px = Array.tabulate(2 * 2 * 3)(i => i.toByte) // bytes 0..11
+    val media = Seq(MediaRow(7L, Ppm.encodeFrame(2, 2, px))).toDS()
+    val feats = extractFeatures(media, dim = 3, PpmEncoder).collect().head
+    // 4-byte chunks: means 1.5, 5.5, 9.5 -> fixed-point 1e6
+    assert(feats.qfeat.toSeq == Seq(1500000L, 5500000L, 9500000L))
+  }
+
   test("a custom MediaEncoder is injected without touching the pipeline") {
     import spark.implicits._
     val enc = new MediaEncoder {
