@@ -385,23 +385,39 @@ object Dedup {
     * exchange is reused.
     */
   private val SpanWords = 8
-  private val MaxSpanDf = 100
+  private[graft] val MaxSpanDf = 100
+
+  /** The q59 span-hash explosion: one row per (doc, distinct 8-word span
+    * hash). Shared with [[spanCandidatePairs]] and SpanBoundSpec's audit
+    * so the spec exercises the exact gated code path.
+    */
+  private[graft] def spanHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(WordShingleHashes(col("text"), SpanWords)).as("h"))
+
+  /** The df-capped candidate-pair join of q59, BEFORE the per-pair
+    * aggregation: every row is one shared rare span between two docs.
+    * Candidate volume is therefore Σ_h C(df_h, 2) ≤ |span rows| ×
+    * (MaxSpanDf − 1) / 2 — linear in the corpus for fixed MaxSpanDf,
+    * which is what SpanBoundSpec pins.
+    */
+  private[graft] def spanCandidatePairs(docs: DataFrame): DataFrame = {
+    val sp = spanHashes(docs)
+    val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxSpanDf).select(col("h"))
+    val filtered = sp.join(rare, Seq("h"))
+    filtered.alias("a")
+      .join(filtered.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+  }
+
   val qSpanDedup: QuerySpec = QuerySpec(
     "q59_span_dedup",
-    (s, dir) => {
-      val sp = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(WordShingleHashes(col("text"), SpanWords)).as("h"))
-      val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxSpanDf).select(col("h"))
-      val filtered = sp.join(rare, Seq("h"))
-      filtered.alias("a")
-        .join(filtered.alias("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+    (s, dir) =>
+      spanCandidatePairs(Tables.load(s, dir, "documents"))
         .groupBy(col("doc_id_1"), col("doc_id_2"))
-        .agg(count(lit(1)).as("n_shared_spans"))
-    },
+        .agg(count(lit(1)).as("n_shared_spans")),
     Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             | sg AS (SELECT doc_id, list_distinct(list_transform(
             |   list_transform(range(1, greatest(len(tk) - ${SpanWords - 1}, 0) + 1),

@@ -470,6 +470,76 @@ object Similarity {
             | FROM bf JOIN ivf ON bf.vec_id = ivf.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q60b — the recall CURVE: recall@10 for nprobe ∈ {1,2,4,8} — the
+    * deployment metric is the curve, not a point (pick the smallest
+    * nprobe clearing the recall target; nprobe = K = 8 scans every
+    * cluster, anchoring the curve at 1.0). Each probe reads ONLY its
+    * nprobe partitions of the clustered-at-rest layout (q26c's pruned
+    * scan), so the sweep's total I/O is Σ nprobe/K of the corpus — at
+    * 100 TB that is 15/8 of one scan, not four full scans. The four
+    * single-row aggregates union into one 4-row result; the brute-force
+    * top-10 side is computed once and broadcast into every intersection.
+    */
+  private val SweepNprobes = Seq(1, 2, 4, 8)
+  val qAnnRecallSweep: QuerySpec = QuerySpec(
+    "q60b_ann_recall_sweep",
+    (s, dir) => {
+      val cents = ensureTrained(s, dir)
+      val table = ensureClustered(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(Exact.quantize(col("embedding")).as("qe"))
+        .head().getSeq[Long](0)
+      val qn = math.sqrt(dotL(q, q).toDouble)
+      val ranked = cents.zipWithIndex
+        .map { case (cq, cid) =>
+          (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
+        }
+        .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+      val bf = q19CosineTopK.build(s, dir).select(col("vec_id"))
+      SweepNprobes.map { n =>
+        val ivf = s.table(table)
+          .filter(col("cid").isin(ranked.take(n): _*))
+          .select(col("vec_id"),
+            Exact.cosineFromQuantized(col("qe"), typedlit(q)).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"))
+        bf.join(ivf, Seq("vec_id"))
+          .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+          .select(lit(n).as("nprobe"), col("recall_at_10"))
+      }.reduce(_ union _)
+    },
+    Some {
+      // fm/probe/bf are each referenced once per sweep point →
+      // MATERIALIZED (the iterative-oracle rule: a CTE referenced more
+      // than once must not inline, or the trainSqlCtes expansion
+      // multiplies per reference).
+      val ivCtes = SweepNprobes.map { n =>
+        s" iv$n AS (SELECT fm.vec_id, ${Exact.cosineSql("fm.qe", "q.qqe")} AS cs" +
+          s" FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= $n, q" +
+          " ORDER BY cs DESC, vec_id LIMIT 10)"
+      }.mkString(",")
+      val branches = SweepNprobes.map { n =>
+        s"SELECT $n AS nprobe, (SELECT CAST(COUNT(*) AS DOUBLE) / 10.0" +
+          s" FROM bf JOIN iv$n ON bf.vec_id = iv$n.vec_id) AS recall_at_10"
+      }.mkString(" UNION ALL ")
+      s"""WITH $trainSqlCtes,
+         | q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+         | fa AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+         |   PARTITION BY e.vec_id
+         |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+         |  FROM e, c$TrainIters c),
+         | fm AS MATERIALIZED (SELECT vec_id, qe, cid FROM fa WHERE rk = 1),
+         | probe AS MATERIALIZED (SELECT c.cid, ROW_NUMBER() OVER (
+         |   ORDER BY ${Exact.cosineSql("c.cqe", "q.qqe")} DESC, c.cid) AS prk
+         |  FROM c$TrainIters c, q),
+         | bf AS MATERIALIZED (SELECT e.vec_id, ${Exact.cosineSql("e.qe", "q.qqe")} AS cos_sim
+         |  FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 10),
+         |$ivCtes
+         | $branches""".stripMargin.replaceAll("\n", "")
+    })
+
   /** q64 — translation-pair mining: embedding near-duplicates whose
     * documents carry DIFFERENT language tags — the standard bitext-
     * mining recipe (semantically-equivalent cross-lingual pairs sit
@@ -538,5 +608,6 @@ object Similarity {
 
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
-    qAnnPruned, qAnnRecall, qTranslationPairs, qClusterCohesion)
+    qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
+    qClusterCohesion)
 }
