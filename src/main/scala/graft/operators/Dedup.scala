@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.{CharNgramHashes, PolyHash, WordShingleHashes}
+import graft.functions.{CharNgramHashes, Exact, PolyHash, WordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,6 +69,24 @@ object Dedup {
     size(array_intersect(h1, h2)).cast("double") /
       size(array_union(h1, h2)).cast("double")
 
+  /** LSH candidate pairs from a signature frame (doc_id, mh0..mh15):
+    * band the signatures, equi-join on (band index, band hash), dedup.
+    * The ONLY candidate generator for MinHash near-dup (q23, q66) — no
+    * all-pairs shape anywhere.
+    */
+  private[graft] def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig
+      .select(col("doc_id"),
+        posexplode(array((0 until NumBands).map(bandHash): _*)))
+      .select(col("doc_id"), col("pos").as("b"), col("col").as("bh"))
+    bands.alias("a")
+      .join(bands.alias("c"),
+        col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
+          && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("c.doc_id").as("doc_id_2"))
+      .distinct()
+  }
+
   // ---- DuckDB oracle fragments ------------------------------------------
 
   /** CTEs `dt` (tokens) and `ds` (doc_id, H = distinct shingle hashes). */
@@ -83,6 +101,21 @@ object Dedup {
     s"""COALESCE(list_min(list_transform(H, h ->
        | (((1103515245 * (j + 1)) % $P) * h + ((12345 * (j + 1) + 7) % $P)) % $P)),
        | $P)""".stripMargin.replaceAll("\n", "")
+
+  /** CTEs `sigl` (doc_id, sig list), `bands`, `cand` — the oracle twin of
+    * [[lshCandidates]], shared by q23 and q66. Prepends [[shingleCtes]].
+    */
+  private val lshCandSqlCtes: String =
+    s"""$shingleCtes,
+       | sigl AS (SELECT doc_id, list_transform(range(0, $NumHashes),
+       |   j -> $minhashSqlExpr) AS sig FROM ds WHERE len(H) > 0),
+       | bands AS (SELECT doc_id, t.b AS b, list_reduce(
+       |   sig[(b * $RowsPerBand + 1):(b * $RowsPerBand + $RowsPerBand)],
+       |   (x, y) -> (x * 31 + y) % $P) AS bh FROM sigl, range(0, $NumBands) t(b)),
+       | cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
+       |   FROM bands a JOIN bands c
+       |   ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
+      .replaceAll("\n", "")
 
   // ---- gated queries -----------------------------------------------------
 
@@ -146,16 +179,7 @@ object Dedup {
       // driver-session cache.
       val docs = minhashAgg(
         shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
-      val bands = docs
-        .select(col("doc_id"),
-          posexplode(array((0 until NumBands).map(bandHash): _*)))
-        .select(col("doc_id"), col("pos").as("b"), col("col").as("bh"))
-      val cand = bands.alias("a")
-        .join(bands.alias("c"),
-          col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
-            && col("a.doc_id") < col("c.doc_id"))
-        .select(col("a.doc_id").as("doc_id_1"), col("c.doc_id").as("doc_id_2"))
-        .distinct()
+      val cand = lshCandidates(docs)
       val sets = docs.select(col("doc_id"), col("H"))
       cand
         .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")), "doc_id_1")
@@ -164,15 +188,7 @@ object Dedup {
           jaccard(col("H1"), col("H2")).as("jaccard"))
         .filter(col("jaccard") >= 0.7)
     },
-    Some(s"""WITH $shingleCtes,
-            | sigl AS (SELECT doc_id, list_transform(range(0, $NumHashes),
-            |   j -> $minhashSqlExpr) AS sig FROM ds WHERE len(H) > 0),
-            | bands AS (SELECT doc_id, t.b AS b, list_reduce(
-            |   sig[(b * $RowsPerBand + 1):(b * $RowsPerBand + $RowsPerBand)],
-            |   (x, y) -> (x * 31 + y) % $P) AS bh FROM sigl, range(0, $NumBands) t(b)),
-            | cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2
-            |   FROM bands a JOIN bands c
-            |   ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+    Some(s"""WITH $lshCandSqlCtes
             | SELECT * FROM (
             |   SELECT doc_id_1, doc_id_2,
             |     CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
@@ -236,6 +252,56 @@ object Dedup {
            |  CAST(len(list_intersect(d1.G, d2.G)) AS DOUBLE) /
            |  CAST(len(list_distinct(list_concat(d1.G, d2.G))) AS DOUBLE) AS jaccard
            | FROM g d1 JOIN g d2 ON d2.doc_id = d1.doc_id + 1""".stripMargin.replaceAll("\n", "")))
+
+  /** q66 — MinHash calibration report: over the LSH candidate pairs,
+    * compare the SIGNATURE-estimated Jaccard (fraction of the 16 MinHash
+    * components that agree — the unbiased estimator every MinHash
+    * deployment thresholds on) against the EXACT shingle Jaccard, bucketed
+    * by exact-Jaccard decile. This is the dedup twin of q60's ANN recall:
+    * it tells you what a signature threshold of, say, 12/16 actually means
+    * in true-Jaccard terms on YOUR corpus, i.e. whether 16 permutations
+    * are enough before you raise the near-dup cutoff.
+    *
+    * Scale shape: pairs come ONLY from [[lshCandidates]]' band equi-join;
+    * the estimator is 16 codegen'd column comparisons riding the existing
+    * signature join (no extra shuffle over q23's verify); the output is
+    * ≤ 11 buckets. Exact arithmetic: est is a multiple of 1/16 (power-of-
+    * two division, IEEE-exact), means go through [[Exact.davg]].
+    */
+  val qMinhashCalibration: QuerySpec = QuerySpec(
+    "q66_minhash_calibration",
+    (s, dir) => {
+      val docs = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val cand = lshCandidates(docs)
+      def side(n: Int) = docs.select(
+        col("doc_id").as(s"doc_id_$n") +: col("H").as(s"H$n") +:
+          (0 until NumHashes).map(j => col(s"mh$j").as(s"mh${j}_$n")): _*)
+      val est = (0 until NumHashes)
+        .map(j => when(col(s"mh${j}_1") === col(s"mh${j}_2"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(NumHashes.toDouble)
+      cand.join(side(1), "doc_id_1").join(side(2), "doc_id_2")
+        .select(est.as("est"), jaccard(col("H1"), col("H2")).as("ex"))
+        .groupBy(floor(col("ex") * 10).as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Exact.davg(col("est")).as("avg_est"),
+          Exact.davg(col("ex")).as("avg_exact"))
+    },
+    Some(s"""WITH $lshCandSqlCtes,
+            | pe AS (SELECT
+            |   CAST(len(list_filter(range(0, $NumHashes),
+            |     j -> s1.sig[CAST(j AS INT) + 1] = s2.sig[CAST(j AS INT) + 1])) AS DOUBLE)
+            |     / $NumHashes.0 AS est,
+            |   CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
+            |   CAST(len(list_distinct(list_concat(d1.H, d2.H))) AS DOUBLE) AS ex
+            |  FROM cand JOIN sigl s1 ON cand.doc_id_1 = s1.doc_id
+            |   JOIN sigl s2 ON cand.doc_id_2 = s2.doc_id
+            |   JOIN ds d1 ON cand.doc_id_1 = d1.doc_id
+            |   JOIN ds d2 ON cand.doc_id_2 = d2.doc_id)
+            | SELECT CAST(FLOOR(ex * 10) AS BIGINT) AS bucket, COUNT(*) AS n_pairs,
+            |  ${Exact.davgSql("est")} AS avg_est,
+            |  ${Exact.davgSql("ex")} AS avg_exact
+            | FROM pe GROUP BY 1""".stripMargin.replaceAll("\n", "")))
 
   /** q50 — duplicate-cluster collapse: connected components over the
     * verified LSH pair graph (q23), labeling every near-dup document
@@ -433,5 +499,5 @@ object Dedup {
 
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
-    qDupClusters, qSpanDedup)
+    qMinhashCalibration, qDupClusters, qSpanDedup)
 }

@@ -150,6 +150,54 @@ object TextAnalysis {
             |  ${PolyHash.oracleSql("chunk_str")} AS chunk_hash
             | FROM ch""".stripMargin.replaceAll("\n", "")))
 
+  /** q67 — TF-IDF keyword extraction: the 3 most characteristic terms per
+    * document, scored tf/df (term frequency × inverse document frequency
+    * with the corpus-size factor N dropped — N is constant per ranking,
+    * and the usual log damping uses `ln`, which is banned in gated
+    * queries because libm rounding differs across engines; tf/df is one
+    * integer-to-integer IEEE division, exact on both). Unique tiebreak on
+    * the term itself (corpus words are `[a-z0-9]` runs, so string order
+    * agrees between engines).
+    *
+    * Scale shape: df comes from a COUNT window over the (doc, term)
+    * aggregate partitioned by term — no separate vocabulary join, and the
+    * aggregate's map-side combine absorbs the token explosion before its
+    * single shuffle. Three exchanges total ((doc,term) agg → term window
+    * → doc window), each on a key whose cardinality grows with the
+    * corpus, so no single-partition choke point at 100 TB.
+    */
+  val qTfidf: QuerySpec = QuerySpec(
+    "q67_tfidf_keywords",
+    (s, dir) => {
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(wTerm))
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rk", row_number().over(wDoc).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+          col("score"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           |  FROM documents),
+           | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           |  WHERE len(term) > 0 GROUP BY doc_id, term),
+           | sc AS (SELECT doc_id, term, tf,
+           |   COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
+           | rk AS (SELECT doc_id, term, tf, df,
+           |   CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+           |     ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC)
+           |     AS BIGINT) AS rk FROM sc)
+           | SELECT doc_id, rk, term, tf, df, score FROM rk
+           | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
-    qChunking)
+    qChunking, qTfidf)
 }
