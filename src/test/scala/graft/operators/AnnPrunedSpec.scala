@@ -32,6 +32,41 @@ class AnnPrunedSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q60b sweep: every probe pruned, total partitions <= Σ nprobe, recall monotone to 1.0") {
+    // the union-of-aggregates plan goes adaptive, which hides the scans
+    // inside unexecuted query stages; pruning is a STATIC property of the
+    // literal isin partition filters, so assert it on the non-AQE plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (sweep, scans) =
+      try {
+        val df = Similarity.qAnnRecallSweep.build(spark, dir)
+        val ss = df.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec
+              if s.verboseStringWithSuffix(1000).toLowerCase.contains("graft_annclu") =>
+            s
+        }
+        (df, ss)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size == 4, s"expected 4 probe scans, got ${scans.size}")
+    scans.foreach(s => assert(s.partitionFilters.nonEmpty,
+      s"sweep probe scan carries no partition filter:\n$s"))
+    // each probe reads its own <= nprobe partitions; conservatively bound
+    // the sum by Σ {1,2,4,8} = 15 (of 4 × K = 32 unpruned)
+    val perScan = scans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, Nil).size)
+    assert(perScan.sum <= 15,
+      s"sweep scanned ${perScan.mkString("+")} partitions, expected Σ <= 15")
+
+    // nested probe sets → recall@10 is monotone nondecreasing, and
+    // nprobe = K = 8 scans every cluster → exact top-10 → recall 1.0
+    val rows = sweep.collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_._2).toSeq
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"nprobe = K must be exact, got ${recalls.last}")
+  }
+
   test("pruned-probe results are bit-identical to the full-scan q26b probe") {
     val pruned = Similarity.qAnnPruned.build(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
