@@ -342,7 +342,59 @@ object Corpus {
             |    AS BIGINT) AS pos
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
+  /** q68 — cross-language vocabulary overlap: per language pair, the two
+    * vocabulary sizes, the shared-word count, and the vocabulary Jaccard
+    * — the corpus-analytics signal for mislabeled language tags and
+    * cross-lingual leakage (two "different languages" sharing 90% of
+    * their vocabulary are one language, or one corpus bug). Pairs with
+    * zero shared words are absent (inner-join semantics) — the
+    * interesting signal is high overlap, not zero.
+    *
+    * Scale shape: the (lang, word) DISTINCT is one shuffle with map-side
+    * dedup; the intersection is an equi-join ON WORD (vocabulary-sized,
+    * both sides shrunk to distinct terms before the join — never a
+    * doc-level join); the per-language sizes ride in on a broadcast of a
+    * |langs|-row aggregate. Output is C(|langs|, 2) rows. The Jaccard is
+    * one integer-to-integer IEEE division, exact on both engines.
+    */
+  val qLangVocabOverlap: QuerySpec = QuerySpec(
+    "q68_lang_vocab_overlap",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct()
+      val sizes = v.groupBy(col("lang")).agg(count(lit(1)).as("vsize"))
+      v.alias("a")
+        .join(v.alias("b"),
+          col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_1"), col("b.lang").as("lang_2"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("lang").as("lang_1"), col("vsize").as("v1"))),
+          "lang_1")
+        .join(broadcast(sizes.select(col("lang").as("lang_2"), col("vsize").as("v2"))),
+          "lang_2")
+        .select(col("lang_1"), col("lang_2"), col("v1"), col("v2"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("v1") + col("v2") - col("n_common")).cast("double")).as("jaccard"))
+    },
+    Some("""WITH vf AS (SELECT DISTINCT lang, w FROM (
+           |   SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+           |  WHERE len(w) > 0),
+           | sizes AS (SELECT lang, COUNT(*) AS vsize FROM vf GROUP BY lang),
+           | common AS (SELECT a.lang AS lang_1, b.lang AS lang_2,
+           |   COUNT(*) AS n_common
+           |  FROM vf a JOIN vf b ON a.w = b.w AND a.lang < b.lang
+           |  GROUP BY 1, 2)
+           | SELECT lang_1, lang_2, s1.vsize AS v1, s2.vsize AS v2, n_common,
+           |  CAST(n_common AS DOUBLE) /
+           |  CAST(s1.vsize + s2.vsize - n_common AS DOUBLE) AS jaccard
+           | FROM common JOIN sizes s1 ON common.lang_1 = s1.lang
+           |  JOIN sizes s2 ON common.lang_2 = s2.lang""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
-    qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle)
+    qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
+    qLangVocabOverlap)
 }

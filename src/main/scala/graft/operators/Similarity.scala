@@ -475,10 +475,12 @@ object Similarity {
     * nprobe clearing the recall target; nprobe = K = 8 scans every
     * cluster, anchoring the curve at 1.0). Each probe reads ONLY its
     * nprobe partitions of the clustered-at-rest layout (q26c's pruned
-    * scan), so the sweep's total I/O is Σ nprobe/K of the corpus — at
-    * 100 TB that is 15/8 of one scan, not four full scans. The four
-    * single-row aggregates union into one 4-row result; the brute-force
-    * top-10 side is computed once and broadcast into every intersection.
+    * scan), so the sweep's total I/O is ONE exact scan (the brute-force
+    * top-10, collected to a 10-id literal — codebook-sized, like the
+    * centroid collects) plus Σ nprobe/K of the corpus for the probes —
+    * at 100 TB that is < 3 scans total where the naive form (a bf
+    * subplan unioned into every branch) re-runs the exact scan 4×. The
+    * four single-row aggregates union into one 4-row result.
     */
   private val SweepNprobes = Seq(1, 2, 4, 8)
   val qAnnRecallSweep: QuerySpec = QuerySpec(
@@ -496,16 +498,16 @@ object Similarity {
           (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
         }
         .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
-      val bf = q19CosineTopK.build(s, dir).select(col("vec_id"))
+      val bfIds = q19CosineTopK.build(s, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       SweepNprobes.map { n =>
-        val ivf = s.table(table)
+        s.table(table)
           .filter(col("cid").isin(ranked.take(n): _*))
           .select(col("vec_id"),
             Exact.cosineFromQuantized(col("qe"), typedlit(q)).as("cs"))
           .orderBy(col("cs").desc, col("vec_id"))
           .limit(10)
-          .select(col("vec_id"))
-        bf.join(ivf, Seq("vec_id"))
+          .filter(col("vec_id").isin(bfIds: _*))
           .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
           .select(lit(n).as("nprobe"), col("recall_at_10"))
       }.reduce(_ union _)
