@@ -303,6 +303,46 @@ object Dedup {
             |  ${Exact.davgSql("ex")} AS avg_exact
             | FROM pe GROUP BY 1""".stripMargin.replaceAll("\n", "")))
 
+  /** q69 — per-source duplicate rate: for every source, the fraction of
+    * its documents participating in at least one verified near-dup pair
+    * (q23) — the dedup-analytics rollup that tells you WHICH feed is
+    * flooding the corpus with boilerplate before you debug it doc by
+    * doc. Pairs need no transitive closure here (membership, not
+    * clusters), so the oracle stays non-recursive.
+    *
+    * Scale shape: the near-dup id set (union of both pair columns,
+    * distinct) is far smaller than the corpus, so its join back onto
+    * documents broadcasts; the rollup is one aggregate on the tiny
+    * source key. The rate is one integer-to-integer IEEE division.
+    */
+  val qDupRate: QuerySpec = QuerySpec(
+    "q69_dup_rate",
+    (s, dir) => {
+      val pairs = qLshPairs.build(s, dir)
+      val dup = pairs.select(col("doc_id_1").as("doc_id"))
+        .union(pairs.select(col("doc_id_2").as("doc_id")))
+        .distinct()
+        .withColumn("is_dup", lit(1))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(broadcast(dup), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("is_dup")).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          (col("n_dup").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+    },
+    Some(s"""WITH pairs AS (${qLshPairs.oracle.get}),
+            | dup AS (SELECT DISTINCT doc_id FROM (
+            |   SELECT doc_id_1 AS doc_id FROM pairs
+            |   UNION ALL SELECT doc_id_2 FROM pairs))
+            | SELECT source, COUNT(*) AS n_docs,
+            |  COUNT(dup.doc_id) AS n_dup,
+            |  CAST(COUNT(dup.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            |    AS dup_rate
+            | FROM documents LEFT JOIN dup ON documents.doc_id = dup.doc_id
+            | GROUP BY source""".stripMargin.replaceAll("\n", "")))
+
   /** q50 — duplicate-cluster collapse: connected components over the
     * verified LSH pair graph (q23), labeling every near-dup document
     * with the minimum doc_id of its component. This is the production
@@ -499,5 +539,5 @@ object Dedup {
 
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
-    qMinhashCalibration, qDupClusters, qSpanDedup)
+    qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup)
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import graft.functions.Exact
 import org.apache.spark.sql.functions._
 
 /** Data profiling: the validation pass every ingest pipeline runs before
@@ -40,5 +41,55 @@ object Profiling {
            | MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
            | FROM orders""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qProfile)
+  /** q70 — embedding-quality report: the vector-side validation pass —
+    * row count, degenerate (all-zero / null / empty) vectors, dimension
+    * consistency, and the norm range. Zero vectors make cosine NaN
+    * ([[graft.functions.VectorOps]] fails fast on them in the ANN path),
+    * so catching them AT INGEST, in one scan, is what keeps a bad
+    * embedding drop from aborting a 100 TB index build hours in.
+    *
+    * One whole-stage-codegen'd pass: the self-dot is the native [[QDot]]
+    * on [[Exact.quantize]]d fixed-point (an exact integer — zero iff the
+    * quantized vector is zero on BOTH engines); norm = one sqrt + one
+    * divide (IEEE-exact); the mean norm goes through [[Exact.davg]].
+    */
+  val qEmbeddingQuality: QuerySpec = QuerySpec(
+    "q70_embedding_quality",
+    (s, dir) => {
+      val qe = Exact.quantize(col("embedding"))
+      val selfDot = Exact.qdot(qe, qe)
+      val norm = sqrt(selfDot.cast("double")) / 1000000.0d
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), selfDot.as("sd"), norm.as("norm"),
+          size(col("embedding")).as("dim"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          count(when(col("sd").isNull, 1)).as("n_degenerate"),
+          count(when(col("sd") === 0L, 1)).as("n_zero"),
+          countDistinct(col("dim")).cast("long").as("n_dims"),
+          min(col("dim")).cast("long").as("min_dim"),
+          max(col("dim")).cast("long").as("max_dim"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"),
+          Exact.davg(col("norm")).as("avg_norm"))
+    },
+    Some {
+      val qe = Exact.quantizeSql("embedding")
+      val sd = Exact.qdotSql("qe", "qe")
+      s"""WITH e AS (SELECT vec_id, $qe AS qe, len(embedding) AS dim
+         |  FROM embeddings),
+         | n AS (SELECT vec_id, dim, $sd AS sd,
+         |   sqrt(CAST($sd AS DOUBLE)) / 1000000.0 AS norm FROM e)
+         | SELECT COUNT(*) AS n_vecs,
+         |  COUNT(CASE WHEN sd IS NULL THEN 1 END) AS n_degenerate,
+         |  COUNT(CASE WHEN sd = 0 THEN 1 END) AS n_zero,
+         |  CAST(COUNT(DISTINCT dim) AS BIGINT) AS n_dims,
+         |  CAST(MIN(dim) AS BIGINT) AS min_dim,
+         |  CAST(MAX(dim) AS BIGINT) AS max_dim,
+         |  MIN(norm) AS min_norm, MAX(norm) AS max_norm,
+         |  ${Exact.davgSql("norm")} AS avg_norm
+         | FROM n""".stripMargin.replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] = Seq(qProfile, qEmbeddingQuality)
 }
