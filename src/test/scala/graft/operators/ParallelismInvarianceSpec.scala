@@ -24,7 +24,13 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
   }
 
   for (q <- Seq(Relational.q9Agg, Similarity.qEmbedNearDup,
-      Relational.q39Percentiles)) {
+      Relational.q39Percentiles,
+      // round-8 additions: davg buckets (q66), window-derived df ranking
+      // (q67), vocab-join Jaccard (q68), broadcast dup rollup (q69),
+      // one-pass norm stats (q70)
+      Dedup.qMinhashCalibration, TextAnalysis.qTfidf,
+      Corpus.qLangVocabOverlap, Dedup.qDupRate,
+      Profiling.qEmbeddingQuality)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
