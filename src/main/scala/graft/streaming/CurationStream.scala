@@ -85,7 +85,11 @@ object CurationStream {
       store: SignatureStore.Store, checkpointDir: String,
       onBatch: DataFrame => Unit,
       onFlagged: DataFrame => Unit = _ => (),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery = {
+    // heal a compaction swap a PREVIOUS run crashed mid-rename before the
+    // first batch probes the store — the replayed-compact self-heal only
+    // fires on compaction batches, but batch 0 probes immediately
+    SignatureStore.recover(spark, store)
     curate(docs, keepText = true)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -115,4 +119,5 @@ object CurationStream {
         } finally b.unpersist()
       }
       .start()
+  }
 }

@@ -44,7 +44,11 @@ object EmbeddingStream {
   def startIncremental(spark: SparkSession, emb: DataFrame, table: String,
       checkpointDir: String,
       onFlagged: DataFrame => Unit = _ => (),
-      compactEvery: Int = 0): StreamingQuery =
+      compactEvery: Int = 0): StreamingQuery = {
+    // heal a compaction swap a PREVIOUS run crashed mid-rename before the
+    // first batch probes the index — the replayed-compact self-heal only
+    // fires on compaction batches, but batch 0 probes immediately
+    EmbeddingIndex.recover(spark, table)
     emb
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -65,4 +69,5 @@ object EmbeddingStream {
         } finally b.unpersist()
       }
       .start()
+  }
 }

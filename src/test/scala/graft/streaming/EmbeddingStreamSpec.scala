@@ -100,4 +100,46 @@ class EmbeddingStreamSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
     assert(fromIndex == fromRaw)
   }
+
+  test("startIncremental heals a crashed compaction swap before the first probe") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = corpus()
+    val table = emptyIndex(s"heal${System.nanoTime()}")
+    val (first, second) = all.splitAt(250)
+    EmbeddingIndex.appendFresh(spark, table, first.toDF("vec_id", "embedding"))
+    val rows = spark.table(table).count()
+
+    // simulate the crash window inside compact: the _compact twin is
+    // fully materialized, the canonical table already dropped — a fresh
+    // run's FIRST batch probes before any compaction batch could heal it
+    spark.table(table).write
+      .bucketBy(EmbeddingIndex.Buckets, "band", "bh").sortBy("band", "bh")
+      .mode("overwrite").saveAsTable(s"${table}_compact")
+    graft.sources.Bucketed.dropStale(spark, table)
+    assert(!spark.catalog.tableExists(table), "crash state: canonical gone")
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-embheal-").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val flagged = ArrayBuffer.empty[(Long, Long)]
+    val query = EmbeddingStream.startIncremental(spark,
+      input.toDS().toDF("vec_id", "embedding"), table, ckpt,
+      onFlagged = v => flagged.synchronized {
+        flagged ++= v.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    try {
+      input.addData(second)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    assert(spark.catalog.tableExists(table), "open path adopted the twin")
+    assert(!spark.catalog.tableExists(s"${table}_compact"))
+    assert(spark.table(table).count() > rows, "batch appended after healing")
+    val fromIndex = EmbeddingIndex.pairs(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val fromRaw = Similarity.qEmbedNearDup.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(fromIndex == fromRaw,
+      "healed + streamed index must equal the batch build")
+  }
 }
