@@ -228,5 +228,50 @@ object Multimodal {
          | FROM rs""".stripMargin.replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames, qFeatures)
+  /** q71 — the REAL codec, gated: per-document synthetic "videos" (two
+    * concatenated binary-P6 frames whose pixel bytes derive from
+    * (doc_id, frame, position)) round-trip through [[PpmEncoder]]-style
+    * serialization and the REAL [[PpmDecoder]] — actual header parsing,
+    * frame splitting, and pixel fingerprints, not the stub. The oracle
+    * recomputes each fingerprint from the generation formula (the same
+    * value by construction instead of by decoding), so the gate holds
+    * iff the encode→decode→hash path preserves every pixel byte: any
+    * header mis-parse, frame mis-split, or signed-byte slip shifts the
+    * hash. q32/q36/q41 keep gating the stub-backed PLUMBING; this gates
+    * the CODEC.
+    *
+    * Same scale shape as the other multimodal passes: one
+    * `mapPartitions` (the codec seam — per-partition decoder init),
+    * map-only, no shuffle.
+    */
+  val qPpmDecode: QuerySpec = QuerySpec(
+    "q71_ppm_decode",
+    (s, dir) => {
+      import s.implicits._
+      val (w, h, nFrames) = (4, 4, 2)
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          PpmDecoder.open()
+          it.flatMap { id =>
+            val payload = Array.concat((0 until nFrames).map { f =>
+              Ppm.encodeFrame(w, h, Array.tabulate(w * h * 3)(k =>
+                ((id * 31 + f * 17 + k) % 256).toByte))
+            }: _*)
+            val m = MediaRow(id, payload)
+            val meta = PpmDecoder.decode(m)
+            (0L until meta.n_frames).map(f =>
+              (id, f, meta.width, meta.height, PpmDecoder.frameHash(m, f)))
+          }
+        }
+        .toDF("doc_id", "frame_idx", "width", "height", "frame_fp")
+    },
+    Some(s"""SELECT doc_id, f AS frame_idx,
+            |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+            |  list_reduce(
+            |    list_transform(range(0, 48), k -> (doc_id * 31 + f * 17 + k) % 256),
+            |    (x, y) -> (x * 31 + y) % ${PolyHash.P}) AS frame_fp
+            | FROM documents, range(0, 2) t(f)""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames, qFeatures, qPpmDecode)
 }
