@@ -442,11 +442,28 @@ object Dedup {
     // its storage NOW — returning the persisted plan would pin the last
     // generation until the ContextCleaner eventually noticed, long
     // after the caller consumed the result
-    val out = java.nio.file.Files.createTempDirectory("graft-cc-")
+    val out = java.nio.file.Files.createTempDirectory(ccScratchRoot, "cc-")
       .resolve("labels").toString
     labels.write.mode("overwrite").parquet(out)
     labelsRdd.unpersist(blocking = false)
     (s.read.parquet(out), iter)
+  }
+
+  /** One JVM-scoped scratch root for the CC label flushes, deleted
+    * recursively on exit — per-call temp dirs with no owner would
+    * accumulate a full label set per q50/q33c execution across
+    * gate/bench cycles.
+    */
+  private lazy val ccScratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-")
+    sys.addShutdownHook {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm))
+        p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    root
   }
 
   val qDupClusters: QuerySpec = QuerySpec(

@@ -78,9 +78,14 @@ object Ppm {
       // exactly ONE whitespace byte separates the header from the pixels
       require(p4 < bytes.length && isWs(bytes(p4)), "truncated PPM header")
       val off = p4 + 1
-      val len = w * h * 3
-      require(off + len <= bytes.length,
-        s"truncated PPM pixel block: need $len bytes at $off, have ${bytes.length}")
+      // Long product: an Int `w * h * 3` overflows on a crafted header
+      // (e.g. 1431655766×1 wraps to 2), silently decoding a tiny pixel
+      // block — the exact "corruption becomes wrong features" failure
+      // this parser promises to fail fast on
+      val lenL = w.toLong * h * 3L
+      require(off + lenL <= bytes.length,
+        s"truncated PPM pixel block: need $lenL bytes at $off, have ${bytes.length}")
+      val len = lenL.toInt
       out += Frame(w, h, off, len)
       pos = off + len
     }

@@ -67,6 +67,20 @@ object Similarity {
   private def dotL(a: Seq[Long], b: Seq[Long]): Long =
     a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
 
+  /** The query's centroid ranking (cosine desc, cid asc), driver-side
+    * over the tiny codebook — the ONE definition of the probe order,
+    * shared by q26b/q26c/q60b so the cosine convention and tiebreak stay
+    * in lockstep with the oracle's ROW_NUMBER ordering.
+    */
+  private def rankedCentroids(cents: Seq[Seq[Long]], q: Seq[Long]): Seq[Int] = {
+    val qn = math.sqrt(dotL(q, q).toDouble)
+    cents.zipWithIndex
+      .map { case (cq, cid) =>
+        (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
+      }
+      .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+  }
+
   /** DuckDB band-hash over `qe` for the band variable `bv` (a BIGINT
     * column from `range(0, NumBands)`). Lambda vars `i`/`d` are distinct
     * from each other and from `bv` (the documented shadowing gotcha).
@@ -352,12 +366,7 @@ object Similarity {
       val cents = ensureTrained(s, dir)
       val q = emb.filter(col("vec_id") === 0).select(col("qe"))
         .head().getSeq[Long](0)
-      val qn = math.sqrt(dotL(q, q).toDouble)
-      val probeCids = cents.zipWithIndex
-        .map { case (cq, cid) =>
-          (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
-        }
-        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1).toSet
+      val probeCids = rankedCentroids(cents, q).take(2).toSet
       emb.withColumn("cid", NearestCentroid(col("qe"), cents))
         .filter(col("cid").isin(probeCids.toSeq: _*))
         .select(col("vec_id"),
@@ -421,12 +430,7 @@ object Similarity {
         .filter(col("vec_id") === 0)
         .select(Exact.quantize(col("embedding")).as("qe"))
         .head().getSeq[Long](0)
-      val qn = math.sqrt(dotL(q, q).toDouble)
-      val probeCids = cents.zipWithIndex
-        .map { case (cq, cid) =>
-          (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
-        }
-        .sortBy { case (cid, c) => (-c, cid) }.take(2).map(_._1)
+      val probeCids = rankedCentroids(cents, q).take(2)
       s.table(table)
         .filter(col("cid").isin(probeCids: _*))
         .select(col("vec_id"),
@@ -492,12 +496,7 @@ object Similarity {
         .filter(col("vec_id") === 0)
         .select(Exact.quantize(col("embedding")).as("qe"))
         .head().getSeq[Long](0)
-      val qn = math.sqrt(dotL(q, q).toDouble)
-      val ranked = cents.zipWithIndex
-        .map { case (cq, cid) =>
-          (cid, dotL(cq, q).toDouble / (math.sqrt(dotL(cq, cq).toDouble) * qn))
-        }
-        .sortBy { case (cid, c) => (-c, cid) }.map(_._1)
+      val ranked = rankedCentroids(cents, q)
       val bfIds = q19CosineTopK.build(s, dir)
         .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
       SweepNprobes.map { n =>

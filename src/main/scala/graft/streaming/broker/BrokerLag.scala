@@ -22,10 +22,11 @@ object BrokerLag {
     val ends = InMemoryBroker.topic(topic).endOffsets
     val processed = Option(query.lastProgress).toSeq
       .flatMap(_.sources.toSeq)
-      // EXACT description match: a contains-check on "topic=events" also
-      // matches "topic=events2" and merges a different topic's offsets
-      // into this lag map
-      .filter(s => Option(s.description).contains(s"graft-broker topic=$topic"))
+      // EXACT description match (the shared format definition): a
+      // contains-check on "topic=events" also matches "topic=events2"
+      // and merges a different topic's offsets into this lag map
+      .filter(s => Option(s.description)
+        .contains(BrokerSourceProvider.sourceDescription(topic)))
       .flatMap(s => BrokerOffsets.fromJson(s.endOffset).parts)
       .toMap
     ends.map { case (p, e) => p -> math.max(e - processed.getOrElse(p, 0L), 0L) }

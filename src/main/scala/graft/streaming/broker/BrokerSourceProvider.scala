@@ -67,6 +67,17 @@ final class BrokerSourceProvider extends TableProvider with DataSourceRegister {
     new BrokerTable(schema, properties.get("topic"))
 }
 
+object BrokerSourceProvider {
+  /** The ONE streaming-progress source-description format. BrokerLag
+    * matches `SourceProgress.description` against this string EXACTLY
+    * (equality, not substring — "topic=events" must not match
+    * "topic=events2"), so every producer of the description and its one
+    * consumer share this definition: change it here or lag reporting
+    * silently sees an empty processed map.
+    */
+  def sourceDescription(topic: String): String = s"graft-broker topic=$topic"
+}
+
 final class BrokerTable(schema: StructType, topic: String)
     extends Table with SupportsRead {
 
@@ -84,7 +95,8 @@ final class BrokerScan(schema: StructType, topic: String,
 
   override def build(): Scan = this
   override def readSchema(): StructType = schema
-  override def description(): String = s"graft-broker topic=$topic"
+  override def description(): String =
+    BrokerSourceProvider.sourceDescription(topic)
 
   override def toBatch: Batch = new BrokerBatch(schema, topic)
 
@@ -125,8 +137,10 @@ final class BrokerMicroBatchStream(schema: StructType, topic: String,
   private def log = InMemoryBroker.topic(topic)
 
   // the streaming-progress source description (SourceProgress.description
-  // is this toString) — BrokerLag keys off the `topic=` fragment
-  override def toString: String = s"graft-broker topic=$topic"
+  // is this toString) — BrokerLag matches it EXACTLY, via the one shared
+  // format definition
+  override def toString: String =
+    BrokerSourceProvider.sourceDescription(topic)
 
   // a fresh subscription starts at every partition's log head; restarts
   // never come here (the engine deserializes the checkpointed cursors)

@@ -36,7 +36,9 @@ class AnnPrunedSpec extends AnyFunSuite with SparkTestSession {
     // the union-of-aggregates plan goes adaptive, which hides the scans
     // inside unexecuted query stages; pruning is a STATIC property of the
     // literal isin partition filters, so assert it on the non-AQE plan
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
     val (sweep, scans) =
       try {
         val df = Similarity.qAnnRecallSweep.build(spark, dir)
@@ -46,7 +48,10 @@ class AnnPrunedSpec extends AnyFunSuite with SparkTestSession {
             s
         }
         (df, ss)
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      } finally aqePrior match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
     assert(scans.size == 4, s"expected 4 probe scans, got ${scans.size}")
     scans.foreach(s => assert(s.partitionFilters.nonEmpty,
       s"sweep probe scan carries no partition filter:\n$s"))

@@ -69,6 +69,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     intercept[IllegalArgumentException] {
       PpmDecoder.decode(MediaRow(5L, video.dropRight(3)))
     }
+    // crafted dimensions whose Int product wraps (1431655766*1*3 = 2,
+    // 715827883*1*3 = -2147483647): both must fail the Long-product
+    // truncation guard, not silently decode a tiny block or walk pos
+    // backwards into an ArrayIndexOutOfBounds
+    intercept[IllegalArgumentException] {
+      PpmDecoder.decode(MediaRow(6L,
+        "P6\n1431655766 1\n255\n".getBytes ++ Array[Byte](0, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      PpmDecoder.decode(MediaRow(7L,
+        "P6\n715827883 1\n255\n".getBytes ++ Array[Byte](0, 0)))
+    }
   }
 
   test("PPM encoder extracts fixed-point chunk-mean features from real pixels") {
