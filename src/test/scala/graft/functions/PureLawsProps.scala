@@ -59,6 +59,23 @@ object PureLawsProps extends Properties("graft.pure") {
         resizeFit(ow, oh, 320L, 240L) == ((ow, oh))
     }
 
+  property("PPM encode->parse round-trips every frame and pixel byte") =
+    Prop.forAll(
+      Gen.choose(1, 8), Gen.choose(1, 8),
+      Gen.choose(1, 3), Gen.long) { (w, h, nFrames, seed) =>
+      import graft.operators.Ppm
+      val rnd = new scala.util.Random(seed)
+      val frames = Seq.fill(nFrames)(
+        Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+      val payload = Array.concat(frames.map(Ppm.encodeFrame(w, h, _)): _*)
+      val parsed = Ppm.frames(payload)
+      parsed.length == nFrames &&
+        parsed.forall(f => f.width == w && f.height == h) &&
+        parsed.zip(frames).forall { case (f, rgb) =>
+          payload.slice(f.offset, f.offset + f.length).sameElements(rgb)
+        }
+    }
+
   property("workload diff laws hold for arbitrary sets") =
     Prop.forAll(Gen.listOf(Gen.choose(0, 30)), Gen.listOf(Gen.choose(0, 30))) {
       (req, ex) =>
