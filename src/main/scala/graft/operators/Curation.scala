@@ -169,5 +169,55 @@ object Curation {
         .replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters)
+  /** q72 — curation yield curve: corpus survival rate at each candidate
+    * stop-ratio cutoff (the pipeline's tuning knob — `maxStopRatio` in
+    * q33 / `CurationStream.curate`), with the length bounds held at the
+    * production values. THE report a curation team runs before moving
+    * the knob: "0.4 keeps 61%, 0.5 keeps 74%" is the difference between
+    * a data-starved run and a noisy one, and at 100 TB you cannot afford
+    * one full pass per candidate value.
+    *
+    * Scale shape: ONE scan — the per-doc quality metrics (the same
+    * [[TextMetrics]] definition the filters use, so the curve can never
+    * fork from the gate) are computed once, the candidate thresholds ride
+    * in as an exploded 5-element literal (map-side ×5 row expansion), and
+    * the per-threshold counts collapse through map-side partial
+    * aggregation on the 5-key groupBy. NULL stop_ratio (zero-word docs)
+    * fails every cutoff on both engines.
+    */
+  private val YieldThresholds = Seq(0.2, 0.3, 0.4, 0.5, 0.6)
+  val qQualityYield: QuerySpec = QuerySpec(
+    "q72_quality_yield",
+    (s, dir) => {
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("n_chars"),
+          TextMetrics.stopRatio(words, stops).as("stop_ratio"))
+        .select(col("n_chars"), col("stop_ratio"),
+          explode(typedlit(YieldThresholds)).as("max_stop_ratio"))
+        .groupBy(col("max_stop_ratio"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("n_chars") >= 50 && col("n_chars") <= 10000
+            && col("stop_ratio") < col("max_stop_ratio"), 1)).as("n_pass"))
+        .select(col("max_stop_ratio"), col("n_docs"), col("n_pass"),
+          (col("n_pass").cast("double") / col("n_docs").cast("double"))
+            .as("yield_rate"))
+    },
+    Some(s"""WITH s AS (SELECT n_chars,
+            |   ${TextMetrics.stopRatioSql("text")} AS stop_ratio
+            |  FROM documents),
+            | x AS (SELECT CAST(t.t AS DOUBLE) AS max_stop_ratio, s.*
+            |  FROM s, (VALUES ${YieldThresholds.map(t => s"($t)").mkString(",")}) t(t))
+            | SELECT max_stop_ratio, COUNT(*) AS n_docs,
+            |  COUNT(CASE WHEN n_chars >= 50 AND n_chars <= 10000
+            |    AND stop_ratio < max_stop_ratio THEN 1 END) AS n_pass,
+            |  CAST(COUNT(CASE WHEN n_chars >= 50 AND n_chars <= 10000
+            |    AND stop_ratio < max_stop_ratio THEN 1 END) AS DOUBLE) /
+            |  CAST(COUNT(*) AS DOUBLE) AS yield_rate
+            | FROM x GROUP BY max_stop_ratio""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
+    qQualityYield)
 }
