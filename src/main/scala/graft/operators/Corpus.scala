@@ -342,6 +342,46 @@ object Corpus {
             |    AS BIGINT) AS pos
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
+  /** q73 — shard-balance audit for the training shuffle: the used-shard
+    * count, size range, mean, and imbalance ratio (max/mean) of q62's
+    * deterministic 4096-way sharding. THE straggler check before a
+    * training run: one hot shard = one task pinning the whole epoch, so
+    * the layout step ships with its own balance report. Integer-exact
+    * until two final IEEE divisions (mean = Σn/used; imbalance expressed
+    * as max·used/Σn — one integer product, one division — so both
+    * engines agree bitwise).
+    *
+    * Scale shape: shard assignment is the same map-side hash-mod as q62;
+    * per-shard counts collapse through map-side combine on the 4096-key
+    * groupBy; the report is one single-row aggregate over ≤ 4096 rows.
+    */
+  val qShardBalance: QuerySpec = QuerySpec(
+    "q73_shard_balance",
+    (s, dir) => {
+      val h = PolyHash(concat(lit("shuffle|"), col("doc_id").cast("string")))
+      Tables.load(s, dir, "documents")
+        .select(pmod(h, lit(4096L)).as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_shards_used"),
+          min(col("n")).as("min_size"),
+          max(col("n")).as("max_size"),
+          (sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_size"),
+          ((max(col("n")) * count(lit(1))).cast("double") /
+            sum(col("n")).cast("double")).as("imbalance"))
+    },
+    Some(s"""WITH t AS (SELECT
+            |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")}
+            |     % 4096 AS shard FROM documents),
+            | g AS (SELECT shard, COUNT(*) AS n FROM t GROUP BY shard)
+            | SELECT COUNT(*) AS n_shards_used, MIN(n) AS min_size,
+            |  MAX(n) AS max_size,
+            |  CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_size,
+            |  CAST(MAX(n) * COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+            |    AS imbalance
+            | FROM g""".stripMargin.replaceAll("\n", "")))
+
   /** q68 — cross-language vocabulary overlap: per language pair, the two
     * vocabulary sizes, the shared-word count, and the vocabulary Jaccard
     * — the corpus-analytics signal for mislabeled language tags and
@@ -396,5 +436,5 @@ object Corpus {
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
-    qLangVocabOverlap)
+    qShardBalance, qLangVocabOverlap)
 }
