@@ -13,12 +13,21 @@ import java.nio.file.{Files, Paths}
   * measure scan cost only. Failures are reported explicitly (negative
   * timing + an `errors` map) instead of masquerading as fast runs.
   *
-  * Each query is run `SPARK_GRAFT_BENCH_REPS` times (default 3) and the
-  * MEDIAN is recorded. A single timed run charges whole-stage-codegen
+  * Each query is timed `SPARK_GRAFT_BENCH_REPS` times (default 3) and
+  * the MEDIAN is recorded. A single timed run charges whole-stage-codegen
   * JIT compile — a once-per-executor-lifetime cost — to the query (q42's
   * 17-expression projection measured 3.5 s on run 1 vs 0.31 s steady),
   * manufacturing fake regressions in the gate artifact. The median of 3
   * discards the compile-heavy first run and one outlier.
+  *
+  * The reps are INTERLEAVED — whole passes over the suite, not
+  * back-to-back runs of one query — because host-interference bursts
+  * last seconds: three consecutive reps of a sub-second query fit inside
+  * one burst and ALL come out slow (q49 measured [0.70, 0.77, 0.96]
+  * against a 0.2 s norm with zero code delta — a uniformly shifted band
+  * indistinguishable from a real regression). Passes put ~30 s between a
+  * query's reps, so a burst poisons at most one of them and the median
+  * recovers.
   *
   * The artifact also carries each query's per-rep `[min, median, max]`
   * (`"spread"`): a wide min–max band with a near-baseline min reads as
@@ -34,6 +43,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, so set at session build: the default 100-entry
+      // generated-class cache evicts between interleaved passes (78
+      // queries × several codegen units each), recompiling every pass
+      // and inflating sub-second medians ~40%
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,30 +76,38 @@ object Bench {
     graft.operators.Similarity.ensureClustered(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val headline = Queries.all.filter(_.headline)
+    val runs = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    Queries.all.filter(_.headline).foreach { q =>
-      val runs = scala.collection.mutable.ArrayBuffer[Double]()
-      try {
-        var i = 0
-        while (i < reps) {
-          val t0 = System.nanoTime()
-          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-          runs += (System.nanoTime() - t0) / 1e9
-          i += 1
+    headline.foreach(q => runs(q.name) = scala.collection.mutable.ArrayBuffer[Double]())
+    var rep = 0
+    while (rep < reps) {
+      headline.foreach { q =>
+        if (!errors.contains(q.name)) {
+          try {
+            val t0 = System.nanoTime()
+            q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            runs(q.name) += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          }
         }
-        val sorted = runs.sorted
+      }
+      rep += 1
+    }
+    headline.foreach { q =>
+      if (errors.contains(q.name) || runs(q.name).isEmpty) timings(q.name) = -1.0
+      else {
+        val sorted = runs(q.name).sorted
         // lower median: 3 reps → true median; 2 reps → the faster run
         // (the slower one carries the one-time codegen compile)
         timings(q.name) = sorted((sorted.size - 1) / 2)
         spreads(q.name) =
           Seq(sorted.head, sorted((sorted.size - 1) / 2), sorted.last)
-      } catch {
-        case e: Throwable =>
-          timings(q.name) = -1.0
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
       }
     }
 
