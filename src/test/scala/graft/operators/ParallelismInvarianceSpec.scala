@@ -30,7 +30,8 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // one-pass norm stats (q70)
       Dedup.qMinhashCalibration, TextAnalysis.qTfidf,
       Corpus.qLangVocabOverlap, Dedup.qDupRate,
-      Profiling.qEmbeddingQuality)) {
+      Profiling.qEmbeddingQuality, Curation.qQualityYield,
+      Corpus.qShardBalance)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
