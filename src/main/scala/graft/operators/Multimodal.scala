@@ -1,27 +1,28 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.PolyHash
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media treated as opaque BINARY columns with
   * typed metadata, decoded/feature-extracted in batched partition passes.
   *
-  * For the GATED queries the decode is a deterministic fake that derives
-  * metadata from the bytes ([[StubDecoder.decode]]) — the testdata corpus
-  * is text, and the stub keeps the gate SQL-oracle-checkable. A REAL
-  * pure-JVM codec exists behind the same seam ([[PpmDecoder]] /
-  * [[PpmEncoder]]: binary PPM parsing, per-frame pixel fingerprints,
-  * chunk-mean features), proving the contract carries an actual decoder;
-  * heavier codecs (JPEG, audio) are the same injection, with native libs.
+  * The GATED queries run the REAL pure-JVM codec ([[PpmDecoder]] /
+  * [[PpmEncoder]]: binary PPM header parsing, frame splitting, per-frame
+  * pixel fingerprints, chunk-mean features) over deterministic synthetic
+  * "videos" ([[Ppm.syntheticVideo]]) — the testdata corpus is text, so
+  * the media BYTES are generated from `doc_id` by a closed-form pixel
+  * formula, which keeps every decoded value SQL-oracle-checkable: the
+  * oracle recomputes metadata and fingerprints from the generation
+  * formula, so the gate holds iff encode → decode → sample → resize →
+  * fingerprint preserves every pixel byte. Heavier codecs (JPEG, audio)
+  * are the same injection seam, with native libs.
+  *
   * Everything around the decoder is the real Spark shape: a typed
   * `Dataset[MediaRow]`, `mapPartitions` so a decoder amortizes per-batch
   * init (codec contexts, model weights) across a whole partition, and
-  * scalar metadata columns out.
-  *
-  * The media bytes here are the documents' UTF-8 text (the only corpus in
-  * the testdata), which keeps the whole path oracle-checkable in SQL.
+  * scalar metadata columns out. Map-only, no shuffle — the 100 TB cost
+  * is per-row JVM decode, embarrassingly parallel.
   */
 object Multimodal {
 
@@ -34,7 +35,7 @@ object Multimodal {
 
   /** The decode contract a real deployment injects: [[open]] runs once
     * per partition (codec contexts, native libs, model weights), then
-    * [[decode]]/[[frameHash]] per row. Swapping in a real codec is a
+    * [[decode]]/[[frameHashes]] per row. Swapping in another codec is a
     * constructor argument, not an edit to the pipeline.
     */
   trait MediaDecoder extends Serializable {
@@ -42,36 +43,21 @@ object Multimodal {
     def open(): Unit = ()
     def decode(m: MediaRow): MediaMeta
     /** Fingerprint of frame `frameIdx` (a real implementation hashes the
-      * decoded frame's pixels; the stub hashes the payload + index).
+      * decoded frame's pixels).
       */
     def frameHash(m: MediaRow, frameIdx: Long): Long
-  }
-
-  object StubDecoder extends MediaDecoder {
-    /** STUB: a real implementation would decode the container/codec here
-      * (e.g. JPEG dimensions, audio duration). The fake derives
-      * deterministic pseudo-dimensions from a content hash so the pipeline
-      * is exercised end-to-end and SQL-oracle-checkable.
+    /** Fingerprints for a batch of frames of ONE document. Override when
+      * per-frame access re-does per-document work (container parsing):
+      * the default delegates per index, which is fine only when
+      * [[frameHash]] is O(1) per call.
       */
-    override def decode(m: MediaRow): MediaMeta = {
-      val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
-      MediaMeta(
-        doc_id = m.doc_id,
-        n_bytes = m.media.length.toLong,
-        width = h % 1920L,
-        height = h % 1080L,
-        n_frames = m.media.length.toLong / 100L + 1L)
-    }
-
-    override def frameHash(m: MediaRow, frameIdx: Long): Long = {
-      val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
-      (h * 31L + frameIdx) % PolyHash.P
-    }
+    def frameHashes(m: MediaRow, frameIdxs: Seq[Long]): Seq[Long] =
+      frameIdxs.map(frameHash(m, _))
   }
 
   /** The partition-batched decode pass: one decoder init per partition. */
   def decodeAll(media: Dataset[MediaRow],
-      decoder: MediaDecoder = StubDecoder): Dataset[MediaMeta] = {
+      decoder: MediaDecoder): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       decoder.open() // per-partition codec/model init
@@ -105,39 +91,72 @@ object Multimodal {
     * ONE partition pass (a real video pipeline decodes once and samples
     * inline — never "decode all frames, then filter"). Output is bounded:
     * ≤ maxFrames rows per doc regardless of media length, so the explode
-    * can never amplify a 100 TB corpus unboundedly.
+    * can never amplify a 100 TB corpus unboundedly. Frame fingerprints go
+    * through the decoder's BATCHED [[MediaDecoder.frameHashes]] so a
+    * container-parsing codec stays linear in frame count (a per-frame
+    * `frameHash` loop would re-parse the payload per sampled frame).
     */
   def sampleFrames(media: Dataset[MediaRow], maxFrames: Int,
-      decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
+      decoder: MediaDecoder, maxW: Long = 320L, maxH: Long = 240L): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       decoder.open() // per-partition codec/model init
       it.flatMap { m =>
         val meta = decoder.decode(m)
         val stride = (meta.n_frames + maxFrames - 1) / maxFrames // ceil → ≤ maxFrames rows
-        val (ow, oh) = resizeFit(meta.width, meta.height, 320L, 240L)
-        (0L until meta.n_frames by stride).iterator.map { i =>
-          FrameRow(m.doc_id, i, ow, oh, decoder.frameHash(m, i))
+        val (ow, oh) = resizeFit(meta.width, meta.height, maxW, maxH)
+        val idxs = (0L until meta.n_frames by stride).toSeq
+        idxs.iterator.zip(decoder.frameHashes(m, idxs).iterator).map {
+          case (i, fh) => FrameRow(m.doc_id, i, ow, oh, fh)
         }
       }
     }
   }
 
+  // ---- deterministic synthetic media over the documents table ------------
+  // Per-document P6 "video" whose shape and pixel bytes are closed forms
+  // of doc_id — the generation the oracles recompute:
+  //   w = doc_id % 8 + 2   (2..9)
+  //   h = doc_id % 5 + 2   (2..6)
+  //   nf = doc_id % 13 + 1 (1..13 frames; > 8 exercises strided sampling)
+  //   pixel k of frame f = (doc_id*31 + f*17 + k) % 256
+  private[graft] def mediaDims(id: Long): (Int, Int, Int) =
+    ((id % 8 + 2).toInt, (id % 5 + 2).toInt, (id % 13 + 1).toInt)
+
+  /** The documents table as a media corpus: one synthetic multi-frame P6
+    * payload per doc_id. Generation is map-side (a closed form of the
+    * id), so the gated queries measure the codec, not a data source.
+    */
+  private[graft] def syntheticMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, nf) = mediaDims(id)
+        MediaRow(id, Ppm.syntheticVideo(id, w, h, nf))
+      })
+  }
+
+  // oracle fragment: per-doc generation parameters
+  private val dimsSql =
+    "SELECT doc_id, doc_id % 8 + 2 AS w, doc_id % 5 + 2 AS h," +
+      " doc_id % 13 + 1 AS nf FROM documents"
+
+  /** q32 — REAL-codec decode: every document's payload is parsed by
+    * [[PpmDecoder]] (header tokens, frame splitting, dimension checks) and
+    * the surfaced metadata is oracle-checked against the generation's
+    * closed form — `n_bytes` includes the per-frame ASCII header, so a
+    * header mis-parse or frame mis-split fails the gate.
+    */
   val qMultimodal: QuerySpec = QuerySpec(
     "q32_multimodal",
-    (s, dir) => {
-      import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-        .as[MediaRow]
-      decodeAll(media).toDF()
-    },
-    Some(s"""SELECT doc_id,
-            | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-            | ${PolyHash.oracleSql("text")} % 1920 AS width,
-            | ${PolyHash.oracleSql("text")} % 1080 AS height,
-            | CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS n_frames
-            | FROM documents""".stripMargin.replaceAll("\n", "")))
+    (s, dir) => decodeAll(syntheticMedia(s, dir), PpmDecoder).toDF(),
+    Some(s"""WITH m AS ($dimsSql)
+            | SELECT doc_id,
+            |  CAST(nf * (9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+            |    + w * h * 3) AS BIGINT) AS n_bytes,
+            |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            |  CAST(nf AS BIGINT) AS n_frames
+            | FROM m""".stripMargin.replaceAll("\n", "")))
 
   /** One extracted feature vector, fixed-point (the engine's similarity
     * operators run on quantized integer vectors anyway — see
@@ -155,19 +174,8 @@ object Multimodal {
     def extract(m: MediaRow, dim: Int): MediaFeatures
   }
 
-  /** STUB encoder: deterministic `dim` fixed-point features derived from
-    * the content hash, so the full pipeline stays SQL-oracle-checkable.
-    */
-  object StubEncoder extends MediaEncoder {
-    override def extract(m: MediaRow, dim: Int): MediaFeatures = {
-      val h = PolyHash.hash(new String(m.media, java.nio.charset.StandardCharsets.UTF_8))
-      MediaFeatures(m.doc_id,
-        Array.tabulate(dim)(j => (h * 31L + j) % PolyHash.P - (PolyHash.P / 2)))
-    }
-  }
-
   def extractFeatures(media: Dataset[MediaRow], dim: Int,
-      encoder: MediaEncoder = StubEncoder): Dataset[MediaFeatures] = {
+      encoder: MediaEncoder): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       encoder.open() // per-partition model init
@@ -175,70 +183,65 @@ object Multimodal {
     }
   }
 
-  /** Q41 — feature extraction, exploded to scalar rows (like q22) so the
-    * oracle compare never depends on array encodings.
+  /** Q41 — REAL-codec feature extraction: [[PpmEncoder]]'s chunk-mean
+    * fixed-point features over every decoded pixel byte, exploded to
+    * scalar rows (like q22) so the oracle compare never depends on array
+    * encodings. The oracle regenerates each pixel byte from the closed
+    * form and aggregates the same integer chunk means — one flipped bit
+    * anywhere in decode shifts a chunk sum and fails the hash.
     */
   val qFeatures: QuerySpec = QuerySpec(
     "q41_media_features",
-    (s, dir) => {
-      import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-        .as[MediaRow]
-      extractFeatures(media, dim = 8).toDF()
+    (s, dir) =>
+      extractFeatures(syntheticMedia(s, dir), dim = 8, PpmEncoder).toDF()
         .select(col("doc_id"), posexplode(col("qfeat")))
-        .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("qf"))
-    },
-    Some(s"""SELECT doc_id, t.j AS j,
-            | (${PolyHash.oracleSql("text")} * 31 + t.j) % ${PolyHash.P}
-            |   - ${PolyHash.P / 2} AS qf
-            | FROM documents, range(0, 8) t(j)""".stripMargin.replaceAll("\n", "")))
+        .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("qf")),
+    Some(s"""WITH m AS ($dimsSql),
+            | px0 AS (SELECT doc_id, w, h, nf,
+            |   unnest(range(0, nf * w * h * 3)) AS g FROM m),
+            | px AS (SELECT doc_id, (g * 8) // (nf * w * h * 3) AS j,
+            |   (doc_id * 31 + (g // (w * h * 3)) * 17 + (g % (w * h * 3))) % 256 AS v
+            |  FROM px0)
+            | SELECT doc_id, j, CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT) AS qf
+            | FROM px GROUP BY doc_id, j""".stripMargin.replaceAll("\n", "")))
 
-  /** Q36 — the full multimodal extract pipeline: decode → strided frame
-    * sample (≤ 8 frames/doc) → aspect-fit resize to 320×240 → per-frame
-    * fingerprint.
+  /** Q36 — the full REAL-codec pipeline: decode → strided frame sample
+    * (≤ 8 frames/doc) → aspect-fit resize → per-frame pixel fingerprint.
+    * The fit box is (6, 4) so both resize branches run against the
+    * synthetic dimensions (w ≤ 9, h ≤ 6): small frames pass through,
+    * larger ones scale with the floor+clamp arithmetic the oracle
+    * replicates. Fingerprints hash the DECODED pixel block ([[Ppm]]'s
+    * byte fold), recomputed by the oracle from the generation formula.
     */
   val qFrames: QuerySpec = QuerySpec(
     "q36_frames",
-    (s, dir) => {
-      import s.implicits._
-      val media = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("media"))
-        .as[MediaRow]
-      sampleFrames(media, maxFrames = 8).toDF()
-    },
-    Some {
-      val h = PolyHash.oracleSql("text")
-      s"""WITH meta AS (SELECT doc_id, $h AS h,
-         |   $h % 1920 AS w, $h % 1080 AS ht,
-         |   CAST(octet_length(encode(text)) AS BIGINT) // 100 + 1 AS nf
-         |  FROM documents),
-         | rs AS (SELECT *, CASE
-         |    WHEN w = 0 OR ht = 0 THEN 0
-         |    WHEN w <= 320 AND ht <= 240 THEN w
-         |    ELSE greatest(1, CAST(floor(w * least(320.0 / w, 240.0 / ht)) AS BIGINT)) END AS out_w,
-         |   CASE
-         |    WHEN w = 0 OR ht = 0 THEN 0
-         |    WHEN w <= 320 AND ht <= 240 THEN ht
-         |    ELSE greatest(1, CAST(floor(ht * least(320.0 / w, 240.0 / ht)) AS BIGINT)) END AS out_h
-         |  FROM meta)
-         | SELECT doc_id, unnest(range(0, nf, (nf + 7) // 8)) AS frame_idx,
-         |  out_w, out_h, (h * 31 + unnest(range(0, nf, (nf + 7) // 8)))
-         |    % ${PolyHash.P} AS frame_hash
-         | FROM rs""".stripMargin.replaceAll("\n", "")
-    })
+    (s, dir) =>
+      sampleFrames(syntheticMedia(s, dir), maxFrames = 8, PpmDecoder,
+        maxW = 6L, maxH = 4L).toDF(),
+    Some(s"""WITH m AS ($dimsSql),
+            | rs AS (SELECT *, CASE WHEN w <= 6 AND h <= 4 THEN w
+            |    ELSE greatest(1, CAST(floor(w * least(6.0 / w, 4.0 / h)) AS BIGINT)) END AS out_w,
+            |   CASE WHEN w <= 6 AND h <= 4 THEN h
+            |    ELSE greatest(1, CAST(floor(h * least(6.0 / w, 4.0 / h)) AS BIGINT)) END AS out_h
+            |  FROM m),
+            | fr AS (SELECT doc_id, w, h, out_w, out_h,
+            |   unnest(range(0, nf, (nf + 7) // 8)) AS frame_idx FROM rs)
+            | SELECT doc_id, frame_idx, out_w, out_h,
+            |  list_reduce(list_transform(range(0, w * h * 3),
+            |    k -> (doc_id * 31 + frame_idx * 17 + k) % 256),
+            |   (x, y) -> (x * 31 + y) % ${graft.functions.PolyHash.P}) AS frame_hash
+            | FROM fr""".stripMargin.replaceAll("\n", "")))
 
-  /** q71 — the REAL codec, gated: per-document synthetic "videos" (two
-    * concatenated binary-P6 frames whose pixel bytes derive from
-    * (doc_id, frame, position)) round-trip through [[PpmEncoder]]-style
-    * serialization and the REAL [[PpmDecoder]] — actual header parsing,
-    * frame splitting, and pixel fingerprints, not the stub. The oracle
-    * recomputes each fingerprint from the generation formula (the same
-    * value by construction instead of by decoding), so the gate holds
-    * iff the encode→decode→hash path preserves every pixel byte: any
-    * header mis-parse, frame mis-split, or signed-byte slip shifts the
-    * hash. q32/q36/q41 keep gating the stub-backed PLUMBING; this gates
-    * the CODEC.
+  /** q71 — the codec ROUND-TRIP gate on fixed-shape payloads: 4×4 2-frame
+    * videos through [[Ppm.encodeFrame]] and back through the real
+    * [[PpmDecoder]] — header parsing, frame splitting, batched pixel
+    * fingerprints. The oracle recomputes each fingerprint from the
+    * generation formula (the same value by construction instead of by
+    * decoding), so the gate holds iff the encode→decode→hash path
+    * preserves every pixel byte: any header mis-parse, frame mis-split,
+    * or signed-byte slip shifts the hash. q32/q36/q41 gate the codec
+    * inside the full pipelines over varying shapes; this is the minimal
+    * isolated round-trip.
     *
     * Same scale shape as the other multimodal passes: one
     * `mapPartitions` (the codec seam — per-partition decoder init),
@@ -248,19 +251,16 @@ object Multimodal {
     "q71_ppm_decode",
     (s, dir) => {
       import s.implicits._
-      val (w, h, nFrames) = (4, 4, 2)
       Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions { it =>
           PpmDecoder.open()
           it.flatMap { id =>
-            val payload = Array.concat((0 until nFrames).map { f =>
-              Ppm.encodeFrame(w, h, Array.tabulate(w * h * 3)(k =>
-                ((id * 31 + f * 17 + k) % 256).toByte))
-            }: _*)
-            val m = MediaRow(id, payload)
+            val m = MediaRow(id, Ppm.syntheticVideo(id, 4, 4, 2))
             val meta = PpmDecoder.decode(m)
-            (0L until meta.n_frames).map(f =>
-              (id, f, meta.width, meta.height, PpmDecoder.frameHash(m, f)))
+            val idxs = 0L until meta.n_frames
+            idxs.zip(PpmDecoder.frameHashes(m, idxs)).map { case (f, fp) =>
+              (id, f, meta.width, meta.height, fp)
+            }
           }
         }
         .toDF("doc_id", "frame_idx", "width", "height", "frame_fp")
@@ -269,7 +269,7 @@ object Multimodal {
             |  CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
             |  list_reduce(
             |    list_transform(range(0, 48), k -> (doc_id * 31 + f * 17 + k) % 256),
-            |    (x, y) -> (x * 31 + y) % ${PolyHash.P}) AS frame_fp
+            |    (x, y) -> (x * 31 + y) % ${graft.functions.PolyHash.P}) AS frame_fp
             | FROM documents, range(0, 2) t(f)""".stripMargin
       .replaceAll("\n", "")))
 

@@ -9,12 +9,12 @@ import graft.functions.PolyHash
   * makes a "video" just a byte concatenation — so decode → strided frame
   * sample → resize → per-frame fingerprint runs on real pixel bytes.
   *
-  * The [[Multimodal.StubDecoder]] stays the default for the GATED
-  * queries (the testdata corpus is text, and the stub keeps the gate
-  * SQL-oracle-checkable); this codec proves the seam carries a real
-  * decoder: same contract, same partition-batched pipelines, real
-  * parsing with fail-fast corruption handling (media corruption must
-  * not silently become wrong features — the vector-guard convention).
+  * This IS the gated decoder: q32/q36/q41/q71 run it over deterministic
+  * [[syntheticVideo]] payloads (the testdata corpus is text, so media
+  * bytes are generated from `doc_id` by a closed form the oracles
+  * recompute) — same contract, partition-batched pipelines, real parsing
+  * with fail-fast corruption handling (media corruption must not
+  * silently become wrong features — the vector-guard convention).
   */
 object Ppm {
 
@@ -29,6 +29,17 @@ object Ppm {
       s"rgb length ${rgb.length} != $w x $h x 3")
     s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ rgb
   }
+
+  /** Deterministic multi-frame "video": `nFrames` concatenated P6 frames
+    * where pixel byte k of frame f is `(docId*31 + f*17 + k) % 256` — the
+    * closed form the gated oracles recompute, so encode → decode →
+    * fingerprint is checkable without ever shipping media bytes to SQL.
+    */
+  def syntheticVideo(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    Array.concat((0 until nFrames).map { f =>
+      encodeFrame(w, h, Array.tabulate(w * h * 3)(k =>
+        ((docId * 31 + f * 17 + k) % 256).toByte))
+    }: _*)
 
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\r' || b == '\t'
@@ -124,6 +135,20 @@ object PpmDecoder extends Multimodal.MediaDecoder {
   override def frameHash(m: Multimodal.MediaRow, frameIdx: Long): Long = {
     val f = Ppm.frames(m.media)(frameIdx.toInt)
     Ppm.hashBytes(m.media, f.offset, f.length)
+  }
+
+  /** Batched fingerprints parse the container ONCE: the per-index
+    * [[frameHash]] re-runs [[Ppm.frames]] per call, which is O(F²) header
+    * scans over a real multi-frame video — the pipelines go through this
+    * entry point.
+    */
+  override def frameHashes(m: Multimodal.MediaRow,
+      frameIdxs: Seq[Long]): Seq[Long] = {
+    val fs = Ppm.frames(m.media)
+    frameIdxs.map { i =>
+      val f = fs(i.toInt)
+      Ppm.hashBytes(m.media, f.offset, f.length)
+    }
   }
 }
 

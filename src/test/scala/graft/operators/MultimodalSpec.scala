@@ -83,6 +83,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("batched frameHashes ≡ per-index frameHash, parsing the container once") {
+    val m = MediaRow(9L, Ppm.syntheticVideo(9L, 3, 2, 5))
+    val idxs = Seq(0L, 2L, 4L)
+    assert(PpmDecoder.frameHashes(m, idxs) == idxs.map(PpmDecoder.frameHash(m, _)))
+  }
+
+  test("synthetic video matches the closed form the gated oracles recompute") {
+    val (w, h, nf) = Multimodal.mediaDims(42L) // 42%8+2=4, 42%5+2=4, 42%13+1=4
+    assert((w, h, nf) == (4, 4, 4))
+    val m = MediaRow(42L, Ppm.syntheticVideo(42L, w, h, nf))
+    val meta = PpmDecoder.decode(m)
+    assert(meta == MediaMeta(42L, nf.toLong * (11 + w * h * 3), w.toLong, h.toLong, nf.toLong))
+    // frame 3's fingerprint from the formula, independent of the parser
+    val expected = (0 until w * h * 3).map(k => (42L * 31 + 3 * 17 + k) % 256)
+      .reduceLeft((a, b) => (a * 31 + b) % 2147483647L)
+    assert(PpmDecoder.frameHash(m, 3L) == expected)
+  }
+
   test("PPM encoder extracts fixed-point chunk-mean features from real pixels") {
     import spark.implicits._
     val px = Array.tabulate(2 * 2 * 3)(i => i.toByte) // bytes 0..11
