@@ -74,6 +74,8 @@ object Bench {
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
     graft.operators.Similarity.ensureTrained(spark, sfDir)
     graft.operators.Similarity.ensureClustered(spark, sfDir)
+    graft.operators.ProductQuant.ensureTrained(spark, sfDir)
+    graft.operators.ProductQuant.ensureCodes(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val headline = Queries.all.filter(_.headline)

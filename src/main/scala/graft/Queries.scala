@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Curation, Dedup, Multimodal, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Multimodal, ProductQuant, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.{Bucketed, EmbeddingIndex}
 
 /** The full gated query registry: every entry is an implemented operator
@@ -9,7 +9,7 @@ import graft.sources.{Bucketed, EmbeddingIndex}
   */
 object Queries {
   val all: Seq[QuerySpec] =
-    Relational.specs ++ Similarity.specs ++ Dedup.specs ++
+    Relational.specs ++ Similarity.specs ++ ProductQuant.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
       Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs ++
       EmbeddingIndex.specs

@@ -330,7 +330,7 @@ object Similarity {
     * and for the empty-cluster fallback — so inlining would blow up
     * exponentially). Ends with centroids in `c$TrainIters`.
     */
-  private def trainSqlCtes: String = {
+  private[graft] def trainSqlCtes: String = {
     val sb = new StringBuilder(
       s"e AS MATERIALIZED (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe" +
         " FROM embeddings), " +
