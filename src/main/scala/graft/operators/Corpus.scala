@@ -433,8 +433,108 @@ object Corpus {
            |  JOIN sizes s2 ON common.lang_2 = s2.lang""".stripMargin
       .replaceAll("\n", "")))
 
+  // ---- BPE merge training -------------------------------------------------
+
+  /** Merge steps learned by q75 — small enough for an unrolled oracle,
+    * large enough that later merges build on earlier merged tokens.
+    */
+  private[graft] val BpeMergeSteps = 8
+
+  /** q75 — BPE vocabulary training: learn the first [[BpeMergeSteps]]
+    * byte-pair merges over the corpus word vocabulary — the tokenizer-
+    * training step of a training-data pipeline. Each step counts
+    * adjacent symbol pairs (weighted by word frequency), takes the most
+    * frequent pair (ties → lexicographic smallest), and merges every
+    * occurrence.
+    *
+    * Representation is the trick that keeps both engines bit-identical:
+    * a word's symbol sequence is a STRING with every symbol bracketed
+    * (`low` → `[l][o][w]`), so applying merge (l, r) is a literal string
+    * replace of `[l][r]` with `[lr]` — Spark's `replace` and DuckDB's
+    * scan left-to-right non-overlapping, which is exactly BPE's greedy
+    * leftmost application, and adjacent occurrences never share a
+    * delimiter (unlike space-joined tokens) so `[a][b][a][b]` merges
+    * BOTH pairs. Tokens are guarded to `^[a-z]+$` (identical under Java
+    * regex and RE2) so the brackets can never collide with content.
+    *
+    * Scale shape: the iteration state is the VOCABULARY (distinct words
+    * × frequency — the corpus-size-independent summary every BPE
+    * trainer uses), persisted once; each step is one distributed
+    * pair-count aggregation (explode adjacent pairs → partial agg →
+    * shuffle on the pair) and a driver collect of exactly ONE row (the
+    * argmax — the same tiny-scalar collect as the k-means codebooks).
+    * The per-element `transform` lambda runs interpreted, but over
+    * vocab-sized data (thousands of rows at 100 TB), never the corpus.
+    * The oracle unrolls the same steps as MATERIALIZED CTEs (the
+    * iterative-oracle rule).
+    */
+  val qBpeMerges: QuerySpec = QuerySpec(
+    "q75_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      val vocab0 = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .as[(String, Long)]
+        .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }
+        .toDF("ws", "freq")
+        .persist()
+      try {
+        var cur = vocab0
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (step <- 1 to BpeMergeSteps) {
+          val top = cur
+            .select(col("freq"),
+              split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\[").as("tk"))
+            .filter(size(col("tk")) > 1)
+            .select(col("freq"), explode(expr(
+              "transform(sequence(1, size(tk) - 1)," +
+                " i -> struct(element_at(tk, i) AS lhs, element_at(tk, i + 1) AS rhs))"))
+              .as("pr"))
+            .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+            .agg(sum(col("freq")).as("cnt"))
+            .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+            .limit(1).collect().head
+          val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((step.toLong, l, r, cnt))
+          cur = cur.withColumn("ws",
+            expr(s"replace(ws, '[$l][$r]', '[$l$r]')"))
+        }
+        merges.result().toDF("step", "lhs", "rhs", "pair_count")
+      } finally vocab0.unpersist()
+    },
+    Some {
+      val steps = (1 to BpeMergeSteps).map { k =>
+        val prev = s"v${k - 1}"
+        s""" m$k AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs,
+           |   CAST(SUM(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(
+           |     range(1, greatest(len(tk) - 1, 0) + 1),
+           |     i -> [tk[i], tk[i + 1]])) AS pr
+           |   FROM (SELECT freq, string_split(ws[2:length(ws) - 1], '][') AS tk
+           |    FROM $prev))
+           |  GROUP BY pr[1], pr[2] ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+           | v$k AS MATERIALIZED (SELECT
+           |   replace(ws, '[' || lhs || '][' || rhs || ']',
+           |     '[' || lhs || rhs || ']') AS ws, freq
+           |  FROM $prev, m$k)""".stripMargin
+      }.mkString(",")
+      val out = (1 to BpeMergeSteps).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM m$k"
+      }.mkString(" UNION ALL ")
+      s"""WITH v0 AS MATERIALIZED (SELECT
+         |   list_reduce(list_transform(range(1, length(w) + 1),
+         |     i -> '[' || w[i] || ']'), (x, y) -> x || y) AS ws, freq
+         |  FROM (SELECT w, COUNT(*) AS freq
+         |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |   WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)),
+         |$steps
+         | $out""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
-    qShardBalance, qLangVocabOverlap)
+    qShardBalance, qLangVocabOverlap, qBpeMerges)
 }
