@@ -218,6 +218,96 @@ object Curation {
             |  CAST(COUNT(*) AS DOUBLE) AS yield_rate
             | FROM x GROUP BY max_stop_ratio""".stripMargin.replaceAll("\n", "")))
 
+  // ---- URL/domain curation ------------------------------------------------
+
+  /** Multi-label public suffixes the domain extractor recognizes — the
+    * stand-in for the public-suffix list a production pipeline broadcasts
+    * (tiny, read-only, shipped to every task as literals).
+    */
+  private val MultiPartSuffixes = Seq("co.uk")
+
+  /** Domains excluded from the training corpus (the broadcast blocklist);
+    * `site5.com` never occurs in the synthetic URLs — an absent entry the
+    * anti-join must pass through unharmed.
+    */
+  private val Blocklist =
+    Seq("site2.com", "site7.org", "site10.net", "site13.co.uk", "site5.com")
+
+  /** q76 — URL/domain extraction + blocklist filter: the source-level
+    * curation step between crawl and text cleaning. The testdata carries
+    * no URL column, so each document gets a deterministic synthetic URL
+    * (scheme/subdomain/site/TLD/path all closed forms of doc_id — the
+    * q71 pattern), which is then parsed back REGEX-FREE: scheme and path
+    * split off with `split_part`/literal-separator `split` (identical
+    * semantics in Spark and DuckDB — no Java-vs-RE2 divergence surface),
+    * host labels reduced to the REGISTRABLE domain (last two labels,
+    * or three under a multi-label public suffix like `co.uk`), and the
+    * result anti-joined against a broadcast blocklist before per-domain
+    * counting.
+    *
+    * Scale shape: generation + parsing + suffix logic are pure map-side
+    * column expressions; the blocklist is a broadcast anti-join (never a
+    * shuffle of the corpus side); the only exchange is the final count
+    * on ~100 distinct domains.
+    */
+  val qDomainBlocklist: QuerySpec = QuerySpec(
+    "q76_domain_blocklist",
+    (s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 5 === 0, lit("http://")).otherwise(lit("https://")),
+        when(id % 3 === 0, lit("www."))
+          .when(id % 3 === 1, lit(""))
+          .otherwise(lit("cdn.assets.")),
+        lit("site"), (id % 50).cast("string"),
+        when(id % 4 === 0, lit(".com"))
+          .when(id % 4 === 1, lit(".org"))
+          .when(id % 4 === 2, lit(".net"))
+          .otherwise(lit(".co.uk")),
+        lit("/p/"), id.cast("string"), lit("?ref="), col("source"))
+      val host = element_at(split(element_at(split(col("url"), "://"), 2), "/"), 1)
+      val lb = split(col("host"), "\\.")
+      val lastTwo = concat(element_at(col("lb"), -2), lit("."),
+        element_at(col("lb"), -1))
+      val domain = MultiPartSuffixes.foldLeft(lastTwo) { (acc, suf) =>
+        when(size(col("lb")) >= 3 && lastTwo === suf,
+          concat(element_at(col("lb"), -3), lit("."), lastTwo)).otherwise(acc)
+      }
+      val blocked = s.createDataFrame(Blocklist.map(Tuple1(_)))
+        .toDF("domain")
+      Tables.load(s, dir, "documents")
+        .select(id, col("source"))
+        .withColumn("url", url)
+        .withColumn("host", host)
+        .withColumn("lb", lb)
+        .withColumn("domain", domain)
+        .join(broadcast(blocked), Seq("domain"), "left_anti")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some {
+      val bl = Blocklist.map(d => s"'$d'").mkString("[", ",", "]")
+      s"""WITH u AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 5 = 0 THEN 'http://' ELSE 'https://' END ||
+         |   CASE WHEN doc_id % 3 = 0 THEN 'www.'
+         |    WHEN doc_id % 3 = 1 THEN '' ELSE 'cdn.assets.' END ||
+         |   'site' || CAST(doc_id % 50 AS VARCHAR) ||
+         |   CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.org'
+         |    WHEN doc_id % 4 = 2 THEN '.net' ELSE '.co.uk' END ||
+         |   '/p/' || CAST(doc_id AS VARCHAR) || '?ref=' || source AS url
+         |  FROM documents),
+         | h AS (SELECT doc_id,
+         |   string_split(split_part(split_part(url, '://', 2), '/', 1), '.') AS lb
+         |  FROM u),
+         | d AS (SELECT doc_id, CASE WHEN len(lb) >= 3
+         |     AND lb[-2] || '.' || lb[-1] = 'co.uk'
+         |    THEN lb[-3] || '.' || lb[-2] || '.' || lb[-1]
+         |    ELSE lb[-2] || '.' || lb[-1] END AS domain FROM h)
+         | SELECT domain, COUNT(*) AS n_docs FROM d
+         | WHERE domain NOT IN (SELECT unnest($bl))
+         | GROUP BY domain""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield)
+    qQualityYield, qDomainBlocklist)
 }
