@@ -21,12 +21,13 @@ import org.apache.spark.sql.types.StructType
 final class BrokerTopic(val spark: SparkSession, val name: String,
     schema: StructType, numPartitions: Int = 4,
     keyColumn: Option[String] = None,
-    logDir: Option[String] = None) extends Topic {
+    logDir: Option[String] = None,
+    fsync: Boolean = false) extends Topic {
 
   private val envelopeSchema: StructType = schema
     .add("topic", "string").add("deliveries", "int").add("not_before", "long")
 
-  InMemoryBroker.createTopic(name, envelopeSchema, numPartitions, logDir)
+  InMemoryBroker.createTopic(name, envelopeSchema, numPartitions, logDir, fsync)
 
   // keyed producer (Pulsar keyed/KeyShared, Kafka keyed records): route
   // every row by hash(key) so same-key entries share a partition and
@@ -81,10 +82,12 @@ final class BrokerTopic(val spark: SparkSession, val name: String,
 object BrokerTopic {
   /** `logDir` makes the topic durable (see [[InMemoryBroker.createTopic]]):
     * a fresh process re-creating the topic over the same directory
-    * resumes from the checkpointed subscription cursor.
+    * resumes from the checkpointed subscription cursor. `fsync` upgrades
+    * durability from process-crash to OS-crash (a device sync per
+    * append — see [[InMemoryBroker.TopicLog]] for the tradeoff).
     */
   def create(spark: SparkSession, name: String, schema: StructType,
       numPartitions: Int = 4, keyColumn: Option[String] = None,
-      logDir: Option[String] = None): BrokerTopic =
-    new BrokerTopic(spark, name, schema, numPartitions, keyColumn, logDir)
+      logDir: Option[String] = None, fsync: Boolean = false): BrokerTopic =
+    new BrokerTopic(spark, name, schema, numPartitions, keyColumn, logDir, fsync)
 }

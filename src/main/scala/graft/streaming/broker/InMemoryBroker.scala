@@ -46,9 +46,22 @@ object InMemoryBroker {
   /** One topic: `numPartitions` append-only partition logs, each with
     * dense offsets [0, endOffset(p)). With a `logDir`, each partition
     * log is mirrored to `logDir/part-N.log` and replayed on open.
+    *
+    * Durability levels (`fsync`):
+    *  - `false` (default): every append is flushed to the OS — survives
+    *    PROCESS crashes (kill -9), not an OS/power crash that loses the
+    *    page cache. This matches a broker configured without journal
+    *    fsync, and is what the replay/torn-tail specs exercise.
+    *  - `true`: `FileChannel.force(false)` after every append — the
+    *    bookie-journal default of the reference's Pulsar/BookKeeper
+    *    stack: an acknowledged append survives an OS crash too, at the
+    *    cost of a device sync per commit (orders of magnitude slower on
+    *    spinning/virtualized disks; group-commit batching is the
+    *    standard mitigation and falls out of per-batch appends here).
     */
   final class TopicLog(val topic: String, val schema: StructType,
-      val numPartitions: Int, logDir: Option[File] = None) {
+      val numPartitions: Int, logDir: Option[File] = None,
+      fsync: Boolean = false) {
     require(numPartitions > 0, s"topic '$topic' needs >= 1 partition")
 
     private val parts = Array.fill(numPartitions)(ArrayBuffer.empty[Row])
@@ -62,7 +75,7 @@ object InMemoryBroker {
     // before the append stream opens — without that, a block appended
     // after a torn fragment would sit at a misaligned offset and poison
     // every later replay.
-    private val partFiles: Array[Option[DataOutputStream]] =
+    private val partStreams: Array[Option[FileOutputStream]] =
       logDir match {
         case None => Array.fill(numPartitions)(None)
         case Some(dir) =>
@@ -76,9 +89,11 @@ object InMemoryBroker {
                 try raf.setLength(validLen) finally raf.close()
               }
             }
-            Some(new DataOutputStream(new FileOutputStream(f, true)))
+            Some(new FileOutputStream(f, true))
           }
       }
+    private val partFiles: Array[Option[DataOutputStream]] =
+      partStreams.map(_.map(new DataOutputStream(_)))
 
     /** Replays complete blocks into `into`; returns the byte length of
       * the valid prefix (everything past it is a torn/corrupt tail).
@@ -123,6 +138,10 @@ object InMemoryBroker {
       out.writeInt(bytes.size())
       bytes.writeTo(out)
       out.flush()
+      // opt-in OS-crash durability: force data (not metadata — the file
+      // is append-only, so size recovery rides the torn-tail truncation)
+      // to the device before the append is acknowledged
+      if (fsync) partStreams(p).foreach(_.getChannel.force(false))
     }
 
     /** Release file handles (process shutdown / registry eviction). The
@@ -225,14 +244,14 @@ object InMemoryBroker {
     * cursors pointing into them) survive process restarts.
     */
   def createTopic(name: String, schema: StructType, numPartitions: Int = 4,
-      logDir: Option[String] = None): TopicLog =
+      logDir: Option[String] = None, fsync: Boolean = false): TopicLog =
     // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk twice
     // under a race, and a losing DURABLE TopicLog would leave its append
     // streams open forever (topic creation is rare topology setup — the
     // hot paths, append/slice/endOffsets, never take this lock)
     synchronized {
       topics.getOrElseUpdate(name,
-        new TopicLog(name, schema, numPartitions, logDir.map(new File(_))))
+        new TopicLog(name, schema, numPartitions, logDir.map(new File(_)), fsync))
     }
 
   def topic(name: String): TopicLog =

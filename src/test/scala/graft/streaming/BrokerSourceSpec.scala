@@ -244,6 +244,33 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
       "restart across the process boundary must resume, not replay or fail")
   }
 
+  test("an fsync'd durable topic appends, replays, and resumes identically") {
+    import spark.implicits._
+    // fsync changes WHEN bytes hit the device, never WHAT is written:
+    // the log format, offsets, and replay must be byte-compatible with
+    // the flush-only default (same files, same truncation rules)
+    val name = s"fsync-${System.nanoTime()}"
+    val logDir = java.nio.file.Files.createTempDirectory("graft-broker-fsync-").toString
+    def open(): BrokerTopic = BrokerTopic.create(spark, name,
+      Payloads.payloadSchema, logDir = Some(logDir), fsync = true)
+
+    val topic1 = open()
+    topic1.publishSeed(Seq(("a", 0), ("b", 0), ("c", 0)).toDF("name", "numPublishes"))
+    val endsBefore = InMemoryBroker.topic(name).endOffsets
+    assert(endsBefore.values.sum == 3L)
+
+    // process boundary: a flush-only reopen over the same directory must
+    // replay the fsync'd log bit-identically (and vice versa — the on-
+    // disk format carries no durability-mode marker)
+    InMemoryBroker.deleteTopic(name)
+    val topic2 = BrokerTopic.create(spark, name,
+      Payloads.payloadSchema, logDir = Some(logDir))
+    assert(InMemoryBroker.topic(name).endOffsets == endsBefore)
+    assert(topic2.readAll().select("name").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b", "c"))
+    InMemoryBroker.deleteTopic(name)
+  }
+
   test("consumer lag reports per-partition backlog and drains to zero") {
     import spark.implicits._
     import graft.streaming.broker.BrokerLag
