@@ -113,14 +113,21 @@ object Bench {
       }
     }
 
+    // streaming throughput legs AFTER the timed batch region (their
+    // micro-batch churn must not interleave with batch reps); failures
+    // surface in the errors map, never kill the artifact
+    val (streamMetrics, streamErrors) = StreamBench.run(spark)
+    streamErrors.foreach { case (k, v) => errors(s"stream_$k") = v }
+
     val ok = timings.filter(_._2 >= 0)
     val qs = timings.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) =>
       s""""$k":${v.mkString("[", ",", "]")}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val st = streamMetrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"errors":$es,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$sp,"streaming":$st,"errors":$es,"reps":$reps,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
     // the contract line, printed last so it is the final stdout line
     println(line)

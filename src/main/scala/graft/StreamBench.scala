@@ -1,0 +1,117 @@
+package graft
+
+import graft.streaming.{OrderedProcessor, Payloads, RepublishPipeline}
+import graft.streaming.broker.{BrokerTopic, InMemoryBroker}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** Streaming throughput measurement for the per-round bench artifact:
+  * the batch suite alone would let a regression in the broker admission
+  * path, the republish loop, or the ordered-processor state machinery go
+  * unnoticed by the driver gates (the specs assert floors, not trends).
+  *
+  * Two legs, both on DURABLE broker topics (the production-shaped path —
+  * every append flows through the per-partition file mirror):
+  *
+  *  - `republish_rows_per_sec`: the part-2 process→republish→ack loop
+  *    ([[RepublishPipeline]]) with failure injection, seeds fanned out
+  *    through `maxHops` feedback hops; rows/s = delivered hops (the
+  *    final topic log length) over the drain wall-clock.
+  *  - `ordered_rows_per_sec`: the part-5 per-key serial processor
+  *    ([[OrderedProcessor]]) over a keyed durable topic; rows/s =
+  *    processed messages over the drain wall-clock (no failure
+  *    injection — this number isolates shuffle + state overhead; retry
+  *    semantics are the specs' business).
+  *
+  * Numbers carry the same ±20% host-variance caveat as the batch table;
+  * they are trend indicators, not gates.
+  */
+object StreamBench {
+
+  private val msgSchema = StructType(Seq(
+    StructField("key", StringType), StructField("seq", LongType),
+    StructField("name", StringType), StructField("numPublishes", IntegerType)))
+
+  /** Returns (metrics, errors) — a failed leg reports an error entry
+    * instead of poisoning the whole bench artifact.
+    */
+  def run(spark: SparkSession): (Map[String, Double], Map[String, String]) = {
+    val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+    def leg(name: String)(body: => (Long, Double)): Unit =
+      try {
+        val (rows, sec) = body
+        metrics(s"${name}_rows") = rows.toDouble
+        metrics(s"${name}_rows_per_sec") = rows / sec
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
+
+    leg("republish") {
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val topic = BrokerTopic.create(spark, s"sbench-rep-$tag",
+        Payloads.payloadSchema, numPartitions = 4, logDir = Some(s"$tmp/in"))
+      val dlq = BrokerTopic.create(spark, s"sbench-dlq-$tag",
+        Payloads.payloadSchema, numPartitions = 4, logDir = Some(s"$tmp/dlq"))
+      val seeds = (0 until 200).map(i => (s"msg$i", 0))
+      val cfg = RepublishPipeline.Config(
+        failPercent = 10, maxHops = 3, maxDeliveries = 3, admitPerTrigger = 256)
+      topic.publishSeed(seeds.toDF("name", "numPublishes"))
+      val t0 = System.nanoTime()
+      val query = RepublishPipeline.start(
+        topic, dlq, s"$tmp/ckpt", s"sbench-republish-$tag", cfg)
+      try {
+        // drain the feedback loop: stop when the log stops growing
+        var prev = -1L
+        var stable = 0
+        while (stable < 2) {
+          query.processAllAvailable()
+          val cnt = topic.readAll().count()
+          if (cnt == prev) stable += 1 else { stable = 0; prev = cnt }
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = topic.readAll().count()
+      InMemoryBroker.deleteTopic(topic.name)
+      InMemoryBroker.deleteTopic(dlq.name)
+      (rows, sec)
+    }
+
+    leg("ordered") {
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val in = BrokerTopic.create(spark, s"sbench-ord-$tag", msgSchema,
+        numPartitions = 4, keyColumn = Some("key"), logDir = Some(s"$tmp/in"))
+      val n = 2000
+      val keys = 16
+      in.publishSeed((0 until n)
+        .map(i => (s"k${i % keys}", (i / keys).toLong, s"msg$i", 0))
+        .toDF("key", "seq", "name", "numPublishes"))
+      val sink = s"sbench_ordered_$tag"
+      val t0 = System.nanoTime()
+      val msgs = in.readStream(admitPerTrigger = 1024)
+        .select(col("key"), col("seq"), col("name"), col("numPublishes"))
+        .as[OrderedProcessor.Msg]
+      val query = OrderedProcessor
+        .run(msgs, (_, _) => false, maxAttempts = 5)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(sink).count()
+      require(rows == n.toLong, s"ordered leg processed $rows of $n messages")
+      InMemoryBroker.deleteTopic(in.name)
+      (rows, sec)
+    }
+
+    (metrics.toMap, errors.toMap)
+  }
+}
