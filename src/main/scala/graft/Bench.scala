@@ -87,22 +87,27 @@ object Bench {
     var rep = 0
     while (rep < reps) {
       headline.foreach { q =>
-        if (!errors.contains(q.name)) {
-          try {
-            val t0 = System.nanoTime()
-            q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-            runs(q.name) += (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          }
+        // a failed rep records the error but does NOT retire the query:
+        // interleaved reps mean a transient interference-induced failure
+        // on one pass would otherwise discard the query's already-valid
+        // timings and skip its remaining passes — losing bench coverage
+        // for the round over a one-off
+        try {
+          val t0 = System.nanoTime()
+          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          runs(q.name) += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
       }
       rep += 1
     }
     headline.foreach { q =>
-      if (errors.contains(q.name) || runs(q.name).isEmpty) timings(q.name) = -1.0
+      // -1 only when NO rep succeeded; a query with both timings and an
+      // error entry had a transient failure (the error stays visible)
+      if (runs(q.name).isEmpty) timings(q.name) = -1.0
       else {
         val sorted = runs(q.name).sorted
         // lower median: 3 reps → true median; 2 reps → the faster run

@@ -124,7 +124,7 @@ object Curation {
             .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
             .toDF("u", "v").persist()
           try {
-            val (labels, _) = Dedup.connectedComponents(s, edges)
+            val (labels, _) = Dedup.connectedComponents(s, edges, scratchTag = "q33c")
             // non-keepers: every clustered doc that is not its
             // component's minimum (docs outside the graph never appear)
             labels.filter(col("cluster_id") =!= col("u"))

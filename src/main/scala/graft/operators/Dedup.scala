@@ -378,7 +378,13 @@ object Dedup {
     * and storage discipline.
     */
   private[graft] def connectedComponents(s: SparkSession, edges: DataFrame,
-      maxIter: Int = 25): (DataFrame, Int) = {
+      maxIter: Int = 25, scratchTag: String = "default"): (DataFrame, Int) = {
+    // one live label set per caller: the PREVIOUS call's flush (already
+    // consumed — every caller materializes its result within its own
+    // query) is deleted before this run writes a fresh one, so repeated
+    // gate/bench cycles in one JVM hold at most one flush per tag
+    // instead of accumulating a label set per execution
+    ccPrevFlush.remove(scratchTag).foreach(p => rmTree(p.toFile))
     // Each generation is pinned through an EXPLICIT RDD handle
     // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
     // the materialized blocks, truncating the per-iteration plan) so
@@ -414,9 +420,12 @@ object Dedup {
       // path-halving, O(log diameter) total iterations; every
       // label is a node id, so the lookup matches exactly one row.
       // The changed count rides the SAME materializing pass through an
-      // accumulator; recompute-on-loss can only over-count, and only
-      // the zero/non-zero distinction is read (a no-change pass stays
-      // zero under any re-execution), so the fixpoint test is exact.
+      // accumulator. Task retries / speculation / recompute-on-loss can
+      // only OVER-count (an extra no-op iteration, never an early exit),
+      // and only the zero/non-zero distinction is read (a no-change pass
+      // stays zero under any re-execution), so the fixpoint test is
+      // exact — do NOT invert this into a `value > 0 == done` check,
+      // which over-counting WOULD break.
       val lookup = prop
         .select(col("u").as("cluster_id"), col("cluster_id").as("cc"))
       val changedAcc = s.sparkContext.longAccumulator
@@ -442,11 +451,21 @@ object Dedup {
     // its storage NOW — returning the persisted plan would pin the last
     // generation until the ContextCleaner eventually noticed, long
     // after the caller consumed the result
-    val out = java.nio.file.Files.createTempDirectory(ccScratchRoot, "cc-")
-      .resolve("labels").toString
+    val flushDir = java.nio.file.Files.createTempDirectory(ccScratchRoot, "cc-")
+    ccPrevFlush.put(scratchTag, flushDir)
+    val out = flushDir.resolve("labels").toString
     labels.write.mode("overwrite").parquet(out)
     labelsRdd.unpersist(blocking = false)
     (s.read.parquet(out), iter)
+  }
+
+  // last flush directory per scratchTag, deleted on the tag's next call
+  private val ccPrevFlush =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles()).foreach(_.foreach(rmTree))
+    p.delete(): Unit
   }
 
   /** One JVM-scoped scratch root for the CC label flushes, deleted
@@ -456,13 +475,7 @@ object Dedup {
     */
   private lazy val ccScratchRoot: java.nio.file.Path = {
     val root = java.nio.file.Files.createTempDirectory("graft-cc-")
-    sys.addShutdownHook {
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles()).foreach(_.foreach(rm))
-        p.delete(): Unit
-      }
-      rm(root.toFile)
-    }
+    sys.addShutdownHook(rmTree(root.toFile))
     root
   }
 
@@ -476,7 +489,7 @@ object Dedup {
           .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
           .toDF("u", "v").persist()
         try {
-          val (labels, _) = connectedComponents(s, edges)
+          val (labels, _) = connectedComponents(s, edges, scratchTag = "q50")
           labels.select(col("u").as("doc_id"), col("cluster_id"))
         } finally edges.unpersist()
       } finally pairs.unpersist()

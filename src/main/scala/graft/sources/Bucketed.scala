@@ -39,11 +39,16 @@ object Bucketed {
   // the in-memory catalog forgets tables across JVMs but their warehouse
   // directories survive: drop the catalog entry AND any leftover location
   // before (re)writing, or CTAS fails with LOCATION_ALREADY_EXISTS
-  private[graft] def dropStale(s: SparkSession, table: String): Unit = {
+  private[graft] def dropStale(s: SparkSession, table0: String): Unit = {
+    // normalize once at the API edge: the catalog stores (and the
+    // warehouse directory is named by) the LOWERCASED identifier, so a
+    // mixed-case caller-supplied name must resolve to the same table and
+    // directory everywhere below (Locale.ROOT: identifiers must not
+    // change under a Turkish default locale)
+    val table = table0.toLowerCase(java.util.Locale.ROOT)
     s.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-    val loc = new java.io.File(
-      new java.io.File(warehouse.getPath), table.toLowerCase)
+    val loc = new java.io.File(new java.io.File(warehouse.getPath), table)
     if (loc.exists()) {
       import scala.reflect.io.Directory
       new Directory(loc).deleteRecursively()

@@ -16,6 +16,9 @@ class SpanBoundSpec extends AnyFunSuite with SparkTestSession {
   private val dir = "/root/testdata/sf0.1"
 
   test("sf0.1: post-filter df ≤ cap and pair volume obeys the linear bound") {
+    // the bench-scale corpus is optional on dev machines: cancel (not
+    // fail) when absent, like the sf0.01-based suites' existence guards
+    assume(new java.io.File(dir).exists(), s"$dir not present")
     val docs = Tables.load(spark, dir, "documents")
     val sp = Dedup.spanHashes(docs).persist()
     try {
