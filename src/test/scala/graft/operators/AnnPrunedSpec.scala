@@ -72,6 +72,51 @@ class AnnPrunedSpec extends AnyFunSuite with SparkTestSession {
     assert(recalls.last == 1.0, s"nprobe = K must be exact, got ${recalls.last}")
   }
 
+  test("q74 IVF-PQ: codes AND rerank scans pruned; re-ranking never hurts recall") {
+    // static pruning property → non-AQE plan, as in the q60b test
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrior = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val (df, codeScans, fullScans) =
+      try {
+        val d = ProductQuant.qPqRecall.build(spark, dir)
+        def scansOf(tag: String) = d.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec
+              if s.verboseStringWithSuffix(1000).toLowerCase.contains(tag) => s
+        }
+        (d, scansOf("graft_pqcodes"), scansOf("graft_annclu"))
+      } finally aqePrior match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+    // two scans of the codes table per sweep point (ADC top-10 + the
+    // top-50 shortlist) and one of the full-vector layout (the re-rank
+    // fetch) — every one partition-pruned, never a full-corpus read
+    assert(codeScans.size == 8, s"expected 8 codes scans, got ${codeScans.size}")
+    assert(fullScans.size == 4, s"expected 4 rerank scans, got ${fullScans.size}")
+    (codeScans ++ fullScans).foreach(s => assert(s.partitionFilters.nonEmpty,
+      s"IVF-PQ scan carries no partition filter:\n$s"))
+    val codeParts = codeScans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, Nil).size)
+    val fullParts = fullScans.map(s =>
+      s.relation.location.listFiles(s.partitionFilters, Nil).size)
+    assert(codeParts.sum <= 30, // 2 × Σ {1,2,4,8}
+      s"codes scans read ${codeParts.mkString("+")} partitions, expected Σ <= 30")
+    assert(fullParts.sum <= 15,
+      s"rerank scans read ${fullParts.mkString("+")} partitions, expected Σ <= 15")
+
+    // exact re-ranking of the ADC top-50 can only help: a true positive
+    // of the ADC top-10 is in the shortlist, and only candidates with
+    // strictly better exact distance — themselves exact-top-10 members —
+    // can displace it
+    val rows = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.foreach { case (n, adc, rr) =>
+      assert(rr >= adc, s"nprobe=$n: rerank recall $rr < raw ADC recall $adc")
+    }
+  }
+
   test("pruned-probe results are bit-identical to the full-scan q26b probe") {
     val pruned = Similarity.qAnnPruned.build(spark, dir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

@@ -31,7 +31,14 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qMinhashCalibration, TextAnalysis.qTfidf,
       Corpus.qLangVocabOverlap, Dedup.qDupRate,
       Profiling.qEmbeddingQuality, Curation.qQualityYield,
-      Corpus.qShardBalance)) {
+      Corpus.qShardBalance,
+      // round-9 additions: real-codec multimodal decode (q32, map-only
+      // but pins the per-partition generation+decode), integer PQ
+      // training/ADC + recall joins (q74), iterative merge training
+      // with per-step argmax collects (q75), suffix-list domain
+      // reduction + anti-join (q76)
+      Multimodal.qMultimodal, ProductQuant.qPqRecall,
+      Corpus.qBpeMerges, Curation.qDomainBlocklist)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
