@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.{PolyHash, WordShingleHashes, WordShingles}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Corpus-level training-data operators: benchmark decontamination,
@@ -468,73 +469,134 @@ object Corpus {
     * The oracle unrolls the same steps as MATERIALIZED CTEs (the
     * iterative-oracle rule).
     */
+  /** Run the BPE training loop: (learned merges, final merged vocab as
+    * (ws, freq)). The final vocab's lineage is the chained replaces over
+    * the initial aggregation — recomputation is vocab-scale, so the
+    * returned frame needs no pinning. Used by q75 (the merge table) and
+    * q75b (the apply/compression report).
+    */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (Seq[(Long, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    import s.implicits._
+    val vocab0 = Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }
+      .toDF("ws", "freq")
+      .persist()
+    try {
+      var cur = vocab0
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to BpeMergeSteps) {
+        val top = cur
+          .select(col("freq"),
+            split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\[").as("tk"))
+          .filter(size(col("tk")) > 1)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(tk) - 1)," +
+              " i -> struct(element_at(tk, i) AS lhs, element_at(tk, i + 1) AS rhs))"))
+            .as("pr"))
+          .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).collect().head
+        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((step.toLong, l, r, cnt))
+        cur = cur.withColumn("ws",
+          expr(s"replace(ws, '[$l][$r]', '[$l$r]')"))
+      }
+      (merges.result(), cur)
+    } finally vocab0.unpersist()
+  }
+
   val qBpeMerges: QuerySpec = QuerySpec(
     "q75_bpe_merges",
     (s, dir) => {
       import s.implicits._
-      val vocab0 = Tables.load(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .as[(String, Long)]
-        .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }
-        .toDF("ws", "freq")
-        .persist()
-      try {
-        var cur = vocab0
-        val merges = Seq.newBuilder[(Long, String, String, Long)]
-        for (step <- 1 to BpeMergeSteps) {
-          val top = cur
-            .select(col("freq"),
-              split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\[").as("tk"))
-            .filter(size(col("tk")) > 1)
-            .select(col("freq"), explode(expr(
-              "transform(sequence(1, size(tk) - 1)," +
-                " i -> struct(element_at(tk, i) AS lhs, element_at(tk, i + 1) AS rhs))"))
-              .as("pr"))
-            .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-            .agg(sum(col("freq")).as("cnt"))
-            .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-            .limit(1).collect().head
-          val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((step.toLong, l, r, cnt))
-          cur = cur.withColumn("ws",
-            expr(s"replace(ws, '[$l][$r]', '[$l$r]')"))
-        }
-        merges.result().toDF("step", "lhs", "rhs", "pair_count")
-      } finally vocab0.unpersist()
+      bpeTrain(s, dir)._1.toDF("step", "lhs", "rhs", "pair_count")
     },
     Some {
-      val steps = (1 to BpeMergeSteps).map { k =>
-        val prev = s"v${k - 1}"
-        s""" m$k AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs,
-           |   CAST(SUM(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq, unnest(list_transform(
-           |     range(1, greatest(len(tk) - 1, 0) + 1),
-           |     i -> [tk[i], tk[i + 1]])) AS pr
-           |   FROM (SELECT freq, string_split(ws[2:length(ws) - 1], '][') AS tk
-           |    FROM $prev))
-           |  GROUP BY pr[1], pr[2] ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-           | v$k AS MATERIALIZED (SELECT
-           |   replace(ws, '[' || lhs || '][' || rhs || ']',
-           |     '[' || lhs || rhs || ']') AS ws, freq
-           |  FROM $prev, m$k)""".stripMargin
-      }.mkString(",")
       val out = (1 to BpeMergeSteps).map { k =>
         s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt AS pair_count FROM m$k"
       }.mkString(" UNION ALL ")
-      s"""WITH v0 AS MATERIALIZED (SELECT
-         |   list_reduce(list_transform(range(1, length(w) + 1),
-         |     i -> '[' || w[i] || ']'), (x, y) -> x || y) AS ws, freq
-         |  FROM (SELECT w, COUNT(*) AS freq
-         |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         |   WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)),
-         |$steps
-         | $out""".stripMargin.replaceAll("\n", "")
+      s"WITH $bpeSqlCtes $out"
+    })
+
+  /** The shared oracle chain: `v0` (per-char bracketed vocab) and the
+    * `BpeMergeSteps` unrolled (m$k top-pair, v$k merged-vocab) pairs —
+    * every CTE MATERIALIZED per the iterative-oracle rule.
+    */
+  private def bpeSqlCtes: String = {
+    val steps = (1 to BpeMergeSteps).map { k =>
+      val prev = s"v${k - 1}"
+      s""" m$k AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs,
+         |   CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(list_transform(
+         |     range(1, greatest(len(tk) - 1, 0) + 1),
+         |     i -> [tk[i], tk[i + 1]])) AS pr
+         |   FROM (SELECT freq, string_split(ws[2:length(ws) - 1], '][') AS tk
+         |    FROM $prev))
+         |  GROUP BY pr[1], pr[2] ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         | v$k AS MATERIALIZED (SELECT
+         |   replace(ws, '[' || lhs || '][' || rhs || ']',
+         |     '[' || lhs || rhs || ']') AS ws, freq
+         |  FROM $prev, m$k)""".stripMargin
+    }.mkString(",")
+    s"""v0 AS MATERIALIZED (SELECT
+       |   list_reduce(list_transform(range(1, length(w) + 1),
+       |     i -> '[' || w[i] || ']'), (x, y) -> x || y) AS ws, freq
+       |  FROM (SELECT w, COUNT(*) AS freq
+       |   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |   WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)),
+       |$steps""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** q75b — the APPLY half of BPE: tokenize the corpus with the learned
+    * merges and report the compression (corpus symbol count after the
+    * merges vs the character baseline) — the acceptance metric a
+    * tokenizer-training run is judged by. Both totals come from ONE
+    * aggregation over the final merged vocabulary: a word's symbol count
+    * is its token count in the bracketed string, and its character count
+    * falls out of the same string (`length − 2·tokens`), so before/after
+    * need no second pipeline. Integer sums; the one division is a final
+    * IEEE divide of two exact BIGINTs.
+    */
+  val qBpeApply: QuerySpec = QuerySpec(
+    "q75b_bpe_apply",
+    (s, dir) => {
+      val (_, finalVocab) = bpeTrain(s, dir)
+      finalVocab
+        .select(col("freq"),
+          size(split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\["))
+            .cast("long").as("ntok"),
+          length(col("ws")).cast("long").as("wslen"))
+        .agg(
+          sum(col("freq") * (col("wslen") - lit(2L) * col("ntok")))
+            .as("symbols_before"),
+          sum(col("freq") * col("ntok")).as("symbols_after"))
+        .select(lit(BpeMergeSteps.toLong).as("n_merges"),
+          col("symbols_before"), col("symbols_after"),
+          (col("symbols_after").cast("double") /
+            col("symbols_before").cast("double")).as("compression"))
+    },
+    Some {
+      val ntok = "len(string_split(ws[2:length(ws) - 1], ']['))"
+      s"""WITH $bpeSqlCtes,
+         | t AS (SELECT
+         |   CAST(SUM(freq * (length(ws) - 2 * $ntok)) AS BIGINT) AS symbols_before,
+         |   CAST(SUM(freq * $ntok) AS BIGINT) AS symbols_after
+         |  FROM v$BpeMergeSteps)
+         | SELECT CAST($BpeMergeSteps AS BIGINT) AS n_merges, symbols_before,
+         |  symbols_after,
+         |  CAST(symbols_after AS DOUBLE) / CAST(symbols_before AS DOUBLE)
+         |    AS compression
+         | FROM t""".stripMargin.replaceAll("\n", "")
     })
 
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
-    qShardBalance, qLangVocabOverlap, qBpeMerges)
+    qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply)
 }
