@@ -87,6 +87,54 @@ object ProductQuant {
       train(Tables.load(s, dir, "embeddings")
         .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))))
 
+  /** Codes rows for a (vec_id, embedding) frame under FROZEN codebooks —
+    * one map-side pass: quantize, IVF-assign, PQ-encode. Both the batch
+    * build and the streaming upsert go through this single definition,
+    * which is what makes the incrementally-built store bit-identical to
+    * a batch build (encoding is deterministic given the codebooks).
+    */
+  private def codeRows(emb: DataFrame, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]]): DataFrame =
+    emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      .withColumn("cid", NearestCentroid(col("qe"), cents))
+      .withColumn("codes", PqEncode(col("qe"), cb))
+      .select(col("vec_id"), col("codes"), col("cid"))
+
+  /** Materialize a codes table from an arbitrary (vec_id, embedding)
+    * frame (empty frames give an empty store for incremental builds).
+    */
+  def build(s: SparkSession, emb: DataFrame, cents: Seq[Seq[Long]],
+      cb: Seq[Seq[Seq[Long]]], tag: String): String = {
+    val table = s"graft_pqcodes_$tag"
+    graft.sources.Bucketed.dropStale(s, table)
+    codeRows(emb, cents, cb)
+      .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  /** IDEMPOTENT upsert for the at-least-once streaming front door: a
+    * replayed micro-batch re-offers vec_ids already encoded; the
+    * anti-join drops them instead of duplicating index rows. The store
+    * side of that join reads only (vec_id) from the codes table — the
+    * ~32×-shrunk form, not the vector corpus — and a vector's (cid,
+    * codes) are deterministic under frozen codebooks, so replayed rows
+    * are exact duplicates of what they would have appended.
+    */
+  def appendFresh(s: SparkSession, table: String, emb: DataFrame,
+      cents: Seq[Seq[Long]], cb: Seq[Seq[Seq[Long]]]): Unit = {
+    codeRows(emb, cents, cb)
+      .join(s.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .write.partitionBy("cid").mode("append").saveAsTable(table)
+    // the write executes on the frame's BOUND session (in a streaming
+    // foreachBatch that is the micro-batch clone, not `s`), and a
+    // partitioned table's cached relation is per-session: without an
+    // explicit refresh on the coordinating session, its next anti-join
+    // (and any reader) lists the PRE-append files and silently misses
+    // every appended batch — the cross-session relation-cache trap
+    // Bucketed.compact documents, resurfacing for partitioned appends
+    s.catalog.refreshTable(table)
+  }
+
   private val codesTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -97,20 +145,11 @@ object ProductQuant {
     * shrink that lets a 100 TB corpus' probed share fit in memory.
     */
   def ensureCodes(s: SparkSession, dir: String): String =
-    codesTables.getOrElseUpdate(dir, {
-      val tag = java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))
-      val table = s"graft_pqcodes_$tag"
-      graft.sources.Bucketed.dropStale(s, table)
-      val cents = Similarity.ensureTrained(s, dir)
-      val cb = ensureTrained(s, dir)
-      Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
-        .withColumn("cid", NearestCentroid(col("qe"), cents))
-        .withColumn("codes", PqEncode(col("qe"), cb))
-        .select(col("vec_id"), col("codes"), col("cid"))
-        .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
-      table
-    })
+    codesTables.getOrElseUpdate(dir,
+      build(s,
+        Tables.load(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        Similarity.ensureTrained(s, dir), ensureTrained(s, dir),
+        java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))))
 
   // ---- oracle fragments ---------------------------------------------------
 
