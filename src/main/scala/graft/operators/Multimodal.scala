@@ -273,5 +273,47 @@ object Multimodal {
             | FROM documents, range(0, 2) t(f)""".stripMargin
       .replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qMultimodal, qFrames, qFeatures, qPpmDecode)
+  /** q77 — media similarity search: the composition the feature
+    * extractor exists for — [[PpmEncoder]]'s fixed-point vectors flow
+    * STRAIGHT into the engine's similarity kernels (integer
+    * [[graft.functions.QDot]] cosine, the q19 shape) with no conversion
+    * step: brute-force cosine top-10 media near-neighbors of doc 0's
+    * features. Map-side decode+extract+cosine, one TakeOrdered — no
+    * shuffle; at scale the same vectors feed the IVF/PQ index builds
+    * instead of a brute-force scan. The oracle regenerates the features
+    * from the pixel closed form (q41's oracle) and computes the same
+    * integer-dot cosine.
+    */
+  val qMediaSimilarity: QuerySpec = QuerySpec(
+    "q77_media_similarity",
+    (s, dir) => {
+      import graft.functions.Exact
+      val feats = extractFeatures(syntheticMedia(s, dir), dim = 8, PpmEncoder)
+        .toDF()
+      val q = feats.filter(col("doc_id") === 0)
+        .select(col("qfeat")).head().getSeq[Long](0)
+      feats.select(col("doc_id"),
+          Exact.cosineFromQuantized(col("qfeat"), typedlit(q)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      import graft.functions.Exact
+      s"""WITH m AS ($dimsSql),
+         | px0 AS (SELECT doc_id, w, h, nf,
+         |   unnest(range(0, nf * w * h * 3)) AS g FROM m),
+         | px AS (SELECT doc_id, (g * 8) // (nf * w * h * 3) AS j,
+         |   (doc_id * 31 + (g // (w * h * 3)) * 17 + (g % (w * h * 3))) % 256 AS v
+         |  FROM px0),
+         | f AS (SELECT doc_id, j, CAST(SUM(v) * 1000000 // COUNT(*) AS BIGINT) AS qf
+         |  FROM px GROUP BY doc_id, j),
+         | vv AS (SELECT doc_id, list(qf ORDER BY j) AS qv FROM f GROUP BY doc_id),
+         | q AS (SELECT qv AS qqv FROM vv WHERE doc_id = 0)
+         | SELECT vv.doc_id, ${Exact.cosineSql("vv.qv", "q.qqv")} AS cos_sim
+         | FROM vv, q ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin
+      .replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] =
+    Seq(qMultimodal, qFrames, qFeatures, qPpmDecode, qMediaSimilarity)
 }
