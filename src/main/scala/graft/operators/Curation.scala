@@ -308,6 +308,64 @@ object Curation {
          | GROUP BY domain""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q78 — PII redaction audit: the scrub step between crawl and
+    * training corpus. The testdata text is pure a-z words, so each doc
+    * is salted with deterministic PII-shaped tokens (an email-like
+    * `user<id>@ex.org` and an 8-digit account number — closed forms of
+    * doc_id, the q76 pattern), then every token is classified REGEX-FREE
+    * with codegen'd scalar functions identical in both engines:
+    * email-like = contains '@' (`instr`/`strpos`), long-digit-run =
+    * ≥ 7 digits (`length` minus `translate`-stripped length — no
+    * backtracking surface, no Java-vs-RE2 divergence). Output is the
+    * per-doc audit (token counts by redaction class); the redacted
+    * corpus itself is the same predicate applied in a projection.
+    *
+    * Scale shape: explode → map-side classify → partial count-if →
+    * one shuffle on doc_id. The clean-token count proves the scrubber
+    * never over-redacts (original corpus tokens are all letters).
+    */
+  val qPiiScrub: QuerySpec = QuerySpec(
+    "q78_pii_scrub",
+    (s, dir) => {
+      val salted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" user"), col("doc_id").cast("string"), lit("@ex.org "),
+            ((col("doc_id") * 7919) % 10000000 + 10000000).cast("string"))
+            .as("text"))
+      val tok = explode(split(col("text"), " "))
+      val nDigits = length(col("tok")) -
+        length(translate(col("tok"), "0123456789", ""))
+      salted
+        .select(col("doc_id"), tok.as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("doc_id"),
+          (instr(col("tok"), "@") > 0).as("is_email"),
+          (nDigits >= 7).as("is_digits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          count_if(col("is_email")).as("n_email_redacted"),
+          count_if(col("is_digits") && !col("is_email"))
+            .as("n_digit_redacted"))
+    },
+    Some("""WITH salted AS (SELECT doc_id,
+           |   text || ' user' || CAST(doc_id AS VARCHAR) || '@ex.org ' ||
+           |   CAST((doc_id * 7919) % 10000000 + 10000000 AS VARCHAR) AS text
+           |  FROM documents),
+           | t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM salted),
+           | c AS (SELECT doc_id,
+           |   strpos(tok, '@') > 0 AS is_email,
+           |   length(tok) - length(translate(tok, '0123456789', '')) >= 7
+           |     AS is_digits
+           |  FROM t WHERE length(tok) > 0)
+           | SELECT doc_id, COUNT(*) AS n_tokens,
+           |  CAST(COUNT(CASE WHEN is_email THEN 1 END) AS BIGINT)
+           |    AS n_email_redacted,
+           |  CAST(COUNT(CASE WHEN is_digits AND NOT is_email THEN 1 END)
+           |    AS BIGINT) AS n_digit_redacted
+           | FROM c GROUP BY doc_id""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield, qDomainBlocklist)
+    qQualityYield, qDomainBlocklist, qPiiScrub)
 }
