@@ -607,8 +607,50 @@ object Similarity {
             |  ${Exact.davgSql(Exact.cosineSql("qe", "cqe"))} AS avg_cos
             | FROM fm GROUP BY cid""".stripMargin.replaceAll("\n", "")))
 
+  /** q79 — EMBEDDING-based benchmark decontamination: flag every
+    * training vector that is a verified semantic near-duplicate of a
+    * held-out evaluation vector (`vec_id % 10 == 0` plays the benchmark,
+    * q46's convention) — the modern companion to q46's n-gram overlap:
+    * surface-form rewrites of an eval item share no 5-gram but still sit
+    * close in embedding space. Candidates come ONLY from the banded
+    * sign-LSH equi-join between the two sides (the q25 generator, split
+    * by membership instead of self-joined); the eval side is ~10% of the
+    * corpus and shrinks further after banding, so at scale it broadcasts
+    * and the training side never shuffles. A (train, eval) pair
+    * colliding in several bands collapses through the final DISTINCT.
+    */
+  val qEmbedDecontaminate: QuerySpec = QuerySpec(
+    "q79_embed_decontaminate",
+    (s, dir) => {
+      val b = withBandRows(Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe")))
+      val train = b.filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id").as("train_id"), col("qe").as("qe1"),
+          col("band"), col("bh"))
+      val eval_ = b.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("eval_id"), col("qe").as("qe2"),
+          col("band").as("band2"), col("bh").as("bh2"))
+      train.join(broadcast(eval_),
+          col("band") === col("band2") && col("bh") === col("bh2"))
+        .select(col("train_id"), col("eval_id"),
+          Exact.cosineFromQuantized(col("qe1"), col("qe2")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .distinct()
+    },
+    Some(s"""WITH b AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+            | FROM embeddings),
+            | bb AS (SELECT vec_id, qe, t.band AS band,
+            |   ${bandHashSql("qe", "t.band")} AS bh
+            |  FROM b, range(0, $NumBands) t(band))
+            | SELECT DISTINCT a.vec_id AS train_id, c.vec_id AS eval_id,
+            | ${Exact.cosineSql("a.qe", "c.qe")} AS cos_sim
+            | FROM bb a JOIN bb c ON a.band = c.band AND a.bh = c.bh
+            |   AND a.vec_id % 10 <> 0 AND c.vec_id % 10 = 0
+            | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
     qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
-    qClusterCohesion)
+    qClusterCohesion, qEmbedDecontaminate)
 }
