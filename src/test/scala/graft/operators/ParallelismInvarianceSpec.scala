@@ -38,7 +38,8 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // with per-step argmax collects (q75), suffix-list domain
       // reduction + anti-join (q76)
       Multimodal.qMultimodal, ProductQuant.qPqRecall,
-      Corpus.qBpeMerges, Curation.qDomainBlocklist)) {
+      Corpus.qBpeMerges, Curation.qDomainBlocklist,
+      Similarity.qEmbedDecontaminate)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
