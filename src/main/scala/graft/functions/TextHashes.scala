@@ -98,6 +98,81 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** fastText-style hashed linear classifier score in one pass: features
+    * are the DISTINCT unigram and bigram shingle hashes (the two sets
+    * scored independently — no cross-set dedup, so a unigram hash that
+    * collides with a bigram hash counts twice, identically on both
+    * engines), each feature contributing weight `h % modulus - modulus/2`
+    * (h ∈ [0, 2^31), so `%` is the same nonnegative remainder in Java and
+    * DuckDB). Returns `[score, nFeatures]` — score is exact integer
+    * arithmetic, |score| ≤ nFeatures × modulus/2 ≪ 2^63.
+    */
+  def linearScore(s: String, modulus: Int): ArrayData = {
+    val half = modulus / 2
+    var score = 0L
+    var n = 0L
+    var k = 1
+    while (k <= 2) {
+      val hs = wordShingleHashes(s, k)
+      val m = hs.numElements()
+      var i = 0
+      while (i < m) { score += hs.getLong(i) % modulus - half; i += 1 }
+      n += m
+      k += 1
+    }
+    new GenericArrayData(Array(score, n))
+  }
+
+  /** Content-defined chunking at word granularity: a boundary falls
+    * AFTER token i+w−1 whenever the w-token shingle hash starting at i
+    * (the same [[PolyHash]] over the space-joined shingle as
+    * [[wordShingleHashes]]) satisfies `h % divisor == 0` — the
+    * rolling-hash cut rule of LBFS-style CDC (Muthitacharoen et al.,
+    * SOSP 2001) with expected chunk length ≈ `divisor` tokens. Returns
+    * the chunk strings in order (each chunk's tokens joined by a single
+    * space, duplicates kept); fewer than w tokens → one chunk. The cut
+    * decision depends only on a w-token window, which is what makes the
+    * chunking SHIFT-ROBUST: an edit re-chunks only its neighborhood, so
+    * chunk-hash dedup across document versions still matches everywhere
+    * else — the property fixed-stride chunking (q43) lacks.
+    */
+  def cdcChunkStrings(s: String, w: Int, divisor: Int): ArrayData = {
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    val cut = new Array[Boolean](n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + w <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      if (PolyHash.hash(sb.toString) % divisor == 0) cut(i + w) = true
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    var start = 0
+    var p = 1
+    while (p <= n) {
+      if (p == n || cut(p)) {
+        sb.setLength(0)
+        var q = start
+        while (q < p) {
+          if (q > start) sb.append(' ')
+          sb.append(toks(q))
+          q += 1
+        }
+        out += UTF8String.fromString(sb.toString)
+        start = p
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private def toArrayData(seen: java.util.LinkedHashSet[java.lang.Long]): ArrayData = {
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
@@ -156,6 +231,57 @@ case class WordShingleHashes(child: Expression, k: Int) extends HashArrayExpress
 object WordShingleHashes {
   def apply(c: Column, k: Int): Column =
     GraftShims.column(WordShingleHashes(GraftShims.expression(c), k))
+}
+
+/** `linearScore` as a codegen'd Catalyst expression. */
+case class HashedLinearScore(child: Expression, modulus: Int) extends HashArrayExpression {
+  require(modulus >= 2, "modulus must be >= 2")
+  override def prettyName: String = "graft_hashed_linear_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.linearScore(input.asInstanceOf[UTF8String].toString, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.linearScore($c.toString(), $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedLinearScore =
+    copy(child = newChild)
+}
+
+object HashedLinearScore {
+  def apply(c: Column, modulus: Int): Column =
+    GraftShims.column(HashedLinearScore(GraftShims.expression(c), modulus))
+}
+
+/** `cdcChunkStrings` as a codegen'd Catalyst expression. */
+case class CdcChunkStrings(child: Expression, w: Int, divisor: Int)
+    extends UnaryExpression {
+  require(w >= 1, "window size must be >= 1")
+  require(divisor >= 2, "divisor must be >= 2")
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashes.cdcChunkStrings(input.asInstanceOf[UTF8String].toString, w, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashes.cdcChunkStrings($c.toString(), $w, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunkStrings =
+    copy(child = newChild)
+}
+
+object CdcChunkStrings {
+  def apply(c: Column, w: Int, divisor: Int): Column =
+    GraftShims.column(CdcChunkStrings(GraftShims.expression(c), w, divisor))
 }
 
 /** `wordShingles` (all occurrences, strings) as a codegen'd expression. */

@@ -567,7 +567,55 @@ object Dedup {
             | WHERE a.h IN (SELECT h FROM rare)
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q81 — boilerplate-span audit: the removal-side complement of q59.
+    * A 3-word span whose corpus-wide document frequency reaches
+    * `BoilerDf` is boilerplate (headers, footers, navigation chrome —
+    * the spans a cleaning pass strips before training); the output is
+    * the per-document audit (distinct spans, boilerplate spans, covered
+    * fraction) a curation pipeline thresholds on. q59 keeps only RARE
+    * spans to find copied passages between document pairs; this keeps
+    * only UBIQUITOUS spans to measure chrome contamination per document.
+    *
+    * Scale shape: span hashes are one codegen'd map-side pass
+    * ([[WordShingleHashes]], distinct within doc), the df aggregation
+    * and the span⋈hot join share the same `h` partitioning (exchange
+    * reuse, the q59 shape), then one shuffle on doc_id. The hot set is
+    * the df heavy-hitters — never broadcast/collected, so an adversarial
+    * corpus that is 100% boilerplate still streams through the h-join.
+    */
+  private val BoilerWords = 3
+  private[graft] val BoilerDf = 5
+
+  val qBoilerplate: QuerySpec = QuerySpec(
+    "q81_boilerplate",
+    (s, dir) => {
+      val sp = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(WordShingleHashes(col("text"), BoilerWords)).as("h"))
+      val hot = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerDf)
+        .select(col("h"), lit(1L).as("is_boiler"))
+      sp.join(hot, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          col("n_boiler").cast("double") / col("n_spans").cast("double"))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            | sg AS (SELECT doc_id, list_distinct(list_transform(
+            |   list_transform(range(1, greatest(len(tk) - ${BoilerWords - 1}, 0) + 1),
+            |     i -> ${(0 until BoilerWords).map(o => s"tk[i + $o]").mkString(" || ' ' || ")}),
+            |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt),
+            | sp AS (SELECT doc_id, unnest(H) AS h FROM sg),
+            | hot AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= $BoilerDf)
+            | SELECT sp.doc_id, COUNT(*) AS n_spans,
+            |  CAST(COUNT(hot.h) AS BIGINT) AS n_boiler,
+            |  CAST(COUNT(hot.h) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+            | FROM sp LEFT JOIN hot ON sp.h = hot.h
+            | GROUP BY sp.doc_id""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
-    qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup)
+    qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate)
 }

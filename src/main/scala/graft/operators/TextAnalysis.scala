@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
-import graft.functions.PolyHash
+import graft.functions.{CdcChunkStrings, HashedLinearScore, PolyHash}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,6 +18,14 @@ object TextAnalysis {
 
   private val StopWords = TextMetrics.StopRe
   private val WordRe = TextMetrics.WordRe
+
+  /** q80's weight-table modulus: weights span [−500, 500]. */
+  private[graft] val ClassifierModulus = 1001
+
+  /** q82's CDC parameters: cut on 3-token windows, expected chunk ≈ 8. */
+  private[graft] val CdcWindow = 3
+  private[graft] val CdcDivisor = 8
+
 
   /** Per-document quality statistics. All column arithmetic, no
     * higher-order functions: the summed word length equals the count of
@@ -150,6 +158,56 @@ object TextAnalysis {
             |  ${PolyHash.oracleSql("chunk_str")} AS chunk_hash
             | FROM ch""".stripMargin.replaceAll("\n", "")))
 
+  /** q82 — content-defined chunking: boundaries from a rolling shingle
+    * hash (`h % 8 == 0` over 3-token windows — expected chunk ≈ 8
+    * tokens) instead of q43's fixed stride, so chunk-hash dedup across
+    * edited document versions stays aligned outside the edit
+    * neighborhood (the LBFS cut rule; see
+    * [[graft.functions.TextHashes.cdcChunkStrings]]). One codegen'd
+    * pass per row then a bounded posexplode — pure map, no shuffle,
+    * the q43 scale shape. Chunk hashes feed the q21 exact-dedup shape
+    * for storage-level dedup of re-crawled corpora.
+    */
+  val qCdcChunking: QuerySpec = QuerySpec(
+    "q82_cdc_chunking",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(CdcChunkStrings(col("text"), TextAnalysis.CdcWindow,
+            TextAnalysis.CdcDivisor)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          size(split(col("col"), " ")).cast("long").as("n_tokens"),
+          PolyHash(col("col")).as("chunk_hash"))
+    },
+    // flags/hashes materialized in their own list_transform layers (outer
+    // vars `i`, then `s`, then `h`) per the q48 shadowing rule; a token's
+    // chunk index = how many cut-flagged windows END strictly before it
+    // (sum of flags[1 .. j-w]), and chunks reassemble with an ordered
+    // string_agg. The slice end MUST be clamped at 0: DuckDB list_slice
+    // reads a negative end as from-the-END (Python-style), so an
+    // unclamped `j - w` would sum nearly all flags for the first w tokens
+    Some {
+      val w = TextAnalysis.CdcWindow
+      val joined = (0 until w).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | g AS (SELECT doc_id, tk, list_transform(list_transform(
+         |   range(1, greatest(len(tk) - ${w - 1}, 0) + 1), i -> $joined),
+         |   s -> ${PolyHash.oracleSql("s")}) AS H FROM dt),
+         | f AS (SELECT doc_id, tk, list_transform(H,
+         |   h -> CASE WHEN h % ${TextAnalysis.CdcDivisor} = 0 THEN 1 ELSE 0 END) AS flags
+         |  FROM g),
+         | tp AS (SELECT doc_id, tk, flags, unnest(range(1, len(tk) + 1)) AS j FROM f),
+         | cx AS (SELECT doc_id, j, tk[j] AS tok,
+         |   COALESCE(CAST(list_sum(list_slice(flags, 1, greatest(j - $w, 0))) AS BIGINT), 0) AS c
+         |  FROM tp),
+         | ch AS (SELECT doc_id, c AS chunk_idx,
+         |   string_agg(tok, ' ' ORDER BY j) AS chunk_str, COUNT(*) AS n_tokens
+         |  FROM cx GROUP BY doc_id, c)
+         | SELECT doc_id, chunk_idx, n_tokens,
+         |  ${PolyHash.oracleSql("chunk_str")} AS chunk_hash
+         | FROM ch""".stripMargin.replaceAll("\n", "")
+    })
+
   /** q67 — TF-IDF keyword extraction: the 3 most characteristic terms per
     * document, scored tf/df (term frequency × inverse document frequency
     * with the corpus-size factor N dropped — N is constant per ranking,
@@ -198,6 +256,53 @@ object TextAnalysis {
            | SELECT doc_id, rk, term, tf, df, score FROM rk
            | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")))
 
+  /** q80 — hashed linear quality classifier (the fastText-shaped model
+    * every curation pipeline runs after the heuristic filters): features
+    * are the distinct unigram + bigram shingle hashes, each weighted by a
+    * deterministic hash-derived integer weight `h % 1001 − 500` (a stand-in
+    * for trained weights — the ENGINE artifact is the feature extraction
+    * and scoring plumbing, which is what a user swaps real weights into),
+    * keep = score ≥ 0. One codegen'd pass per row
+    * ([[graft.functions.HashedLinearScore]] — the composed
+    * `transform`/`aggregate` form is CodegenFallback), zero shuffles:
+    * pure map at 100 TB, same shape as q28/q30.
+    *
+    * Distinct from q33's heuristic curation score (length/stop-ratio
+    * rules) and q67's TF-IDF (corpus-relative, needs the df shuffle):
+    * this is the per-document model-scoring step, corpus-independent.
+    */
+  val qQualityClassifier: QuerySpec = QuerySpec(
+    "q80_quality_classifier",
+    (s, dir) => {
+      val f = HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), f.as("f"))
+        .select(col("doc_id"),
+          element_at(col("f"), 1).as("score"),
+          element_at(col("f"), 2).as("n_features"))
+        .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+    },
+    // bigram strings materialized in their own list_transform (outer var
+    // `j`) BEFORE hashing in a second one (var `s`): the polyhash fold's
+    // internal `i` range variable must never sit inside an outer `i`/`j`
+    // lambda that it would shadow (the q48 rule)
+    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            | fs AS (SELECT doc_id,
+            |   list_distinct(list_transform(w, s -> ${PolyHash.oracleSql("s")})) AS U,
+            |   list_distinct(list_transform(
+            |     list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j + 1]),
+            |     s -> ${PolyHash.oracleSql("s")})) AS B
+            |  FROM tk),
+            | sc AS (SELECT doc_id,
+            |   COALESCE(CAST(list_sum(list_transform(U, h -> h % 1001 - 500)) AS BIGINT), 0)
+            |   + COALESCE(CAST(list_sum(list_transform(B, h -> h % 1001 - 500)) AS BIGINT), 0)
+            |     AS score,
+            |   CAST(len(U) + len(B) AS BIGINT) AS n_features
+            |  FROM fs)
+            | SELECT doc_id, score, n_features,
+            |  CASE WHEN score >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+            | FROM sc""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
-    qChunking, qTfidf)
+    qChunking, qTfidf, qQualityClassifier, qCdcChunking)
 }

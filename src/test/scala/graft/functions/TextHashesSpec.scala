@@ -99,6 +99,54 @@ class TextHashesSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
   }
 
+  test("HashedLinearScore ≡ composed distinct-shingle aggregate pipeline") {
+    import spark.implicits._
+    val df = corpus(61, 300).toDF("text")
+    // composed reference: sum (h % 1001 - 500) over the distinct unigram
+    // and bigram hash sets independently (no cross-set dedup), count both
+    def score(c: Column): Column = aggregate(c, lit(0L),
+      (acc, h) => acc + (h % 1001) - 500)
+    val slow = array(
+      score(composedShingles(col("text"), 1)) + score(composedShingles(col("text"), 2)),
+      (size(composedShingles(col("text"), 1)) +
+        size(composedShingles(col("text"), 2))).cast("long"))
+    val mismatches = df.select(
+        HashedLinearScore(col("text"), 1001).as("fast"), slow.as("slow"))
+      .filter(not(col("fast") === col("slow")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  /** Independent CDC reference: sliding-window grams, cut set, slice. */
+  private def naiveCdc(text: String, w: Int, d: Int): Seq[String] = {
+    val toks = text.split(" ", -1).toIndexedSeq
+    val cuts = toks.sliding(w).zipWithIndex
+      .collect { case (g, i) if g.size == w &&
+        PolyHash.hash(g.mkString(" ")) % d == 0 => i + w }
+      .toSet
+    val out = Seq.newBuilder[String]
+    var start = 0
+    for (p <- 1 to toks.length)
+      if (p == toks.length || cuts.contains(p)) {
+        out += toks.slice(start, p).mkString(" ")
+        start = p
+      }
+    out.result()
+  }
+
+  test("CdcChunkStrings ≡ independent sliding-window reference; chunks partition the text") {
+    import spark.implicits._
+    val texts = corpus(83, 300)
+    val got = texts.toDF("text")
+      .select(col("text"), CdcChunkStrings(col("text"), 3, 8).as("chunks"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach { t =>
+      assert(got(t) == naiveCdc(t, 3, 8), s"mismatch on ${t.take(60)}")
+      assert(got(t).mkString(" ") == t, "chunks must rejoin to the text")
+    }
+  }
+
   test("degenerate inputs: short text → empty array, never null") {
     import spark.implicits._
     val rows = Seq("", "ab", "a b").toDF("text")

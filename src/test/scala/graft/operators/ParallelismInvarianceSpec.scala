@@ -39,7 +39,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // reduction + anti-join (q76)
       Multimodal.qMultimodal, ProductQuant.qPqRecall,
       Corpus.qBpeMerges, Curation.qDomainBlocklist,
-      Similarity.qEmbedDecontaminate)) {
+      Similarity.qEmbedDecontaminate,
+      // map-only hashed-feature scoring (q80), df heavy-hitter join +
+      // doc rollup (q81), map-only CDC chunking (q82)
+      TextAnalysis.qQualityClassifier, Dedup.qBoilerplate,
+      TextAnalysis.qCdcChunking)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
