@@ -623,8 +623,139 @@ object Corpus {
          | FROM t""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q83 — collocation mining: the 20 most associated word bigrams by
+    * LIFT (observed bigram count over the count expected under
+    * independence: `c_ab·N / (c_a·c_b)`), minimum bigram count 5 — the
+    * statistical step that separates "interesting phrase" from "merely
+    * frequent" (q49 ranks by raw frequency; a stopword pair tops that
+    * list, never this one). PMI is the `log` of this quantity — `log` is
+    * banned in gated queries (libm divergence) and monotone, so ranking
+    * by lift IS ranking by PMI.
+    *
+    * Exactness: integer counts throughout; each double product is exact
+    * below 2^53 (holds through ~10^8-bigram corpora — far past every
+    * gate SF) and the single IEEE division is bit-identical on both
+    * engines.
+    *
+    * Scale shape: two frequency aggregations (bigram, unigram) with
+    * map-side combine; the min-count filter shrinks the bigram side
+    * BEFORE its two word-keyed joins against the vocabulary-sized (≪
+    * corpus) unigram counts; the corpus total N rides a single-row
+    * broadcast. TakeOrdered keeps k per partition — no global sort.
+    */
+  val qCollocations: QuerySpec = QuerySpec(
+    "q83_collocations",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val uni = docs.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val bg = docs.select(explode(WordShingles(col("text"), 2)).as("gram"))
+      val n = bg.agg(count(lit(1)).as("n_total"))
+      val bc = bg.groupBy(col("gram")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .select(element_at(split(col("gram"), " "), 1).as("w1"),
+          element_at(split(col("gram"), " "), 2).as("w2"), col("c_ab"))
+      val lift = (col("c_ab").cast("double") * col("n_total").cast("double")) /
+        (col("c_a").cast("double") * col("c_b").cast("double"))
+      bc.join(uni.toDF("w1", "c_a"), Seq("w1"))
+        .join(uni.toDF("w2", "c_b"), Seq("w2"))
+        .crossJoin(broadcast(n)) // single-row corpus total
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          lift.as("lift"))
+        .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    },
+    Some("""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           | uc AS (SELECT w, COUNT(*) AS c
+           |  FROM (SELECT unnest(tk) AS w FROM dt) GROUP BY w),
+           | bg AS (SELECT unnest(list_transform(
+           |   range(1, greatest(len(tk) - 1, 0) + 1),
+           |   i -> tk[i] || ' ' || tk[i + 1])) AS gram FROM dt),
+           | n AS (SELECT COUNT(*) AS n_total FROM bg),
+           | bc AS (SELECT split_part(gram, ' ', 1) AS w1,
+           |   split_part(gram, ' ', 2) AS w2, COUNT(*) AS c_ab
+           |  FROM bg GROUP BY gram HAVING COUNT(*) >= 5)
+           | SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+           |  (CAST(c_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+           |  (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)) AS lift
+           | FROM bc JOIN uc a ON bc.w1 = a.w JOIN uc b ON bc.w2 = b.w, n
+           | ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q84 — count-min sketch accuracy report: build a 4×64 CMS over the
+    * corpus term frequencies (row hashes = the [[graft.functions.MinHash]]
+    * permutation family applied to each term's [[PolyHash]]), point-query
+    * the 10 most frequent terms, and report estimate vs truth. The CMS is
+    * the mergeable heavy-hitter sketch for shards/streams: counts sum per
+    * (row, bucket), so map-side partial aggregation merges per-partition
+    * sketches for free, and the estimate (min over rows) only ever
+    * OVERcounts — `overcount ≥ 0` is pinned per probed term.
+    *
+    * Scale shape: one vocabulary aggregation (map-side combine absorbs
+    * the token explosion), then the 4-row explosion runs over the
+    * VOCABULARY (≪ corpus) and collapses to ≤ 256 sketch rows; the
+    * top-10 probe joins the sketch broadcast. All integer arithmetic.
+    */
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 64
+
+  val qCountMin: QuerySpec = QuerySpec(
+    "q84_countmin",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import graft.functions.MinHash
+      val pA = array((0 until CmsRows).map(j => lit(MinHash.permA(j))): _*)
+      val pB = array((0 until CmsRows).map(j => lit(MinHash.permB(j))): _*)
+      def bucket(r: Column): Column =
+        pmod(element_at(pA, r + 1) * col("h") + element_at(pB, r + 1),
+          lit(PolyHash.P)) % CmsWidth
+      val tc = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .withColumn("h", PolyHash(col("term")))
+      val cms = tc
+        .select(col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+        .select(col("r"), bucket(col("r")).as("bucket"), col("cnt"))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
+      tc.orderBy(col("cnt").desc, col("term").asc).limit(10)
+        .select(col("term"), col("cnt"), col("h"),
+          explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
+        .select(col("term"), col("cnt"), col("r"), bucket(col("r")).as("bucket"))
+        .join(broadcast(cms), Seq("r", "bucket"))
+        .groupBy(col("term"))
+        .agg(max(col("cnt")).as("true_cnt"), min(col("c")).as("est_cnt"))
+        .withColumn("overcount", col("est_cnt") - col("true_cnt"))
+    },
+    Some {
+      val pA = (0 until CmsRows).map(j => graft.functions.MinHash.permA(j))
+        .mkString("[", ", ", "]")
+      val pB = (0 until CmsRows).map(j => graft.functions.MinHash.permB(j))
+        .mkString("[", ", ", "]")
+      val bucket = (h: String, r: String) =>
+        s"(($pA[CAST($r AS INT) + 1] * $h + $pB[CAST($r AS INT) + 1])" +
+          s" % ${PolyHash.P}) % $CmsWidth"
+      s"""WITH tc AS (SELECT term, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+         |  GROUP BY term),
+         | hh AS (SELECT term, cnt, ${PolyHash.oracleSql("term")} AS h FROM tc),
+         | ex AS (SELECT cnt, h, unnest(range(0, $CmsRows)) AS r FROM hh),
+         | cms AS (SELECT r, ${bucket("h", "r")} AS bucket,
+         |   CAST(SUM(cnt) AS BIGINT) AS c FROM ex GROUP BY 1, 2),
+         | top AS (SELECT term, cnt, h FROM hh
+         |  ORDER BY cnt DESC, term ASC LIMIT 10),
+         | tb AS (SELECT term, cnt, h, unnest(range(0, $CmsRows)) AS r FROM top)
+         | SELECT tb.term, MAX(tb.cnt) AS true_cnt,
+         |  CAST(MIN(cms.c) AS BIGINT) AS est_cnt,
+         |  CAST(MIN(cms.c) - MAX(tb.cnt) AS BIGINT) AS overcount
+         | FROM tb JOIN cms ON tb.r = cms.r
+         |  AND ${bucket("tb.h", "tb.r")} = cms.bucket
+         | GROUP BY tb.term""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
-    qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply)
+    qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
+    qCollocations, qCountMin)
 }

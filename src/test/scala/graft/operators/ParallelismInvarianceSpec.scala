@@ -43,7 +43,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // map-only hashed-feature scoring (q80), df heavy-hitter join +
       // doc rollup (q81), map-only CDC chunking (q82)
       TextAnalysis.qQualityClassifier, Dedup.qBoilerplate,
-      TextAnalysis.qCdcChunking)) {
+      TextAnalysis.qCdcChunking,
+      // lift-ranked top-20 with double division (q83), CMS bucket
+      // aggregation + broadcast probe join (q84)
+      Corpus.qCollocations, Corpus.qCountMin)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
