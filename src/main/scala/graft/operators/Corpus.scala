@@ -753,9 +753,98 @@ object Corpus {
          | GROUP BY tb.term""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q85 — Bloom-filter decontamination accuracy: the constant-size
+    * alternative to q46's broadcast gram join. The eval set's 5-gram
+    * hashes fold into a 64 Kbit / k=3 Bloom filter (positions from the
+    * [[graft.functions.MinHash]] permutation family), and the training
+    * corpus is probed MAP-SIDE against the 8 KB bitmask riding the plan
+    * as a 1024-long literal — at 100 TB this replaces a broadcast of
+    * every eval gram with a fixed-size mask and a pure map (no join on
+    * the production probe path at all). Bloom filters have NO false
+    * negatives, so a zero-hit doc is definitively clean; the report
+    * quantifies the false-positive cost per document (`fp_grams =
+    * bloom_hits − exact_hits ≥ 0`, the q66-style calibration twin — the
+    * exact-join column exists ONLY to measure that error).
+    *
+    * The driver-side fold that builds the mask collects the eval gram
+    * hashes — the side that is small by definition (benchmarks vs a
+    * 100 TB corpus), the q79 broadcast argument.
+    */
+  private[graft] val BloomBits = 65536
+  private[graft] val BloomK = 3
+
+  val qBloomDecontaminate: QuerySpec = QuerySpec(
+    "q85_bloom_decontaminate",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+      import graft.functions.MinHash
+      val sh = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(WordShingleHashes(col("text"), 5)).as("h"))
+      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+      val bits = new Array[Long](BloomBits / 64)
+      bench.collect().foreach { r =>
+        val h = r.getLong(0)
+        var j = 0
+        while (j < BloomK) {
+          val p = (((MinHash.permA(j) * h + MinHash.permB(j)) % PolyHash.P)
+            % BloomBits).toInt
+          bits(p >> 6) |= 1L << (p & 63)
+          j += 1
+        }
+      }
+      val bitsLit = typedlit(bits.toSeq)
+      // functions.shiftrightunsigned only accepts a literal shift; the
+      // Catalyst node takes a column
+      def srl(x: Column, n: Column): Column = GraftShims.column(
+        ShiftRightUnsigned(GraftShims.expression(x), GraftShims.expression(n)))
+      def member(h: Column): Column = (0 until BloomK).map { j =>
+        val p = pmod(lit(MinHash.permA(j)) * h + lit(MinHash.permB(j)),
+          lit(PolyHash.P)) % BloomBits
+        srl(element_at(bitsLit, shiftright(p, 6).cast("int") + 1),
+          p.bitwiseAND(lit(63L)).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench.withColumn("ev", lit(1L))), Seq("h"), "left")
+        .select(col("doc_id"),
+          when(member(col("h")), 1L).otherwise(0L).as("bm"),
+          coalesce(col("ev"), lit(0L)).as("exv"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(col("bm")).as("bloom_hits"),
+          sum(col("exv")).as("exact_hits"))
+        .withColumn("fp_grams", col("bloom_hits") - col("exact_hits"))
+    },
+    Some {
+      val pa = (0 until BloomK).map(j => graft.functions.MinHash.permA(j))
+        .mkString("[", ", ", "]")
+      val pb = (0 until BloomK).map(j => graft.functions.MinHash.permB(j))
+        .mkString("[", ", ", "]")
+      val posOf = (h: String, j: String) =>
+        s"(($pa[CAST($j AS INT) + 1] * $h + $pb[CAST($j AS INT) + 1])" +
+          s" % ${PolyHash.P}) % $BloomBits"
+      s"""WITH ${shingleCtes(5)},
+         | ev AS (SELECT DISTINCT unnest(H) AS h FROM ds WHERE doc_id % 10 = 0),
+         | bits AS (SELECT DISTINCT ${posOf("h", "j")} AS p
+         |  FROM ev, range(0, $BloomK) t(j)),
+         | tr AS (SELECT doc_id, unnest(H) AS h FROM ds WHERE doc_id % 10 <> 0),
+         | trp AS (SELECT doc_id, h, ${posOf("h", "j")} AS p
+         |  FROM tr, range(0, $BloomK) t(j)),
+         | memb AS (SELECT doc_id, h,
+         |   CASE WHEN COUNT(b.p) = $BloomK THEN 1 ELSE 0 END AS m
+         |  FROM trp LEFT JOIN bits b ON trp.p = b.p GROUP BY doc_id, h)
+         | SELECT memb.doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(memb.m) AS BIGINT) AS bloom_hits,
+         |  COUNT(e.h) AS exact_hits,
+         |  CAST(SUM(memb.m) - COUNT(e.h) AS BIGINT) AS fp_grams
+         | FROM memb LEFT JOIN ev e ON memb.h = e.h
+         | GROUP BY memb.doc_id""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
-    qCollocations, qCountMin)
+    qCollocations, qCountMin, qBloomDecontaminate)
 }

@@ -45,8 +45,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       TextAnalysis.qQualityClassifier, Dedup.qBoilerplate,
       TextAnalysis.qCdcChunking,
       // lift-ranked top-20 with double division (q83), CMS bucket
-      // aggregation + broadcast probe join (q84)
-      Corpus.qCollocations, Corpus.qCountMin)) {
+      // aggregation + broadcast probe join (q84), bitmask-literal bloom
+      // probe + left join (q85)
+      Corpus.qCollocations, Corpus.qCountMin,
+      Corpus.qBloomDecontaminate)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

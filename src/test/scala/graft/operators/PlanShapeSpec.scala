@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the SHAPE claims the scaladocs make, not just the values: the
+  * "pure map, no shuffle" queries really compile to exchange-free plans,
+  * and the sketch probes really broadcast their small side. A regression
+  * that silently adds an exchange (e.g. a refactor that routes a kernel
+  * through a groupBy) passes the value gates but breaks the 100 TB
+  * story — this is the gate for that. AQE wraps multi-stage plans in
+  * unexecuted query stages (the AnnPrunedSpec lesson), so assertions run
+  * with adaptive disabled — the static plan properties don't depend on
+  * it.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withStaticPlans[A](f: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, old)
+  }
+
+  for ((name, q) <- Seq(
+      "q28_textstats" -> TextAnalysis.qTextStats,
+      "q80_quality_classifier" -> TextAnalysis.qQualityClassifier,
+      "q82_cdc_chunking" -> TextAnalysis.qCdcChunking,
+      "q47_sample_stratified" -> Corpus.qSampleStratified))
+    test(s"$name is exchange-free (pure map at any scale)") {
+      withStaticPlans {
+        val ex = q.build(spark, dir).queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(ex.isEmpty, s"$name gained ${ex.size} shuffle exchange(s)")
+      }
+    }
+
+  for ((name, q) <- Seq(
+      "q84_countmin" -> Corpus.qCountMin,
+      "q85_bloom_decontaminate" -> Corpus.qBloomDecontaminate,
+      "q46_decontaminate" -> Corpus.qDecontaminate))
+    test(s"$name probes its small side via broadcast join") {
+      withStaticPlans {
+        val b = q.build(spark, dir).queryExecution.executedPlan.collect {
+          case j: BroadcastHashJoinExec => j
+        }
+        assert(b.nonEmpty, s"$name lost its broadcast probe join")
+      }
+    }
+}

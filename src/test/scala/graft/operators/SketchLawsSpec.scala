@@ -25,6 +25,19 @@ class SketchLawsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q85: the Bloom probe never misses (no false negatives, fp >= 0)") {
+    val rows = Corpus.qBloomDecontaminate.build(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fp_grams") >= 0L,
+        s"bloom missed a contaminated gram in doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("bloom_hits") <= r.getAs[Long]("n_grams"))
+    }
+    // the corpus is seeded with real contamination: the exact join must
+    // find some, and the bloom must cover every one of those docs
+    assert(rows.map(_.getAs[Long]("exact_hits")).sum > 0)
+  }
+
   test("q83: lift equals c_ab*N/(c_a*c_b) for the reported counts") {
     // N is not an output column: recover it from any row's lift (the
     // products are exact doubles at this scale), then check every row
