@@ -366,6 +366,48 @@ object Curation {
            |    AS BIGINT) AS n_digit_redacted
            | FROM c GROUP BY doc_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q87 — per-source corpus scorecard: the one-scan health dashboard a
+    * curation run ends with, rolling the per-document signals up to the
+    * feed level — document count, total characters, classifier keep
+    * rate (q80's model), mean classifier score, and decimal-exact mean
+    * stopword ratio (q28's metric through [[graft.functions.Exact]] so
+    * partition order can't move the double sum). One map-side pass
+    * computes every per-doc signal, one shuffle on the ~20-key source
+    * column; integer sums + two final IEEE divisions.
+    */
+  val qSourceScorecard: QuerySpec = QuerySpec(
+    "q87_source_scorecard",
+    (s, dir) => {
+      val f = graft.functions.HashedLinearScore(col("text"),
+        TextAnalysis.ClassifierModulus)
+      val nWords = TextMetrics.wordCount(col("text"))
+      val nStop = TextMetrics.stopCount(col("text"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          element_at(f, 1).as("score"),
+          TextMetrics.stopRatio(nWords, nStop).as("sr"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(when(col("score") >= 0, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")).as("keep_rate"),
+          (sum(col("score")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_score"),
+          graft.functions.Exact.davg(col("sr")).as("avg_stop_ratio"))
+    },
+    Some(s"""WITH ${TextAnalysis.classifierScoreCtes},
+            | m AS (SELECT d.source, d.n_chars, sc.score,
+            |   ${TextMetrics.stopRatioSql("d.text")} AS sr
+            |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+            | SELECT source, COUNT(*) AS n_docs,
+            |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            |   / CAST(COUNT(*) AS DOUBLE) AS keep_rate,
+            |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE)
+            |   / CAST(COUNT(*) AS DOUBLE) AS avg_score,
+            |  ${graft.functions.Exact.davgSql("sr")} AS avg_stop_ratio
+            | FROM m GROUP BY source""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield, qDomainBlocklist, qPiiScrub)
+    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard)
 }

@@ -577,11 +577,14 @@ object Dedup {
     * only UBIQUITOUS spans to measure chrome contamination per document.
     *
     * Scale shape: span hashes are one codegen'd map-side pass
-    * ([[WordShingleHashes]], distinct within doc), the df aggregation
-    * and the span⋈hot join share the same `h` partitioning (exchange
-    * reuse, the q59 shape), then one shuffle on doc_id. The hot set is
-    * the df heavy-hitters — never broadcast/collected, so an adversarial
-    * corpus that is 100% boilerplate still streams through the h-join.
+    * ([[WordShingleHashes]], distinct within doc), then an `h`-keyed
+    * join of the spans against the df heavy-hitters and one shuffle on
+    * doc_id. The hot set is never COLLECTED to the driver: at gate SF
+    * the planner broadcasts it (it is tiny), and when a larger corpus
+    * pushes it past the broadcast threshold the join falls back to the
+    * `h`-partitioned shuffle join that shares its exchange with the df
+    * aggregation (the q59 shape) — an adversarial corpus that is 100%
+    * boilerplate still streams.
     */
   private val BoilerWords = 3
   private[graft] val BoilerDf = 5
@@ -615,7 +618,51 @@ object Dedup {
             | FROM sp LEFT JOIN hot ON sp.h = hot.h
             | GROUP BY sp.doc_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q86 — dedup collapse: the REWRITE step that closes the near-dup
+    * pipeline (q23 pairs → q50 clusters → this). Every document maps to
+    * its canonical id — the minimum doc_id of its near-dup cluster
+    * (exactly what the pointer-jumped label already is), itself if
+    * unclustered — and `kept = 1` marks the survivor set: cluster
+    * representatives plus all untouched docs. The deduplicated corpus a
+    * user ships is `filter(kept = 1)` over this frame.
+    *
+    * Scale shape: q50's clustering plus ONE left join of the corpus
+    * against the cluster labels — a frame of only the clustered docs
+    * (≪ corpus when dups are the exception, broadcastable in practice;
+    * an h-shuffle join in the adversarial all-dup case). No new
+    * iteration, no new all-pairs surface.
+    */
+  val qDedupCollapse: QuerySpec = QuerySpec(
+    "q86_dedup_collapse",
+    (s, dir) => {
+      val labels = qDupClusters.build(s, dir) // (doc_id, cluster_id)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+        .withColumn("kept",
+          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${qLshPairs.oracle.get}),
+            | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+            |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+            | nodes AS (SELECT DISTINCT u FROM edges),
+            | reach(u, r) AS (
+            |   SELECT u, u FROM nodes
+            |   UNION
+            |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u),
+            | cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+            |  FROM reach GROUP BY u)
+            | SELECT d.doc_id, d.source,
+            |  COALESCE(cl.cluster_id, d.doc_id) AS canonical_id,
+            |  CASE WHEN d.doc_id = COALESCE(cl.cluster_id, d.doc_id)
+            |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"""
+      .stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
-    qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate)
+    qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
+    qDedupCollapse)
 }

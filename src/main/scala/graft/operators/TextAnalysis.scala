@@ -282,26 +282,32 @@ object TextAnalysis {
           element_at(col("f"), 2).as("n_features"))
         .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
     },
-    // bigram strings materialized in their own list_transform (outer var
-    // `j`) BEFORE hashing in a second one (var `s`): the polyhash fold's
-    // internal `i` range variable must never sit inside an outer `i`/`j`
-    // lambda that it would shadow (the q48 rule)
-    Some(s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            | fs AS (SELECT doc_id,
-            |   list_distinct(list_transform(w, s -> ${PolyHash.oracleSql("s")})) AS U,
-            |   list_distinct(list_transform(
-            |     list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j + 1]),
-            |     s -> ${PolyHash.oracleSql("s")})) AS B
-            |  FROM tk),
-            | sc AS (SELECT doc_id,
-            |   COALESCE(CAST(list_sum(list_transform(U, h -> h % 1001 - 500)) AS BIGINT), 0)
-            |   + COALESCE(CAST(list_sum(list_transform(B, h -> h % 1001 - 500)) AS BIGINT), 0)
-            |     AS score,
-            |   CAST(len(U) + len(B) AS BIGINT) AS n_features
-            |  FROM fs)
+    Some(s"""WITH $classifierScoreCtes
             | SELECT doc_id, score, n_features,
             |  CASE WHEN score >= 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
             | FROM sc""".stripMargin.replaceAll("\n", "")))
+
+  /** The q80 scoring chain as DuckDB CTEs ending in
+    * `sc(doc_id, score, n_features)` — shared with q87's per-source
+    * rollup. Bigram strings materialize in their own list_transform
+    * (outer var `j`) BEFORE hashing in a second one (var `s`): the
+    * polyhash fold's internal `i` range variable must never sit inside
+    * an outer `i`/`j` lambda it would shadow (the q48 rule).
+    */
+  private[operators] def classifierScoreCtes: String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       | fs AS (SELECT doc_id,
+       |   list_distinct(list_transform(w, s -> ${PolyHash.oracleSql("s")})) AS U,
+       |   list_distinct(list_transform(
+       |     list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j + 1]),
+       |     s -> ${PolyHash.oracleSql("s")})) AS B
+       |  FROM tk),
+       | sc AS (SELECT doc_id,
+       |   COALESCE(CAST(list_sum(list_transform(U, h -> h % 1001 - 500)) AS BIGINT), 0)
+       |   + COALESCE(CAST(list_sum(list_transform(B, h -> h % 1001 - 500)) AS BIGINT), 0)
+       |     AS score,
+       |   CAST(len(U) + len(B) AS BIGINT) AS n_features
+       |  FROM fs)""".stripMargin.replaceAll("\n", "")
 
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking)

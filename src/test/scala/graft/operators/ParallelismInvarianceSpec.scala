@@ -48,7 +48,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // aggregation + broadcast probe join (q84), bitmask-literal bloom
       // probe + left join (q85)
       Corpus.qCollocations, Corpus.qCountMin,
-      Corpus.qBloomDecontaminate)) {
+      Corpus.qBloomDecontaminate,
+      // CC labels + corpus rewrite join (q86), multi-signal source
+      // rollup with decimal-exact ratio means (q87)
+      Dedup.qDedupCollapse, Curation.qSourceScorecard)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
