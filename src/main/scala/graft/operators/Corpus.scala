@@ -842,9 +842,102 @@ object Corpus {
          | GROUP BY memb.doc_id""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q88 — crawl snapshot diff: the delta report between two corpus
+    * snapshots (old crawl A = doc_id % 7 ≠ 0, new crawl B = doc_id % 5
+    * ≠ 0, with every doc_id % 3 = 0 doc "re-edited" in B — closed-form
+    * synthetic snapshots, the q76/q78 pattern), classifying every key as
+    * added / removed / changed / unchanged and rolling counts up per
+    * source. This is the incremental-ingest planning step: `changed ∪
+    * added` is exactly the re-process set the streaming front doors
+    * (SignatureStore / EmbeddingStream / PqStream upserts) consume.
+    *
+    * Scale shape: content equality via 8-byte [[PolyHash]] fingerprints
+    * computed map-side — the full-outer join on the key column never
+    * carries text; one shuffle for the join, one for the ~80-group
+    * rollup.
+    */
+  val qSnapshotDiff: QuerySpec = QuerySpec(
+    "q88_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source").as("src_a"),
+          PolyHash(col("text")).as("fp_a"))
+      val b = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source").as("src_b"),
+          when(col("doc_id") % 3 === 0,
+            PolyHash(concat(col("text"), lit(" updated"))))
+            .otherwise(PolyHash(col("text"))).as("fp_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_a"), col("src_b")).as("source"),
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") === col("fp_b"), "unchanged")
+            .otherwise("changed").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    Some(s"""WITH a AS (SELECT doc_id, source,
+            |   ${PolyHash.oracleSql("text")} AS fp FROM documents
+            |  WHERE doc_id % 7 <> 0),
+            | b AS (SELECT doc_id, source,
+            |   CASE WHEN doc_id % 3 = 0
+            |    THEN ${PolyHash.oracleSql("text || ' updated'")}
+            |    ELSE ${PolyHash.oracleSql("text")} END AS fp FROM documents
+            |  WHERE doc_id % 5 <> 0),
+            | j AS (SELECT COALESCE(a.source, b.source) AS source,
+            |   CASE WHEN a.fp IS NULL THEN 'added'
+            |    WHEN b.fp IS NULL THEN 'removed'
+            |    WHEN a.fp = b.fp THEN 'unchanged'
+            |    ELSE 'changed' END AS status
+            |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+            | SELECT source, status, COUNT(*) AS n_docs
+            | FROM j GROUP BY source, status""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q89 — inverted-index posting lists: per term, the document
+    * frequency and the first 10 postings (doc_ids ascending) — the
+    * search/retrieval layout next to the ANN one (sparse lexical lookup
+    * vs dense embedding probe). Postings explode to scalar rows (the
+    * q22 array rule) and the head cap bounds every group's output
+    * regardless of how common the term is.
+    *
+    * Scale shape: per-doc DISTINCT terms map-side, one shuffle on the
+    * term; `sort_array(collect_list(...))` keeps the posting order
+    * deterministic under any partitioning (collect_list alone is
+    * arrival-ordered). The cap means a stopword's group emits 10 rows,
+    * not the corpus — at 100 TB posting lists page by a (term, block)
+    * key, which is this same plan re-keyed.
+    */
+  val qPostingLists: QuerySpec = QuerySpec(
+    "q89_posting_lists",
+    (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("head"))
+        .select(col("term"), col("df"), posexplode(col("head")))
+        .select(col("term"), col("df"), col("pos").cast("long").as("rank"),
+          col("col").as("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT DISTINCT doc_id,
+           |   unnest(string_split(text, ' ')) AS term FROM documents),
+           | pl AS (SELECT term, COUNT(*) AS df,
+           |   (list(doc_id ORDER BY doc_id))[1:10] AS head
+           |  FROM tok WHERE len(term) > 0 GROUP BY term)
+           | SELECT term, df, CAST(j - 1 AS BIGINT) AS rank,
+           |  head[CAST(j AS INT)] AS doc_id
+           | FROM (SELECT term, df, head,
+           |   unnest(range(1, len(head) + 1)) AS j FROM pl)""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
-    qCollocations, qCountMin, qBloomDecontaminate)
+    qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
+    qPostingLists)
 }

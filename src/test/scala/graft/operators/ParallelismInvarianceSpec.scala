@@ -50,8 +50,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Corpus.qCollocations, Corpus.qCountMin,
       Corpus.qBloomDecontaminate,
       // CC labels + corpus rewrite join (q86), multi-signal source
-      // rollup with decimal-exact ratio means (q87)
-      Dedup.qDedupCollapse, Curation.qSourceScorecard)) {
+      // rollup with decimal-exact ratio means (q87), fingerprint
+      // full-outer diff (q88), sorted posting-list heads (q89)
+      Dedup.qDedupCollapse, Curation.qSourceScorecard,
+      Corpus.qSnapshotDiff, Corpus.qPostingLists)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
