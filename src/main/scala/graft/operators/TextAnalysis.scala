@@ -208,6 +208,83 @@ object TextAnalysis {
          | FROM ch""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q90 — code-switching / mixed-language detection: q30's language-ID
+    * applied per 25-word CHUNK instead of per document, rolled up to the
+    * per-doc report a curation pass thresholds on (docs whose chunks
+    * disagree are mixed-language or mislabeled — they poison monolingual
+    * training sets even when the doc-level majority vote looks clean).
+    * Chunk predictions use the q30 rule verbatim; the majority language
+    * tie-breaks deterministically (count desc, lang asc). (On the
+    * all-English synthetic corpus `n_langs` is mostly 1, like q30's
+    * mostly-'en' — the gated artifact is the machinery.)
+    *
+    * Scale shape: chunking + scoring are map-side (q43's bounded
+    * explode), then one shuffle on (doc, lang) whose map-side combine
+    * absorbs the chunk fan-out, and a ≤4-row-per-doc window for the
+    * majority pick — the q67 shape.
+    */
+  val qMixedLanguage: QuerySpec = QuerySpec(
+    "q90_mixed_language",
+    (s, dir) => {
+      val chunkLen = 25
+      def score(c: Column, pat: String): Column =
+        regexp_count(c, lit(pat)).cast("long")
+      val tok = split(col("text"), " ")
+      val chunks = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), tok.as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+            lit(chunkLen))))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("w"), col("col") + 1, lit(chunkLen)))
+            .as("chunk"))
+      val sEn = score(col("chunk"), "\\b(the|and|of|to|in)\\b")
+      val sDe = score(col("chunk"), "\\b(der|die|das|und|ist)\\b")
+      val sEs = score(col("chunk"), "\\b(el|los|las|y|que)\\b")
+      val sFr = score(col("chunk"), "\\b(le|les|et|est|une)\\b")
+      val pred = when(sEn >= sDe && sEn >= sEs && sEn >= sFr, "en")
+        .when(sDe >= sEs && sDe >= sFr, "de")
+        .when(sEs >= sFr, "es").otherwise("fr")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("lang").asc)
+      chunks.select(col("doc_id"), pred.as("lang"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_chunks"),
+          count(lit(1)).as("n_langs"),
+          max(when(col("rk") === 1, col("lang"))).as("top_lang"),
+          (lit(1.0) - max(when(col("rk") === 1, col("cnt"))).cast("double") /
+            sum(col("cnt")).cast("double")).as("minority_ratio"))
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           | st AS (SELECT doc_id, w,
+           |   unnest(range(0, greatest(len(w), 1), 25)) AS start FROM tk),
+           | ch AS (SELECT doc_id,
+           |   array_to_string(list_slice(w, start + 1, start + 25), ' ') AS chunk
+           |  FROM st),
+           | sc AS (SELECT doc_id,
+           |   CAST(len(regexp_extract_all(chunk, '\b(the|and|of|to|in)\b')) AS BIGINT) AS s_en,
+           |   CAST(len(regexp_extract_all(chunk, '\b(der|die|das|und|ist)\b')) AS BIGINT) AS s_de,
+           |   CAST(len(regexp_extract_all(chunk, '\b(el|los|las|y|que)\b')) AS BIGINT) AS s_es,
+           |   CAST(len(regexp_extract_all(chunk, '\b(le|les|et|est|une)\b')) AS BIGINT) AS s_fr
+           |  FROM ch),
+           | pr AS (SELECT doc_id,
+           |   CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang FROM sc),
+           | ct AS (SELECT doc_id, lang, COUNT(*) AS cnt FROM pr
+           |  GROUP BY doc_id, lang),
+           | rk AS (SELECT doc_id, lang, cnt, ROW_NUMBER() OVER (
+           |   PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rk FROM ct)
+           | SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+           |  COUNT(*) AS n_langs,
+           |  MAX(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+           |  CAST(1 AS DOUBLE) - CAST(MAX(CASE WHEN rk = 1 THEN cnt END) AS DOUBLE)
+           |   / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS minority_ratio
+           | FROM rk GROUP BY doc_id""".stripMargin.replaceAll("\n", "")))
+
   /** q67 — TF-IDF keyword extraction: the 3 most characteristic terms per
     * document, scored tf/df (term frequency × inverse document frequency
     * with the corpus-size factor N dropped — N is constant per ranking,
@@ -310,5 +387,5 @@ object TextAnalysis {
        |  FROM fs)""".stripMargin.replaceAll("\n", "")
 
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
-    qChunking, qTfidf, qQualityClassifier, qCdcChunking)
+    qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage)
 }

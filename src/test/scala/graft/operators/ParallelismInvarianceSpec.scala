@@ -53,7 +53,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // rollup with decimal-exact ratio means (q87), fingerprint
       // full-outer diff (q88), sorted posting-list heads (q89)
       Dedup.qDedupCollapse, Curation.qSourceScorecard,
-      Corpus.qSnapshotDiff, Corpus.qPostingLists)) {
+      Corpus.qSnapshotDiff, Corpus.qPostingLists,
+      // per-chunk langid majority vote (q90)
+      TextAnalysis.qMixedLanguage)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
