@@ -661,8 +661,45 @@ object Dedup {
             | FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"""
       .stripMargin.replaceAll("\n", "")))
 
+  /** q91 — LSH band-occupancy report: per band, the bucket count, the
+    * heaviest bucket, and the candidate-pair volume Σ C(occ, 2) the band
+    * contributes to q23's self-join — the skew guard you MONITOR before
+    * running the join at 100 TB (SpanBoundSpec pins the q59 analogue as
+    * a test; this is the operator form for the MinHash path, where a
+    * runaway bucket means the band hash is degenerate or the corpus is
+    * template-flooded, and the fix — more bands / longer signatures /
+    * pre-splitting the hot bucket — is a config decision this report
+    * drives).
+    *
+    * Scale shape: signatures are the same single hash-aggregate as q22;
+    * the occupancy rollup is two aggregations on (b, bh) then b — map-
+    * side combinable, ≤ NumBands output rows, and the C(occ,2) sum is
+    * exact integer arithmetic (`occ·(occ−1)` is even, so the shift is a
+    * lossless halve).
+    */
+  val qLshOccupancy: QuerySpec = QuerySpec(
+    "q91_lsh_occupancy",
+    (s, dir) => {
+      val sig = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = false)
+      sig.select(col("doc_id"),
+          posexplode(array((0 until NumBands).map(bandHash): _*)))
+        .select(col("pos").cast("long").as("b"), col("col").as("bh"))
+        .groupBy(col("b"), col("bh")).agg(count(lit(1)).as("occ"))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max(col("occ")).as("max_occupancy"),
+          sum(shiftright(col("occ") * (col("occ") - 1), 1))
+            .as("candidate_pairs"))
+    },
+    Some(s"""WITH $lshCandSqlCtes,
+            | occ AS (SELECT b, bh, COUNT(*) AS occ FROM bands GROUP BY b, bh)
+            | SELECT b, COUNT(*) AS n_buckets, MAX(occ) AS max_occupancy,
+            |  CAST(SUM((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs
+            | FROM occ GROUP BY b""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
-    qDedupCollapse)
+    qDedupCollapse, qLshOccupancy)
 }

@@ -54,8 +54,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // full-outer diff (q88), sorted posting-list heads (q89)
       Dedup.qDedupCollapse, Curation.qSourceScorecard,
       Corpus.qSnapshotDiff, Corpus.qPostingLists,
-      // per-chunk langid majority vote (q90)
-      TextAnalysis.qMixedLanguage)) {
+      // per-chunk langid majority vote (q90), band-occupancy skew
+      // report (q91)
+      TextAnalysis.qMixedLanguage, Dedup.qLshOccupancy)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
