@@ -19,8 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop filter: comma-separated query names; unset (the driver's
-    // invocation) dumps the full surface
+    // invocation) dumps the full surface. Unknown names fail FAST — a
+    // typo would otherwise produce an empty run that the oracle compare
+    // reports as "0/0 OK", reading as green without executing anything
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

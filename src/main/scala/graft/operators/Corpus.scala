@@ -718,10 +718,22 @@ object Corpus {
           explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
         .select(col("r"), bucket(col("r")).as("bucket"), col("cnt"))
         .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
-      tc.orderBy(col("cnt").desc, col("term").asc).limit(10)
-        .select(col("term"), col("cnt"), col("h"),
-          explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
-        .select(col("term"), col("cnt"), col("r"), bucket(col("r")).as("bucket"))
+      // top-10 probe collected to a local relation (the q60b lesson:
+      // tiny deterministic results re-executed per branch are cheaper
+      // as literals — leaving the probe in-plan ran the vocabulary
+      // aggregation twice, and neither static nor AQE exchange reuse
+      // collapsed the branches [measured: 2 scans])
+      val probeRows = tc.orderBy(col("cnt").desc, col("term").asc).limit(10)
+        .select(col("term"), col("cnt"), col("h")).collect().toSeq
+        .flatMap { r =>
+          val h = r.getLong(2)
+          (0 until CmsRows).map { j =>
+            val b = ((MinHash.permA(j) * h + MinHash.permB(j)) % PolyHash.P) %
+              CmsWidth
+            (r.getString(0), r.getLong(1), j, b)
+          }
+        }
+      s.createDataFrame(probeRows).toDF("term", "cnt", "r", "bucket")
         .join(broadcast(cms), Seq("r", "bucket"))
         .groupBy(col("term"))
         .agg(max(col("cnt")).as("true_cnt"), min(col("c")).as("est_cnt"))
@@ -782,10 +794,14 @@ object Corpus {
       import graft.functions.MinHash
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(WordShingleHashes(col("text"), 5)).as("h"))
-      val bench = sh.filter(col("doc_id") % 10 === 0).select(col("h")).distinct()
+      // ONE eval-side scan: the collected gram hashes feed both the
+      // bitmask fold and (as a local relation) the exact-join side that
+      // measures the FP rate — re-deriving the distinct set in-plan
+      // would scan and shuffle the eval docs a second time per run
+      val evalHashes = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct().collect().map(_.getLong(0))
       val bits = new Array[Long](BloomBits / 64)
-      bench.collect().foreach { r =>
-        val h = r.getLong(0)
+      evalHashes.foreach { h =>
         var j = 0
         while (j < BloomK) {
           val p = (((MinHash.permA(j) * h + MinHash.permB(j)) % PolyHash.P)
@@ -806,8 +822,11 @@ object Corpus {
           p.bitwiseAND(lit(63L)).cast("int"))
           .bitwiseAND(lit(1L)) === lit(1L)
       }.reduce(_ && _)
+      val evalDf = s.createDataset(evalHashes.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong)
+        .toDF("h").withColumn("ev", lit(1L))
       sh.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench.withColumn("ev", lit(1L))), Seq("h"), "left")
+        .join(broadcast(evalDf), Seq("h"), "left")
         .select(col("doc_id"),
           when(member(col("h")), 1L).otherwise(0L).as("bm"),
           coalesce(col("ev"), lit(0L)).as("exv"))
@@ -902,26 +921,30 @@ object Corpus {
     * q22 array rule) and the head cap bounds every group's output
     * regardless of how common the term is.
     *
-    * Scale shape: per-doc DISTINCT terms map-side, one shuffle on the
-    * term; `sort_array(collect_list(...))` keeps the posting order
-    * deterministic under any partitioning (collect_list alone is
-    * arrival-ordered). The cap means a stopword's group emits 10 rows,
-    * not the corpus — at 100 TB posting lists page by a (term, block)
-    * key, which is this same plan re-keyed.
+    * Scale shape: per-doc DISTINCT terms map-side, ONE shuffle on the
+    * term feeding both window functions (ordered row_number for the
+    * head, unordered count for df). The rank filter truncates BEFORE
+    * anything aggregates, so a stopword's group streams through the
+    * sort and emits 10 rows without ever buffering its corpus-sized
+    * posting list (a `collect_list`-then-slice formulation would hold
+    * the whole list in one aggregation buffer — the skewed-group OOM at
+    * scale). At 100 TB posting lists page by a (term, block) key, which
+    * is this same plan re-keyed.
     */
   val qPostingLists: QuerySpec = QuerySpec(
     "q89_posting_lists",
     (s, dir) => {
+      val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
           .as("term"))
         .filter(length(col("term")) > 0)
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("head"))
-        .select(col("term"), col("df"), posexplode(col("head")))
-        .select(col("term"), col("df"), col("pos").cast("long").as("rank"),
-          col("col").as("doc_id"))
+        .select(col("term"), col("doc_id"),
+          row_number().over(byTerm.orderBy(col("doc_id").asc)).as("rk"),
+          count(lit(1)).over(byTerm).as("df"))
+        .filter(col("rk") <= 10)
+        .select(col("term"), col("df"), (col("rk") - 1).cast("long").as("rank"),
+          col("doc_id"))
     },
     Some("""WITH tok AS (SELECT DISTINCT doc_id,
            |   unnest(string_split(text, ' ')) AS term FROM documents),

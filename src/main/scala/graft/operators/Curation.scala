@@ -142,18 +142,10 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("n_words"), col("stop_ratio"))
     },
     Some {
-      val lsh = Dedup.qLshPairs.oracle.get
       s"""WITH RECURSIVE keep AS (
          |  SELECT MIN(doc_id) AS doc_id FROM documents
          |  GROUP BY ${PolyHash.oracleSql("text")}),
-         | pairs AS ($lsh),
-         | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
-         |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
-         | nodes AS (SELECT DISTINCT u FROM edges),
-         | reach(u, r) AS (
-         |   SELECT u, u FROM nodes
-         |   UNION
-         |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u),
+         | ${Dedup.ccSqlCtes},
          | labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id
          |   FROM reach GROUP BY u),
          | dupped AS (SELECT doc_id FROM labels WHERE cluster_id <> doc_id),

@@ -494,16 +494,26 @@ object Dedup {
         } finally edges.unpersist()
       } finally pairs.unpersist()
     },
-    Some(s"""WITH RECURSIVE pairs AS (${qLshPairs.oracle.get}),
-            | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
-            |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
-            | nodes AS (SELECT DISTINCT u FROM edges),
-            | reach(u, r) AS (
-            |   SELECT u, u FROM nodes
-            |   UNION
-            |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u)
+    Some(s"""WITH RECURSIVE $ccSqlCtes
             | SELECT u AS doc_id, MIN(r) AS cluster_id
             | FROM reach GROUP BY u""".stripMargin.replaceAll("\n", "")))
+
+  /** The recursive connected-components oracle chain over [[qLshPairs]]
+    * (`pairs`/`edges`/`nodes`/`reach`) — ONE definition shared by q50,
+    * q86 and q33c so a clustering-oracle fix lands everywhere at once
+    * (a drifted verbatim copy would surface as a single-query hash
+    * mismatch with no code delta). Callers prepend `WITH RECURSIVE`.
+    */
+  private[operators] def ccSqlCtes: String =
+    s"""pairs AS (${qLshPairs.oracle.get}),
+       | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+       |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+       | nodes AS (SELECT DISTINCT u FROM edges),
+       | reach(u, r) AS (
+       |   SELECT u, u FROM nodes
+       |   UNION
+       |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u)""".stripMargin
+      .replaceAll("\n", "")
 
   /** q59 — exact-span dedup: pairs of documents sharing at least one
     * identical 8-word span, with the count of shared spans — the
@@ -644,14 +654,7 @@ object Dedup {
         .withColumn("kept",
           when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
     },
-    Some(s"""WITH RECURSIVE pairs AS (${qLshPairs.oracle.get}),
-            | edges AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
-            |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
-            | nodes AS (SELECT DISTINCT u FROM edges),
-            | reach(u, r) AS (
-            |   SELECT u, u FROM nodes
-            |   UNION
-            |   SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.u),
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
             | cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id
             |  FROM reach GROUP BY u)
             | SELECT d.doc_id, d.source,
