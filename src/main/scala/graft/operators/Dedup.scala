@@ -701,8 +701,52 @@ object Dedup {
             |  CAST(SUM((occ * (occ - 1)) // 2) AS BIGINT) AS candidate_pairs
             | FROM occ GROUP BY b""".stripMargin.replaceAll("\n", "")))
 
+  /** q92 — dedup threshold curve: verified-pair yield at every Jaccard
+    * cutoff in ONE scan of the candidate join (q72's yield-curve pattern
+    * applied to the dedup knob): q23 ships 0.7 as policy; this is the
+    * report that justifies it — how many pairs a 0.5/0.6/0.8/0.9 policy
+    * would keep, without re-running the join per candidate threshold.
+    * With q66's calibration (estimated-vs-exact by decile) it completes
+    * the dedup-tuning story.
+    *
+    * Scale shape: identical to q23 up to the verify join (banded
+    * candidates only), then the 5-element threshold literal explodes on
+    * the verified pairs (≪ corpus) and a ≤5-group count-if rolls up.
+    */
+  private val JaccardThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  val qDedupThresholdCurve: QuerySpec = QuerySpec(
+    "q92_dedup_threshold_curve",
+    (s, dir) => {
+      val docs = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val cand = lshCandidates(docs)
+      val sets = docs.select(col("doc_id"), col("H"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")), "doc_id_1")
+        .join(sets.select(col("doc_id").as("doc_id_2"), col("H").as("H2")), "doc_id_2")
+        .select(jaccard(col("H1"), col("H2")).as("j"))
+        .select(col("j"),
+          explode(array(JaccardThresholds.map(lit): _*)).as("threshold"))
+        .groupBy(col("threshold"))
+        .agg(sum(when(col("j") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_pairs"))
+    },
+    Some(s"""WITH $lshCandSqlCtes,
+            | jp AS (SELECT
+            |   CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
+            |   CAST(len(list_distinct(list_concat(d1.H, d2.H))) AS DOUBLE) AS j
+            |  FROM cand JOIN ds d1 ON cand.doc_id_1 = d1.doc_id
+            |  JOIN ds d2 ON cand.doc_id_2 = d2.doc_id)
+            | SELECT t.threshold,
+            |  CAST(SUM(CASE WHEN j >= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+            |   AS n_pairs
+            | FROM jp, (SELECT unnest(CAST(${JaccardThresholds.mkString("[", ", ", "]")}
+            |   AS DOUBLE[])) AS threshold) t
+            | GROUP BY t.threshold""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
-    qDedupCollapse, qLshOccupancy)
+    qDedupCollapse, qLshOccupancy, qDedupThresholdCurve)
 }

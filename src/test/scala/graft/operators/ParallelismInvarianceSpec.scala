@@ -55,8 +55,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qDedupCollapse, Curation.qSourceScorecard,
       Corpus.qSnapshotDiff, Corpus.qPostingLists,
       // per-chunk langid majority vote (q90), band-occupancy skew
-      // report (q91)
-      TextAnalysis.qMixedLanguage, Dedup.qLshOccupancy)) {
+      // report (q91), one-scan threshold curve (q92)
+      TextAnalysis.qMixedLanguage, Dedup.qLshOccupancy,
+      Dedup.qDedupThresholdCurve)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
