@@ -718,11 +718,15 @@ object Corpus {
           explode(sequence(lit(0), lit(CmsRows - 1))).as("r"))
         .select(col("r"), bucket(col("r")).as("bucket"), col("cnt"))
         .groupBy(col("r"), col("bucket")).agg(sum(col("cnt")).as("c"))
-      // top-10 probe collected to a local relation (the q60b lesson:
-      // tiny deterministic results re-executed per branch are cheaper
-      // as literals — leaving the probe in-plan ran the vocabulary
-      // aggregation twice, and neither static nor AQE exchange reuse
-      // collapsed the branches [measured: 2 scans])
+      // top-10 probe collected to a local relation (the q60b literal
+      // pattern). TOTAL work is unchanged — the collect job aggregates
+      // the vocabulary once and the returned cms plan aggregates it
+      // again (persisting tc across the two uses has no clean unpersist
+      // hook in a stateless QuerySpec) — but the in-plan form duplicated
+      // the aggregate as two branches of ONE plan that neither static
+      // nor AQE exchange reuse collapsed [measured: 2 scans], leaving
+      // the probe's correctness hostage to join planning around the
+      // duplicate; as a literal it cannot be perturbed
       val probeRows = tc.orderBy(col("cnt").desc, col("term").asc).limit(10)
         .select(col("term"), col("cnt"), col("h")).collect().toSeq
         .flatMap { r =>

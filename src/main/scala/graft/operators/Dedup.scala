@@ -74,11 +74,19 @@ object Dedup {
     * The ONLY candidate generator for MinHash near-dup (q23, q66) — no
     * all-pairs shape anywhere.
     */
-  private[graft] def lshCandidates(sig: DataFrame): DataFrame = {
-    val bands = sig
-      .select(col("doc_id"),
+  /** (doc_id, band index, band hash) rows from a signature frame — the
+    * ONE banding definition, shared by the candidate join (q23/q66) and
+    * the occupancy report (q91) so the skew guard always describes the
+    * exact join q23 runs (a drifted copy would silently audit a
+    * different banding).
+    */
+  private[graft] def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         posexplode(array((0 until NumBands).map(bandHash): _*)))
       .select(col("doc_id"), col("pos").as("b"), col("col").as("bh"))
+
+  private[graft] def lshCandidates(sig: DataFrame): DataFrame = {
+    val bands = bandRows(sig)
     bands.alias("a")
       .join(bands.alias("c"),
         col("a.b") === col("c.b") && col("a.bh") === col("c.bh")
@@ -685,9 +693,8 @@ object Dedup {
     (s, dir) => {
       val sig = minhashAgg(
         shingleHashRows(Tables.load(s, dir, "documents")), withSet = false)
-      sig.select(col("doc_id"),
-          posexplode(array((0 until NumBands).map(bandHash): _*)))
-        .select(col("pos").cast("long").as("b"), col("col").as("bh"))
+      bandRows(sig)
+        .select(col("b").cast("long").as("b"), col("bh"))
         .groupBy(col("b"), col("bh")).agg(count(lit(1)).as("occ"))
         .groupBy(col("b"))
         .agg(count(lit(1)).as("n_buckets"),

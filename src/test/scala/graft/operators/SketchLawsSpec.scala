@@ -38,6 +38,19 @@ class SketchLawsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.getAs[Long]("exact_hits")).sum > 0)
   }
 
+  test("q92: pair yield is non-increasing in the threshold and anchored at q23") {
+    val rows = Dedup.qDedupThresholdCurve.build(spark, dir).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+    rows.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 >= n2, s"yield rose from $t1 ($n1) to $t2 ($n2)")
+    }
+    // the 0.7 row IS q23's policy: its count must equal the q23 pair count
+    val q23 = Dedup.qLshPairs.build(spark, dir).count()
+    assert(rows.toMap.apply(0.7) == q23)
+  }
+
   test("q83: lift equals c_ab*N/(c_a*c_b) for the reported counts") {
     // N is not an output column: recover it from any row's lift (the
     // products are exact doubles at this scale), then check every row
