@@ -961,10 +961,100 @@ object Corpus {
            |   unnest(range(1, len(head) + 1)) AS j FROM pl)""".stripMargin
       .replaceAll("\n", "")))
 
+  /** Query terms for q93 — literals, like a served retrieval request.
+    * Declared before the spec (the q82 object-init-order rule: the
+    * oracle string interpolates them eagerly).
+    */
+  private val Bm25Terms = Seq("hash", "join", "vector", "scan")
+
+  /** q93 — lexical top-k retrieval: rank documents against a literal
+    * term query by saturated-TF × rational-IDF — BM25's shape with the
+    * `log` replaced by its rational Robertson–Spärck Jones core
+    * (`(2N − 2df + 1) / (2df + 1)`, the +0.5 smoothing cleared of
+    * fractions) so both engines agree bitwise (the q83 lift rule: no
+    * `log` in gated queries). Length normalization is exact too:
+    * `dl/avgdl` rides as `dl·N/D` with the corpus token total `D`
+    * multiplied through — every numerator and denominator is a 64-bit
+    * integer, one IEEE divide per term, and the 4-term sum is a fixed-
+    * order row-level expression (not an aggregation), so it is
+    * deterministic on both engines. This is the query-serving
+    * complement of q89's posting-list layout: q89 builds the index,
+    * q93 scores a request against the corpus statistics.
+    *
+    * Per-term TF and the token count dl come from the BRACKETED string
+    * form (`a b` → `[a][b]`, the q75 BPE encoding): a literal
+    * `replace('[t]', '')` length delta counts exact whole-token
+    * occurrences with identical greedy semantics in Spark and DuckDB,
+    * and brackets make adjacent matches non-overlapping by
+    * construction — no explode, no regex, all codegen'd string kernels.
+    *
+    * Scale shape: ONE map-side pass over the corpus computes (dl,
+    * tf₁..tf₄) per doc; the corpus statistics (N, D, df per term)
+    * reduce to a SINGLE row, broadcast back; scoring is map-side; the
+    * result is a TakeOrdered(10). The corpus never shuffles — total
+    * exchange volume is one scalar row regardless of corpus size. At
+    * 100 TB the same plan serves any literal query; a term outside the
+    * corpus contributes tf = df = 0 rows without a plan change.
+    */
+  val qBm25TopK: QuerySpec = QuerySpec(
+    "q93_bm25_topk",
+    (s, dir) => {
+      val perDocCols = col("doc_id") +:
+        (((length(col("br")) - length(expr("replace(br, '][', '')"))) / 2) + 1)
+          .cast("long").as("dl") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          ((length(col("br")) - length(expr(s"replace(br, '[$t]', '')"))) /
+            (t.length + 2)).cast("long").as(s"tf$i")
+        }
+      val perDoc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("["), expr("replace(text, ' ', '][')"), lit("]"))
+            .as("br"))
+        .select(perDocCols: _*)
+      val stats = perDoc.agg(
+        count(lit(1)).as("n"),
+        sum(col("dl")).as("d") +:
+          Bm25Terms.indices.map(i =>
+            count_if(col(s"tf$i") > 0).as(s"df$i")): _*)
+      val score = Bm25Terms.indices.map { i =>
+        (col(s"tf$i") * (lit(2) * col("n") - lit(2) * col(s"df$i") + 1) *
+          col("d")).cast("double") /
+          ((col(s"tf$i") * col("d") + col("dl") * col("n")) *
+            (lit(2) * col(s"df$i") + 1)).cast("double")
+      }.reduce(_ + _)
+      perDoc.crossJoin(broadcast(stats))
+        .filter(Bm25Terms.indices.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+        .select(col("doc_id"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some {
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST((length(br) - length(replace(br, '[$t]', ''))) / ${t.length + 2} AS BIGINT) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"COUNT(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
+      val scoreSum = Bm25Terms.indices.map(i =>
+        s"(CAST(tf$i * (2*n - 2*df$i + 1) * d AS DOUBLE) / " +
+          s"CAST((tf$i * d + dl * n) * (2*df$i + 1) AS DOUBLE))").mkString(" + ")
+      val anyTf = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+      s"""WITH b AS (SELECT doc_id,
+         |   '[' || replace(text, ' ', '][') || ']' AS br FROM documents),
+         | pd AS (SELECT doc_id,
+         |   CAST((length(br) - length(replace(br, '][', ''))) / 2 + 1 AS BIGINT) AS dl,
+         |   $tfCols FROM b),
+         | st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS d,
+         |   $dfCols FROM pd)
+         | SELECT doc_id, $scoreSum AS score
+         | FROM pd, st WHERE $anyTf > 0
+         | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        .replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists)
+    qPostingLists, qBm25TopK)
 }
