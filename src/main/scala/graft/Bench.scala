@@ -76,6 +76,8 @@ object Bench {
     graft.operators.Similarity.ensureClustered(spark, sfDir)
     graft.operators.ProductQuant.ensureTrained(spark, sfDir)
     graft.operators.ProductQuant.ensureCodes(spark, sfDir)
+    graft.operators.ScalarQuant.ensureBounds(spark, sfDir)
+    graft.operators.ScalarQuant.ensureCodes(spark, sfDir)
     graft.operators.Corpus.ensureBpeMerges(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)

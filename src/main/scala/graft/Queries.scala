@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Curation, Dedup, Multimodal, ProductQuant, Profiling, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Layout, Multimodal, ProductQuant, Profiling, Relational, ScalarQuant, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.{Bucketed, EmbeddingIndex}
 
 /** The full gated query registry: every entry is an implemented operator
@@ -9,10 +9,11 @@ import graft.sources.{Bucketed, EmbeddingIndex}
   */
 object Queries {
   val all: Seq[QuerySpec] =
-    Relational.specs ++ Similarity.specs ++ ProductQuant.specs ++ Dedup.specs ++
+    Relational.specs ++ Similarity.specs ++ ProductQuant.specs ++
+      ScalarQuant.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
       Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs ++
-      EmbeddingIndex.specs
+      EmbeddingIndex.specs ++ Layout.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

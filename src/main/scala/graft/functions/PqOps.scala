@@ -169,3 +169,87 @@ object PqAdc {
   def apply(codes: Column, table: Seq[Seq[Long]]): Column =
     GraftShims.column(PqAdc(GraftShims.expression(codes), table))
 }
+
+/** Scalar-quantization kernel (the flat-index tier of the compression
+  * spectrum: one code PER DIMENSION on a per-dimension linear grid,
+  * where PQ spends one code per SUBSPACE). All arithmetic is exact
+  * integer: `code_d = clamp(floor((v_d − min_d)·255 / span_d), 0, 255)`
+  * with corpus-trained bounds riding in the expression as literals.
+  */
+object SqOps {
+
+  /** Driver-side twin of [[SqEncode]] (for encoding the query vector):
+    * `Math.floorDiv` ≡ DuckDB `//`; the clamp makes truncation-vs-floor
+    * moot for out-of-range values (both round into the same clamp).
+    */
+  def encodeLocal(v: Seq[Long], mins: Array[Long], spans: Array[Long]): Seq[Long] =
+    v.indices.map { d =>
+      if (spans(d) == 0L) 0L
+      else Math.min(255L, Math.max(0L,
+        Math.floorDiv((v(d) - mins(d)) * 255L, spans(d))))
+    }
+
+  def encode(qe: ArrayData, mins: Array[Long], spans: Array[Long]): ArrayData = {
+    if (qe.numElements() != mins.length)
+      throw new ArithmeticException(
+        s"SQ encode of a ${qe.numElements()}-dim vector with ${mins.length}-dim bounds")
+    val n = mins.length
+    val out = new Array[Long](n)
+    var d = 0
+    while (d < n) {
+      if (qe.isNullAt(d)) return null
+      val span = spans(d)
+      out(d) =
+        if (span == 0L) 0L
+        else {
+          val c = Math.floorDiv((qe.getLong(d) - mins(d)) * 255L, span)
+          if (c < 0L) 0L else if (c > 255L) 255L else c
+        }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** ARRAY<BIGINT> quantized vector → ARRAY<BIGINT> of per-dim SQ8 codes. */
+case class SqEncode(child: Expression, mins: Seq[Long], spans: Seq[Long])
+    extends UnaryExpression {
+
+  @transient private lazy val mn: Array[Long] = mins.toArray
+  @transient private lazy val sp: Array[Long] = spans.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null array element → NULL codes
+  override def prettyName: String = "graft_sq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SqOps.encode(input.asInstanceOf[ArrayData], mn, sp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sqmn", mn, "long[]")
+    val spRef = ctx.addReferenceObj("sqsp", sp, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+      |  graft.functions.SqOps.encode($c, $mnRef, $spRef);
+      |if (${ev.value}_r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_r;
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+object SqEncode {
+  def apply(qe: Column, mins: Seq[Long], spans: Seq[Long]): Column =
+    GraftShims.column(SqEncode(GraftShims.expression(qe), mins, spans))
+}

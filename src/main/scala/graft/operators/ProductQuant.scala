@@ -154,7 +154,7 @@ object ProductQuant {
   // ---- oracle fragments ---------------------------------------------------
 
   /** DuckDB integer squared-L2 over two `len`-element BIGINT lists. */
-  private def l2Sql(a: String, b: String, len: Int): String =
+  private[operators] def l2Sql(a: String, b: String, len: Int): String =
     s"CAST(list_sum(list_transform(range(1, ${len + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
 
   /** The PQ training chain: subspace slices (`sv`), seed sub-codebook

@@ -91,5 +91,36 @@ object Profiling {
          | FROM n""".stripMargin.replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qProfile, qEmbeddingQuality)
+  /** q96 — HyperLogLog++ distinct-count accuracy report: per event
+    * type, the EXACT distinct-user count (the gated value) and a
+    * tolerance verdict on Spark's mergeable `approx_count_distinct`
+    * sketch (the q39 convention for sketches DuckDB cannot replay:
+    * exact values are hash-compared, the sketch is gated as a boolean
+    * that must hold). Completes the sketch family — CMS (q84) bounds
+    * frequency, Bloom (q85) bounds membership, t-digest (q39) bounds
+    * quantiles, HLL bounds cardinality. At scale the two sides swap
+    * roles: `countDistinct` rewrites to an expand + two-phase exact agg
+    * (one extra shuffle, exact), while the HLL sketch is a fixed-size
+    * map-side accumulator merged per group — the report quantifies the
+    * error that cheapness buys, which is the number a 100 TB profiling
+    * pass needs before replacing exact counts with sketches. 3σ of the
+    * default 5% rsd ≈ 15%; the verdict pins 10%, comfortably wide for
+    * the gate corpus and partition-count independent (HLL merge is
+    * commutative over a fixed hash).
+    */
+  val qHllAccuracy: QuerySpec = QuerySpec(
+    "q96_hll_accuracy",
+    (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.05).as("est"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.1).as("apx_ok")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           | TRUE AS apx_ok FROM events GROUP BY event_type""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qProfile, qEmbeddingQuality, qHllAccuracy)
 }
