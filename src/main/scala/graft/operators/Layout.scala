@@ -123,5 +123,77 @@ object Layout {
             |  CAST(SUM(hits) AS BIGINT) AS rows_matched
             | FROM r GROUP BY layout""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qZorderPruning)
+  private val Splits = 32
+  private val CoarseBlocks = 4096
+
+  /** q99 — range-partition split planner: the EXACT version of the
+    * sampling step behind `repartitionByRange` / a range-partitioned
+    * writer. 31 interior cut points of the events time key at 0-based
+    * ranks `((n−1)·i) div 32`, then the per-bucket row counts those cuts
+    * imply — the balance audit that decides whether a layout's split
+    * keys need recomputing before a 100 TB write (q73's audit, for the
+    * RANGE layout q95 evaluates).
+    *
+    * No global sort anywhere: the rank extraction is the q56 two-level
+    * cumsum — the value histogram (one hash aggregation) cumsums inside
+    * 4096 value-range coarse blocks in parallel windows, block offsets
+    * come from a window over the ≤4096-row block summary (the only
+    * serial pass, bounded by the block count), and identical histogram
+    * exchanges collapse via reuse. Cuts are collected as 31 literals
+    * (the q60b codebook rule — a joined subplan would re-execute per
+    * branch), so bucket assignment is a codegen'd 31-term comparison sum
+    * over the raw scan: pure map + one 32-group aggregation. At 100 TB a
+    * writer swaps the exact ranks for RangePartitioner's reservoir
+    * sample; the audit side (assign + count vs the cuts) is unchanged —
+    * exactness here is what lets DuckDB gate it.
+    */
+  val qRangeSplits: QuerySpec = QuerySpec(
+    "q99_range_splits",
+    (s, dir) => {
+      val v = Tables.load(s, dir, "events")
+        .select(unix_micros(col("ts")).as("v")).filter(col("v").isNotNull)
+      val bounds = v.agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("n")).head()
+      val (mn, mx, n) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+      val width = (mx - mn) / CoarseBlocks + 1 // nonneg: / == floor
+      val hist = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("blk",
+          (((col("v") - mn) - pmod(col("v") - mn, lit(width))) / width)
+            .cast("long"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("v"))
+      val wBlk = org.apache.spark.sql.expressions.Window.orderBy(col("blk"))
+        .rowsBetween(Long.MinValue, -1)
+      val off = hist.groupBy(col("blk")).agg(sum(col("cnt")).as("bc"))
+        .withColumn("boff", coalesce(sum(col("bc")).over(wBlk), lit(0L)))
+        .select(col("blk"), col("boff"))
+      val cum = hist.withColumn("wcum", sum(col("cnt")).over(wIn))
+        .join(broadcast(off), Seq("blk"))
+        .select(col("v"), (col("wcum") + col("boff")).as("cum"))
+      val ranks = (1 until Splits).map(i => (n - 1) * i / Splits)
+      val cutCols = ranks.zipWithIndex.map { case (r, i) =>
+        min(when(col("cum") > r, col("v"))).as(s"c$i")
+      }
+      val cutRow = cum.agg(cutCols.head, cutCols.tail: _*).head()
+      val cuts = (0 until Splits - 1).map(cutRow.getLong)
+      val bucket = cuts.map(c => when(col("v") > c, 1L).otherwise(0L))
+        .reduce(_ + _)
+      v.select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_rows"))
+    },
+    Some(s"""WITH vv AS (SELECT epoch_us(ts) AS v FROM events
+            |  WHERE ts IS NOT NULL),
+            | h AS (SELECT v, COUNT(*) AS c FROM vv GROUP BY v),
+            | cm AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+            |   SUM(c) OVER () AS n FROM h),
+            | cuts AS (SELECT i, MIN(CASE WHEN cum > ((n - 1) * i) // $Splits
+            |   THEN v END) AS cut FROM cm, range(1, $Splits) t(i) GROUP BY i),
+            | asg AS (SELECT h.v, h.c,
+            |   CAST(SUM(CASE WHEN h.v > cuts.cut THEN 1 ELSE 0 END) AS BIGINT)
+            |     AS bucket
+            |  FROM h CROSS JOIN cuts GROUP BY h.v, h.c)
+            | SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_rows
+            | FROM asg GROUP BY bucket""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qZorderPruning, qRangeSplits)
 }

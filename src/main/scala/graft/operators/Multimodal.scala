@@ -314,6 +314,62 @@ object Multimodal {
       .replaceAll("\n", "")
     })
 
+  /** q100 — cross-video duplicate-frame detection: the media tier of the
+    * dedup family. Every decoded frame's pixel fingerprint (the q71
+    * hash) is the identity key; clusters of ≥2 fingerprints are frames
+    * REUSED across videos (shared intros, thumbnails, stills) — the
+    * per-frame complement of whole-asset dedup, reported as (cluster
+    * size, #videos touched, canonical owner = lowest (doc, frame)).
+    * On the synthetic corpus these clusters are real pixel-identical
+    * frames (shape-compatible docs where `31·Δdoc + 17·Δframe ≡ 0
+    * mod 256`), verified non-degenerate at every SF.
+    *
+    * Scale shape: decode is the usual per-partition-batched map
+    * ([[decodeAll]]'s seam, frames bounded ≤13/doc so the explode is
+    * bounded fan-out), then ONE hash aggregation on the fingerprint
+    * with map-side combine — candidate frames meet only through the
+    * fp equi-key, never a pair join. The within-cluster argmin is
+    * deterministic because a doc contributes a fingerprint at most
+    * once (frames within a doc are pairwise distinct by construction),
+    * so `min_by(frame, doc)` has a unique extremum.
+    */
+  val qFrameDedup: QuerySpec = QuerySpec(
+    "q100_frame_dedup",
+    (s, dir) => {
+      import s.implicits._
+      syntheticMedia(s, dir)
+        .mapPartitions { it =>
+          PpmDecoder.open()
+          it.flatMap { m =>
+            val meta = PpmDecoder.decode(m)
+            val idxs = 0L until meta.n_frames
+            idxs.zip(PpmDecoder.frameHashes(m, idxs)).map { case (f, fp) =>
+              (m.doc_id, f, fp)
+            }
+          }
+        }
+        .toDF("doc_id", "f", "fp")
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("canon_doc"),
+          min_by(col("f"), col("doc_id")).as("canon_frame"))
+        .filter(col("n_frames") >= 2)
+    },
+    Some(s"""WITH m AS ($dimsSql),
+            | fr AS (SELECT doc_id, unnest(range(0, nf)) AS f, w, h FROM m),
+            | fps AS (SELECT doc_id, f, list_reduce(
+            |   list_transform(range(0, w * h * 3),
+            |     k -> (doc_id * 31 + f * 17 + k) % 256),
+            |   (x, y) -> (x * 31 + y) % ${graft.functions.PolyHash.P}) AS fp
+            |  FROM fr)
+            | SELECT fp, COUNT(*) AS n_frames,
+            |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            |  MIN(doc_id) AS canon_doc, arg_min(f, doc_id) AS canon_frame
+            | FROM fps GROUP BY fp HAVING COUNT(*) >= 2""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qMultimodal, qFrames, qFeatures, qPpmDecode, qMediaSimilarity)
+    Seq(qMultimodal, qFrames, qFeatures, qPpmDecode, qMediaSimilarity,
+      qFrameDedup)
 }

@@ -122,5 +122,86 @@ object Profiling {
            | TRUE AS apx_ok FROM events GROUP BY event_type""".stripMargin
       .replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qProfile, qEmbeddingQuality, qHllAccuracy)
+  /** q97 — join-cardinality estimation via count-min inner product: the
+    * pre-flight a planner runs BEFORE paying a 100 TB shuffle join.
+    * Each side folds its join-key frequencies into the shared 4×64 CMS
+    * banding (q84's [[graft.functions.MinHash]] permutation family over
+    * `key % P`), and the inner product of the two sketches — per row r,
+    * `Σ_b cmsA[r,b]·cmsB[r,b]`, minimized over rows — is a one-sided
+    * OVERestimate of the true join size `Σ_k cntA(k)·cntB(k)`
+    * (Alon-Matias-Szegedy / Cormode-Muthukrishnan, public literature).
+    * All integer, fully deterministic, so BOTH values are hash-gated
+    * (not a tolerance verdict) along with `overcount ≥ 0`.
+    *
+    * Scale shape: the sketch path is two map-side-combinable per-key
+    * aggregations collapsing to ≤256 cells each and a ≤256-row join —
+    * constant-size regardless of input; at 100 TB only that path runs,
+    * and sketches are mergeable across shards (counts sum per cell).
+    * The exact side (per-key counts + key equi-join) exists ONLY to
+    * measure the estimation error, the q84/q85 accuracy-report
+    * convention. Probed pair: events.user_id ⋈ orders.o_custkey — the
+    * fan-out join whose size a planner most wants cheaply.
+    */
+  val qJoinCardinality: QuerySpec = QuerySpec(
+    "q97_join_cardinality",
+    (s, dir) => {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import graft.functions.{MinHash, PolyHash}
+      val R = Corpus.CmsRows
+      val W = Corpus.CmsWidth
+      val pA = array((0 until R).map(j => lit(MinHash.permA(j))): _*)
+      val pB = array((0 until R).map(j => lit(MinHash.permB(j))): _*)
+      def bucket(r: Column, k: Column): Column =
+        pmod(element_at(pA, r + 1) * pmod(k, lit(PolyHash.P)) +
+          element_at(pB, r + 1), lit(PolyHash.P)) % W
+      def keyCounts(df: DataFrame, key: String): DataFrame =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def sketch(kc: DataFrame): DataFrame = kc
+        .select(col("k"), col("c"),
+          explode(sequence(lit(0), lit(R - 1))).as("r"))
+        .select(col("r"), bucket(col("r"), col("k")).as("bucket"), col("c"))
+        .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+      val ec = keyCounts(Tables.load(s, dir, "events"), "user_id")
+      val oc = keyCounts(Tables.load(s, dir, "orders"), "o_custkey")
+      val exact = ec.join(oc.toDF("k", "c2"), Seq("k"))
+        .agg(coalesce(sum(col("c") * col("c2")), lit(0L)).as("exact_pairs"))
+      val est = sketch(ec)
+        .join(sketch(oc).toDF("r", "bucket", "c2"), Seq("r", "bucket"))
+        .groupBy(col("r")).agg(sum(col("c") * col("c2")).as("ip"))
+        .agg(min(col("ip")).as("est_pairs"))
+      exact.crossJoin(est)
+        .select(col("exact_pairs"), col("est_pairs"),
+          (col("est_pairs") - col("exact_pairs")).as("overcount"))
+    },
+    Some {
+      import graft.functions.{MinHash, PolyHash}
+      val R = Corpus.CmsRows
+      val W = Corpus.CmsWidth
+      val pA = (0 until R).map(MinHash.permA).mkString("[", ", ", "]")
+      val pB = (0 until R).map(MinHash.permB).mkString("[", ", ", "]")
+      val bucket = (k: String) =>
+        s"(($pA[CAST(r AS INT) + 1] * ($k % ${PolyHash.P}) +" +
+          s" $pB[CAST(r AS INT) + 1]) % ${PolyHash.P}) % $W"
+      s"""WITH ec AS (SELECT user_id AS k, COUNT(*) AS c
+         |  FROM events GROUP BY 1),
+         | oc AS (SELECT o_custkey AS k, COUNT(*) AS c
+         |  FROM orders GROUP BY 1),
+         | ex AS (SELECT CAST(COALESCE(SUM(ec.c * oc.c), 0) AS BIGINT)
+         |   AS exact_pairs FROM ec JOIN oc USING (k)),
+         | eb AS (SELECT r, ${bucket("k")} AS bucket,
+         |   CAST(SUM(c) AS BIGINT) AS c
+         |  FROM ec, range(0, $R) t(r) GROUP BY 1, 2),
+         | ob AS (SELECT r, ${bucket("k")} AS bucket,
+         |   CAST(SUM(c) AS BIGINT) AS c
+         |  FROM oc, range(0, $R) t(r) GROUP BY 1, 2),
+         | ip AS (SELECT eb.r, SUM(eb.c * ob.c) AS ip FROM eb
+         |  JOIN ob ON eb.r = ob.r AND eb.bucket = ob.bucket GROUP BY eb.r),
+         | est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_pairs FROM ip)
+         | SELECT exact_pairs, est_pairs,
+         |  est_pairs - exact_pairs AS overcount FROM ex, est""".stripMargin
+        .replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] =
+    Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality)
 }

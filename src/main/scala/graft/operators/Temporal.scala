@@ -182,5 +182,72 @@ object Temporal {
            | FROM e JOIN f ON e.user_id = f.user_id
            | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qAsofJoin, qSessionize, qFunnel, qRetention)
+  /** q98 — CDC changelog apply (the lakehouse MERGE INTO): materialize
+    * the current state of a base snapshot under a keyed change log with
+    * last-writer-wins semantics. The log is the events stream read as
+    * ops on customer balances — `error` = delete, anything else =
+    * upsert carrying `value` — and the base is a PARTIAL snapshot
+    * (`c_custkey % 3 != 0`), so every outcome class is exercised at
+    * every SF: kept (no op), updated (upsert on a present key),
+    * inserted (upsert on an absent key), deleted (dropped), and a
+    * delete of an absent key (a no-op, not an error).
+    *
+    * Scale shape: latest-op-per-key is ONE hash aggregation —
+    * `max_by(payload, (epoch_µs, event_id))` with map-side partial
+    * merge — NOT a row_number window, which would shuffle-sort every
+    * key's full history to keep one row; then ONE full-outer equi-join
+    * against the base. The unique event_id tiebreak makes the argmax
+    * deterministic, so the oracle's window formulation is value-
+    * identical. Balances pass through untouched (no double
+    * arithmetic). At 100 TB both sides shuffle once on the merge key;
+    * with the base bucketed on it (the q45 layout) the base side's
+    * exchange disappears.
+    */
+  val qCdcApply: QuerySpec = QuerySpec(
+    "q98_cdc_apply",
+    (s, dir) => {
+      val latest = Tables.load(s, dir, "events")
+        .select(col("user_id").as("cust_id"),
+          struct(
+            when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+              .as("op"),
+            col("value").as("new_bal")).as("payload"),
+          struct(unix_micros(col("ts")).as("tus"), col("event_id").as("eid"))
+            .as("ord"))
+        .groupBy(col("cust_id"))
+        .agg(max_by(col("payload"), col("ord")).as("p"))
+        .select(col("cust_id"), col("p.op").as("op"),
+          col("p.new_bal").as("new_bal"))
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").as("cust_id"),
+          col("c_acctbal").as("base_bal"))
+      base.join(latest, Seq("cust_id"), "full_outer")
+        .filter(col("op").isNull || col("op") === "U")
+        .select(col("cust_id"),
+          when(col("op") === "U", col("new_bal")).otherwise(col("base_bal"))
+            .as("balance"),
+          when(col("op").isNull, lit("kept"))
+            .when(col("base_bal").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("src"))
+    },
+    Some("""WITH log AS (SELECT user_id AS cust_id,
+           |   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           |   value AS new_bal,
+           |   ROW_NUMBER() OVER (PARTITION BY user_id
+           |     ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           |  FROM events),
+           | latest AS (SELECT cust_id, op, new_bal FROM log WHERE rn = 1),
+           | base AS (SELECT c_custkey AS cust_id, c_acctbal AS base_bal
+           |  FROM customer WHERE c_custkey % 3 != 0)
+           | SELECT cust_id,
+           |  CASE WHEN op = 'U' THEN new_bal ELSE base_bal END AS balance,
+           |  CASE WHEN op IS NULL THEN 'kept'
+           |   WHEN base_bal IS NULL THEN 'inserted'
+           |   ELSE 'updated' END AS src
+           | FROM base FULL OUTER JOIN latest USING (cust_id)
+           | WHERE op IS NULL OR op = 'U'""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] =
+    Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply)
 }
