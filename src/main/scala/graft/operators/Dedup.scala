@@ -387,12 +387,6 @@ object Dedup {
     */
   private[graft] def connectedComponents(s: SparkSession, edges: DataFrame,
       maxIter: Int = 25, scratchTag: String = "default"): (DataFrame, Int) = {
-    // one live label set per caller: the PREVIOUS call's flush (already
-    // consumed — every caller materializes its result within its own
-    // query) is deleted before this run writes a fresh one, so repeated
-    // gate/bench cycles in one JVM hold at most one flush per tag
-    // instead of accumulating a label set per execution
-    ccPrevFlush.remove(scratchTag).foreach(p => rmTree(p.toFile))
     // Each generation is pinned through an EXPLICIT RDD handle
     // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
     // the materialized blocks, truncating the per-iteration plan) so
@@ -455,36 +449,13 @@ object Dedup {
     }
     require(done, s"label propagation did not converge in $iter iterations")
     // consume-then-release: flush the converged generation to scratch
-    // parquet (the 100 TB form writes a bucketed table here) and free
-    // its storage NOW — returning the persisted plan would pin the last
-    // generation until the ContextCleaner eventually noticed, long
-    // after the caller consumed the result
-    val flushDir = java.nio.file.Files.createTempDirectory(ccScratchRoot, "cc-")
-    ccPrevFlush.put(scratchTag, flushDir)
-    val out = flushDir.resolve("labels").toString
-    labels.write.mode("overwrite").parquet(out)
+    // parquet ([[Scratch.flush]] — the 100 TB form writes a bucketed
+    // table here) and free its storage NOW — returning the persisted
+    // plan would pin the last generation until the ContextCleaner
+    // eventually noticed, long after the caller consumed the result
+    val out = Scratch.flush(s, s"cc-$scratchTag", labels)
     labelsRdd.unpersist(blocking = false)
-    (s.read.parquet(out), iter)
-  }
-
-  // last flush directory per scratchTag, deleted on the tag's next call
-  private val ccPrevFlush =
-    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
-
-  private def rmTree(p: java.io.File): Unit = {
-    Option(p.listFiles()).foreach(_.foreach(rmTree))
-    p.delete(): Unit
-  }
-
-  /** One JVM-scoped scratch root for the CC label flushes, deleted
-    * recursively on exit — per-call temp dirs with no owner would
-    * accumulate a full label set per q50/q33c execution across
-    * gate/bench cycles.
-    */
-  private lazy val ccScratchRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft-cc-")
-    sys.addShutdownHook(rmTree(root.toFile))
-    root
+    (out, iter)
   }
 
   val qDupClusters: QuerySpec = QuerySpec(

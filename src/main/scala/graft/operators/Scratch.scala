@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JVM-scoped scratch parquet for iterative operators that must
+  * materialize a converged result before returning it (the
+  * consume-then-release discipline: returning a persisted plan would pin
+  * its storage until the ContextCleaner noticed, long after the caller
+  * consumed the result — the r5 q33 bench regression).
+  *
+  * Lifecycle: ONE root directory per JVM, deleted recursively on exit;
+  * within it at most one live flush per `tag` — a new flush for a tag
+  * deletes the previous one on entry (by then every caller has
+  * materialized the prior result inside its own query), so repeated
+  * gate/bench cycles in one JVM hold one flush per operator instead of
+  * accumulating a result set per execution. The 100 TB form of a flush
+  * is a bucketed/partitioned warehouse table maintained between runs,
+  * not a temp directory — this is the single-JVM stand-in.
+  */
+private[operators] object Scratch {
+
+  private val prevFlush =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  private def rmTree(p: java.io.File): Unit = {
+    Option(p.listFiles()).foreach(_.foreach(rmTree))
+    p.delete(): Unit
+  }
+
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    sys.addShutdownHook(rmTree(r.toFile))
+    r
+  }
+
+  /** Write `df` to a fresh scratch parquet for `tag` (dropping the tag's
+    * previous flush) and return the path-backed frame. The write is an
+    * action: the input plan executes exactly once, and every reference
+    * to the returned frame is a plain parquet scan.
+    */
+  def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame = {
+    prevFlush.remove(tag).foreach(p => rmTree(p.toFile))
+    val dir = java.nio.file.Files.createTempDirectory(root, s"$tag-")
+    prevFlush.put(tag, dir)
+    val out = dir.resolve("data").toString
+    df.write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+}

@@ -57,7 +57,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // per-chunk langid majority vote (q90), band-occupancy skew
       // report (q91), one-scan threshold curve (q92)
       TextAnalysis.qMixedLanguage, Dedup.qLshOccupancy,
-      Dedup.qDedupThresholdCurve)) {
+      Dedup.qDedupThresholdCurve,
+      // round-10 additions: df-ranked prefix equi-join + exact set
+      // verify (q101), integer power iteration over the scratch-flushed
+      // edge list (q102)
+      Dedup.qPrefixJoin, Graph.qPageRank)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
