@@ -649,8 +649,76 @@ object Similarity {
             | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q103 — hard-negative mining for contrastive training: for each of
+    * 8 anchor vectors, the 5 highest-cosine vectors carrying a DIFFERENT
+    * label — the "looks similar, is not" examples a contrastive or
+    * reranker training pipeline mines at corpus scale (the in-batch /
+    * ANN-mined hard-negative recipe, public knowledge).
+    *
+    * Scale shape: the 8 anchors (with their labels and quantized
+    * vectors) ride as literals — codebook-sized, the q60b rule — so the
+    * corpus side is ONE map-side scan computing 8 integer-exact cosines
+    * per row with no join. Top-5 per anchor goes through a TWO-LEVEL
+    * window (partial top-5 per (anchor, neg_id mod 64) salt, then final
+    * top-5 over the ≤ 64·5 survivors): a single window keyed on the
+    * 8-value anchor id would funnel the whole scored corpus through 8
+    * partitions — the low-cardinality-window trap. The two levels are
+    * exactly equivalent: any global top-5 row ranks ≤ 5 within its own
+    * salt group, so level one never drops a winner.
+    */
+  private val HardNegAnchors = 8
+  private val HardNegK = 5
+  val qHardNegatives: QuerySpec = QuerySpec(
+    "q103_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") < HardNegAnchors)
+        .select(col("vec_id"), col("label"),
+          Exact.quantize(col("embedding")).as("qa"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+        .sortBy(_._1)
+      val scored = emb
+        .select(col("vec_id"), col("label"),
+          Exact.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), col("label"),
+          explode(array(anchors.map { case (aid, albl, qa) =>
+            struct(lit(aid).as("anchor_id"), lit(albl).as("albl"),
+              Exact.cosineFromQuantized(col("qe"), typedlit(qa)).as("cos_sim"))
+          }: _*)).as("a"))
+        .filter(col("label") =!= col("a.albl"))
+        .select(col("a.anchor_id").as("anchor_id"),
+          col("vec_id").as("neg_id"), col("a.cos_sim").as("cos_sim"))
+      val w1 = Window
+        .partitionBy(col("anchor_id"), pmod(col("neg_id"), lit(64)))
+        .orderBy(col("cos_sim").desc, col("neg_id"))
+      val w2 = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos_sim").desc, col("neg_id"))
+      scored
+        .withColumn("rk1", row_number().over(w1))
+        .filter(col("rk1") <= HardNegK)
+        .withColumn("rk", row_number().over(w2))
+        .filter(col("rk") <= HardNegK)
+        .select(col("anchor_id"), col("rk").cast("long").as("rk"),
+          col("neg_id"), col("cos_sim"))
+    },
+    Some(s"""WITH a AS (SELECT vec_id AS anchor_id, label AS albl,
+            |   ${Exact.quantizeSql("embedding")} AS qa
+            |  FROM embeddings WHERE vec_id < $HardNegAnchors),
+            | e AS (SELECT vec_id, label,
+            |   ${Exact.quantizeSql("embedding")} AS qe FROM embeddings),
+            | c AS (SELECT anchor_id, e.vec_id AS neg_id,
+            |   ${Exact.cosineSql("e.qe", "a.qa")} AS cos_sim
+            |  FROM e JOIN a ON e.label <> a.albl),
+            | r AS (SELECT anchor_id, neg_id, cos_sim, ROW_NUMBER() OVER (
+            |   PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS rk
+            |  FROM c)
+            | SELECT anchor_id, CAST(rk AS BIGINT) AS rk, neg_id, cos_sim
+            | FROM r WHERE rk <= $HardNegK""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
     qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
-    qClusterCohesion, qEmbedDecontaminate)
+    qClusterCohesion, qEmbedDecontaminate, qHardNegatives)
 }
