@@ -202,6 +202,94 @@ object Profiling {
         .replaceAll("\n", "")
     })
 
+  /** q104 — mergeable fixed-grid quantile sketch + exact-accuracy probe:
+    * the quantile member of the sketch family (HLL q96, count-min
+    * q84/q97). The sketch is a bucket histogram (width
+    * [[QSketchWidth]], a power of two so `x / width` and `floor` are
+    * IEEE-exact in both engines): per-bucket counts are mergeable
+    * across shards by construction (counts sum per cell — one
+    * map-side-combinable aggregation at any scale). A per-mille
+    * quantile p is answered from the cumulative histogram as the first
+    * bucket whose cumsum reaches rank ⌈n·p/1000⌉; the reported estimate
+    * is that bucket's upper edge, so the error is one-sided and bounded
+    * by the bucket width.
+    *
+    * The EXACT side exists only to measure that error (the q84/q96
+    * accuracy-report convention) and is itself the scalable two-phase
+    * exact-quantile algorithm: the histogram localizes rank r to one
+    * bucket plus a residual, and only THAT bucket's rows are sorted
+    * (per-p window over one bucket's occupancy, never a global sort —
+    * the q99 discipline). The cumsum window runs over histogram rows
+    * (bounded by value-range/width, independent of data size), and the
+    * 4-row bucket selection broadcasts back onto the scan. All rank
+    * arithmetic is integer (`(n·p + 999) div 1000` ≡ ceil); the only
+    * doubles are the data values themselves and the exact edge product.
+    */
+  private val QSketchWidth = 64.0
+  private val QSketchPmille = Seq(500L, 900L, 990L, 999L)
+  val qQuantileSketch: QuerySpec = QuerySpec(
+    "q104_quantile_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("x"))
+        .withColumn("b", floor(col("x") / lit(QSketchWidth)).cast("long"))
+      val h = li.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      // single-partition window + 1-row cross join are over HISTOGRAM
+      // rows (~1.6k buckets), not data rows
+      val hc = h.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("b"))))
+      val tot = h.agg(sum(col("cnt")).as("n"))
+      val sel = hc.crossJoin(broadcast(tot))
+        .select(col("b"), col("cnt"), col("cum"), col("n"),
+          explode(typedlit(QSketchPmille)).as("p"))
+        .withColumn("trk", expr("(n * p + 999) div 1000"))
+        .filter(col("cum") >= col("trk"))
+        .groupBy(col("p"))
+        .agg(min_by(struct(col("b"), col("cnt"), col("cum"), col("n"),
+          col("trk")), col("b")).as("s"))
+        .select(col("p"), col("s.b").as("b"), col("s.n").as("n"),
+          col("s.trk").as("trk"),
+          (col("s.trk") - (col("s.cum") - col("s.cnt"))).as("res"))
+      val wx = Window.partitionBy(col("p"))
+        .orderBy(col("x"), col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(sel), Seq("b"))
+        .withColumn("rn", row_number().over(wx))
+        .filter(col("rn") === col("res"))
+        .select(col("p").as("p_mille"), col("n"),
+          col("trk").as("target_rank"), col("b").as("bucket"),
+          ((col("b") + 1).cast("double") * lit(QSketchWidth)).as("est_hi"),
+          col("x").as("exact_x"),
+          ((col("b") + 1).cast("double") * lit(QSketchWidth) - col("x"))
+            .as("err"))
+    },
+    Some(s"""WITH li AS (SELECT l_orderkey, l_linenumber,
+            |   l_extendedprice AS x,
+            |   CAST(floor(l_extendedprice / $QSketchWidth) AS BIGINT) AS b
+            |  FROM lineitem),
+            | h AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt
+            |  FROM li GROUP BY b),
+            | hc AS MATERIALIZED (SELECT b, cnt,
+            |   CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS cum FROM h),
+            | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+            | sel AS MATERIALIZED (SELECT p, b, n, trk,
+            |   trk - (cum - cnt) AS res FROM (
+            |  SELECT p, b, cnt, cum, n, (n * p + 999) // 1000 AS trk,
+            |   ROW_NUMBER() OVER (PARTITION BY p ORDER BY b) AS rnb
+            |  FROM hc, tot, (SELECT CAST(unnest([500, 900, 990, 999])
+            |    AS BIGINT) AS p) pp
+            |  WHERE cum >= (n * p + 999) // 1000) WHERE rnb = 1)
+            | SELECT p AS p_mille, n, trk AS target_rank, b AS bucket,
+            |  CAST(b + 1 AS DOUBLE) * $QSketchWidth AS est_hi,
+            |  x AS exact_x,
+            |  CAST(b + 1 AS DOUBLE) * $QSketchWidth - x AS err
+            | FROM (SELECT p, li.b, n, trk, res, x, ROW_NUMBER() OVER (
+            |   PARTITION BY p ORDER BY x, l_orderkey, l_linenumber) AS rn
+            |  FROM li JOIN sel ON li.b = sel.b)
+            | WHERE rn = res""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality)
+    Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
+      qQuantileSketch)
 }

@@ -62,8 +62,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // verify (q101), integer power iteration over the scratch-flushed
       // edge list (q102)
       Dedup.qPrefixJoin, Graph.qPageRank,
-      // two-level salted top-k over literal-anchor cosines (q103)
-      Similarity.qHardNegatives)) {
+      // two-level salted top-k over literal-anchor cosines (q103),
+      // histogram cumsum + single-bucket residual-rank select (q104)
+      Similarity.qHardNegatives, Profiling.qQuantileSketch)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
