@@ -794,8 +794,58 @@ object Dedup {
             |  len(list_distinct(list_concat(s1.H, s2.H)))""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q105 — train/val/test split-leakage audit: assign every document a
+    * deterministic split by id hash (80/10/10 via `doc_id mod 10`), then
+    * surface the near-dup clusters (q50's connected components) whose
+    * members land in MORE THAN ONE split — the eval-contamination bug a
+    * random per-document split always has, because near-duplicates are
+    * assigned independently. The fix a pipeline applies (split by
+    * CLUSTER, not by document) is exactly what this report measures the
+    * need for.
+    *
+    * Scale shape: one integer map over the cluster labels plus one
+    * hash aggregate keyed on cluster_id (map-side combinable); the
+    * n_splits>1 filter rides the aggregate. Cost is dominated by the
+    * clustering itself, which q50 already bounds.
+    */
+  val qSplitLeakage: QuerySpec = QuerySpec(
+    "q105_split_leakage",
+    (s, dir) => {
+      qDupClusters.build(s, dir)
+        .withColumn("sp",
+          when(pmod(col("doc_id"), lit(10L)) < 8, "train")
+            .when(pmod(col("doc_id"), lit(10L)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("sp")).as("n_splits"),
+          sum(when(col("sp") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("sp") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("sp") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_splits") > 1)
+    },
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+            |  FROM reach GROUP BY u),
+            | sp AS (SELECT cluster_id, CASE
+            |   WHEN doc_id % 10 < 8 THEN 'train'
+            |   WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS sp
+            |  FROM labels)
+            | SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(DISTINCT sp) AS BIGINT) AS n_splits,
+            |  CAST(SUM(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_train,
+            |  CAST(SUM(CASE WHEN sp = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_val,
+            |  CAST(SUM(CASE WHEN sp = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_test
+            | FROM sp GROUP BY cluster_id
+            | HAVING COUNT(DISTINCT sp) > 1""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
-    qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin)
+    qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
+    qSplitLeakage)
 }
