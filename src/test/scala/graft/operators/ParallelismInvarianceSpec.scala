@@ -64,7 +64,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qPrefixJoin, Graph.qPageRank,
       // two-level salted top-k over literal-anchor cosines (q103),
       // histogram cumsum + single-bucket residual-rank select (q104)
-      Similarity.qHardNegatives, Profiling.qQuantileSketch)) {
+      Similarity.qHardNegatives, Profiling.qQuantileSketch,
+      // shared-edge CC labels + rank argmax canonical (q106)
+      Graph.qCentralCanonical)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
