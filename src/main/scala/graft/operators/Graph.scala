@@ -154,5 +154,83 @@ object Graph {
             |     ORDER BY pr DESC, doc_id) AS rk
             |  FROM j) WHERE rk = 1""".stripMargin.replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qPageRank, qCentralCanonical)
+  /** q107 — per-node triangle count + fixed-point local clustering
+    * coefficient over the near-dup graph: how CLIQUE-LIKE each node's
+    * neighborhood is. Near-dup clusters that are true duplicate sets are
+    * near-cliques (coef → 1); template hubs whose neighbors differ from
+    * each other are stars (coef → 0) — the structural signal that
+    * separates "one document, many copies" from "one boilerplate shell,
+    * many distinct bodies", which q102/q106 rank but cannot distinguish.
+    *
+    * Scale shape: the classic degree-ordered orientation (each
+    * undirected edge directed from the lower (deg, id) endpoint to the
+    * higher) bounds the wedge join by the graph arboricity instead of
+    * Σ deg² — the hub that would contribute C(deg, 2) wedges contributes
+    * none, because hubs sort LAST in the total order and so have no
+    * out-edges through them. Every triangle then materializes exactly
+    * once (at its lowest-ordered vertex), as two out-edges closed by a
+    * third. Candidates come ONLY from equi-joins; the oriented edge
+    * list is flushed to scratch so its three consumers (two wedge
+    * sides, one closure side) are parquet scans, not three re-runs of
+    * the orientation subtree.
+    *
+    * All quantities are non-negative integers; coef is scaled by
+    * [[Scale]] with integer `div`, so `div` ≡ `//` and the oracle is
+    * bit-exact.
+    */
+  val qTriangles: QuerySpec = QuerySpec(
+    "q107_triangles",
+    (s, dir) => {
+      val edges = flushedEdges(s, dir, "q107-edges")
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val oriented = Scratch.flush(s, "q107-oriented", edges
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select(col("u"), col("v"), col("dv")))
+      val wedges = oriented.toDF("u", "b", "db")
+        .join(oriented.toDF("u", "c", "dc"), Seq("u"))
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+        .select(col("u").as("a"), col("b"), col("c"))
+      val tri = wedges
+        .join(oriented.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("tri"))
+      deg.join(perNode, Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("deg"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coef",
+          when(col("deg") >= 2,
+            expr(s"(2 * tri * $Scale) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+    },
+    Some(s"""WITH pairs AS MATERIALIZED (${Dedup.qLshPairs.oracle.get}),
+            | edges AS MATERIALIZED (
+            |   SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+            |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+            | deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            |   FROM edges GROUP BY u),
+            | o AS MATERIALIZED (SELECT e.u, e.v, dv.deg AS dv
+            |   FROM edges e JOIN deg du ON e.u = du.u
+            |   JOIN deg dv ON e.v = dv.u
+            |   WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+            | tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |   FROM o e1 JOIN o e2 ON e1.u = e2.u
+            |    AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+            |   JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+            | pern AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri FROM
+            |   (SELECT UNNEST([a, b, c]) AS n FROM tri) GROUP BY n)
+            | SELECT d.u AS doc_id, d.deg,
+            |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+            |  CAST(CASE WHEN d.deg >= 2
+            |   THEN (2 * COALESCE(p.tri, 0) * $Scale) // (d.deg * (d.deg - 1))
+            |   ELSE 0 END AS BIGINT) AS coef
+            | FROM deg d LEFT JOIN pern p ON d.u = p.n""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qPageRank, qCentralCanonical, qTriangles)
 }
