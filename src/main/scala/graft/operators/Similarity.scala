@@ -717,8 +717,87 @@ object Similarity {
             | FROM r WHERE rk <= $HardNegK""".stripMargin
       .replaceAll("\n", "")))
 
+  private val MmrK = 5
+
+  /** q108 — maximal-marginal-relevance diverse top-k (Carbonell &
+    * Goldstein 1998): greedily select K vectors maximizing
+    * `7·rel − 3·max_sim_to_selected` (λ = 0.7 in tenths — integer
+    * coefficients so the float expression tree is two exact IEEE
+    * products and a subtraction, identical in both engines). The
+    * diversity-aware retrieval every exemplar-selection / few-shot
+    * curation pipeline needs: plain top-k returns K near-copies of the
+    * best hit; MMR returns K hits that COVER the neighborhood.
+    *
+    * Scale shape: the greedy loop is K passes, each ONE map-side scan —
+    * the selected set rides as ≤K quantized-vector literals (the q60b
+    * tiny-deterministic-results-as-literals discipline) and the argmax
+    * is a TakeOrdered(1), so there is no join, no window, and no
+    * driver-side data beyond K vectors. Step-1's empty selected set
+    * scores `7·rel + 3` (max-sim floor −1), keeping one formula shape
+    * per step. The query vector is the min-id embedding; the query
+    * point itself is excluded from the pool.
+    */
+  val qMmrSelect: QuerySpec = QuerySpec(
+    "q108_mmr_select",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val qRow = emb.orderBy(col("vec_id")).limit(1).collect()(0)
+      val (qid, qq) = (qRow.getLong(0), qRow.getSeq[Long](1))
+      val pool = emb.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), col("qe"),
+          Exact.cosineFromQuantized(col("qe"), typedlit(qq)).as("rel"))
+      var selected = Vector.empty[(Long, Seq[Long], Double, Double)]
+      for (_ <- 1 to MmrK) {
+        val simsToSel = selected.map { case (_, sq, _, _) =>
+          Exact.cosineFromQuantized(col("qe"), typedlit(sq)) }
+        val mmr =
+          if (simsToSel.isEmpty) lit(7) * col("rel") + lit(3)
+          else if (simsToSel.size == 1) lit(7) * col("rel") - lit(3) * simsToSel.head
+          else lit(7) * col("rel") - lit(3) * greatest(simsToSel: _*)
+        val r = pool
+          .filter(if (selected.isEmpty) lit(true)
+            else !col("vec_id").isInCollection(selected.map(_._1)))
+          .select(col("vec_id"), col("qe"), col("rel"), mmr.as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1).collect()(0)
+        selected = selected :+
+          ((r.getLong(0), r.getSeq[Long](1), r.getDouble(2), r.getDouble(3)))
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, _, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+        .toDF("rk", "vec_id", "rel", "mmr")
+    },
+    Some {
+      val steps = (2 to MmrK).map { i =>
+        val prev = (1 until i).map(j => s"s$j")
+        val sims = prev.map(p => Exact.cosineSql("r.qe", s"$p.qe"))
+        val maxSim = if (sims.size == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        val excl = prev.map(p => s"r.vec_id <> $p.vec_id").mkString(" AND ")
+        s"""s$i AS MATERIALIZED (SELECT vec_id, qe, rel, mmr FROM (
+           |  SELECT r.vec_id, r.qe, r.rel, 7 * r.rel - 3 * ($maxSim) AS mmr
+           |  FROM r, ${prev.mkString(", ")} WHERE $excl)
+           |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",")
+      val out = (1 to MmrK)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rk, vec_id, rel, mmr FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH q AS MATERIALIZED (SELECT vec_id AS qid,
+         |   ${Exact.quantizeSql("embedding")} AS qq
+         |  FROM embeddings ORDER BY vec_id LIMIT 1),
+         | e AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+         |  FROM embeddings),
+         | r AS MATERIALIZED (SELECT vec_id, qe,
+         |   ${Exact.cosineSql("qe", "q.qq")} AS rel
+         |  FROM e, q WHERE vec_id <> q.qid),
+         | s1 AS MATERIALIZED (SELECT vec_id, qe, rel, 7 * rel + 3 AS mmr
+         |  FROM r ORDER BY mmr DESC, vec_id LIMIT 1),
+         | $steps $out""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
     qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
-    qClusterCohesion, qEmbedDecontaminate, qHardNegatives)
+    qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect)
 }
