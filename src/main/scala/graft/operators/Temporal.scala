@@ -248,6 +248,53 @@ object Temporal {
            | FROM base FULL OUTER JOIN latest USING (cust_id)
            | WHERE op IS NULL OR op = 'U'""".stripMargin.replaceAll("\n", "")))
 
+  /** q109 — first-order event-transition matrix: for every ordered pair
+    * of event types (src → dst), how many times a user's NEXT event was
+    * `dst` given the current one was `src`, with the row-normalized
+    * transition probability in fixed-point parts-per-million. The Markov
+    * view of user behavior — path analysis ("what follows a view?"),
+    * anomaly detection (transitions with near-zero mass), and the input
+    * to sequence-model pretraining curricula.
+    *
+    * Scale shape: ONE shuffle on `user_id` for the ordered window pass
+    * (`lead` over (time, event_id) — the unique-tiebreak rule), then one
+    * type-pair hash aggregate with map-side combine (the pair domain is
+    * |types|², tiny), then a broadcast join of per-src totals. Nothing
+    * downstream of the window is corpus-sized. Probabilities use integer
+    * `div` on non-negative counts, so `div` ≡ `//` and the oracle is
+    * bit-exact.
+    */
+  val qTransitions: QuerySpec = QuerySpec(
+    "q109_transitions",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val pairs = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("dst", lead(col("event_type"), 1).over(byTime))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("event_type").as("src"), col("dst"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy(col("src"))
+        .agg(sum(col("cnt")).as("total"))
+      pairs.join(broadcast(totals), Seq("src"))
+        .select(col("src"), col("dst"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("ppm"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |   epoch_us(ts) AS tus FROM events),
+           | nxt AS (SELECT event_type AS src, LEAD(event_type) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id) AS dst FROM e),
+           | p AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+           |   FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst),
+           | t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS total
+           |   FROM p GROUP BY src)
+           | SELECT p.src, p.dst, p.cnt,
+           |  CAST((p.cnt * 1000000) // t.total AS BIGINT) AS ppm
+           | FROM p JOIN t ON p.src = t.src""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply)
+    Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions)
 }
