@@ -843,9 +843,53 @@ object Dedup {
             | HAVING COUNT(DISTINCT sp) > 1""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q112 — cluster-aware train/val/test assignment: the REMEDY for the
+    * leakage q105 measures. Every document's split is a hash of its
+    * near-dup CLUSTER id (singletons: their own doc_id), so a cluster
+    * can never span two splits BY CONSTRUCTION — eval contamination is
+    * structurally zero, not audited-after-the-fact. The output reports
+    * what that costs: per-split doc and cluster counts, whose drift
+    * from 80/10/10 is the clustered-mass skew a per-document split
+    * doesn't have.
+    *
+    * Scale shape: the graph-node-sized label table broadcast-joins onto
+    * the corpus scan (labels ≪ corpus — only docs with a near-dup edge
+    * have one); split assignment is one integer map; the rollup is a
+    * 3-group hash agg. The distinct-cluster count per split is exact
+    * distinct over a key that is FUNCTIONALLY split-determined, so the
+    * partial aggregation dedups map-side.
+    */
+  val qClusterSplit: QuerySpec = QuerySpec(
+    "q112_cluster_split",
+    (s, dir) => {
+      val labels = qDupClusters.build(s, dir)
+      Tables.load(s, dir, "documents").select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+        .withColumn("sp",
+          when(pmod(col("cid"), lit(10L)) < 8, "train")
+            .when(pmod(col("cid"), lit(10L)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("sp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cid")).as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+            |  FROM reach GROUP BY u),
+            | a AS (SELECT d.doc_id,
+            |   COALESCE(l.cluster_id, d.doc_id) AS cid
+            |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+            | sp AS (SELECT cid, CASE WHEN cid % 10 < 8 THEN 'train'
+            |   WHEN cid % 10 = 8 THEN 'val' ELSE 'test' END AS sp FROM a)
+            | SELECT sp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters
+            | FROM sp GROUP BY sp""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
-    qSplitLeakage)
+    qSplitLeakage, qClusterSplit)
 }

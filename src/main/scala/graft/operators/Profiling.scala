@@ -289,7 +289,122 @@ object Profiling {
             |  FROM li JOIN sel ON li.b = sel.b)
             | WHERE rn = res""".stripMargin.replaceAll("\n", "")))
 
+  /** q110 — per-event-type OLS trend of daily volume: the closed-form
+    * least-squares slope of (day index, daily count), in fixed-point
+    * events-per-day-per-million. The drift detector every feed monitor
+    * needs — "is this source growing, dying, or flat?" — done exactly:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) on INTEGER moments, the
+    * q63 discipline extended to regression.
+    *
+    * Scale shape: one corpus-sized hash agg to (type, day) counts with
+    * map-side combine, then everything downstream is |types|×|days|
+    * rows: a per-type min-day join centers x (keeping every moment far
+    * from Long range at any corpus size), one moment agg, one
+    * projection. The numerator can be NEGATIVE (declining feeds) —
+    * and DuckDB's INTEGER `//` truncates toward zero (probed:
+    * -7 // 2 = -3; only its DOUBLE `//` floors), exactly matching
+    * Spark's integer `div`, so plain `div` is the bit-exact choice
+    * here and the floor identity would be off by one on every
+    * declining slope.
+    */
+  val qTrend: QuerySpec = QuerySpec(
+    "q110_trend",
+    (s, dir) => {
+      val byType = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        // centering x keeps every moment far from Long range at any
+        // corpus size; the window runs over |types|×|days| rows (post-
+        // aggregate), NOT the corpus — and avoids a second events scan
+        // that a min-day self-join would re-execute
+        .select(col("event_type"),
+          (col("day") - min(col("day")).over(byType)).as("x"),
+          col("cnt").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("y")).as("total"),
+          sum(col("x")).as("sx"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .filter(col("n_days") >= 2)
+        .select(col("event_type"), col("n_days"), col("total"),
+          expr("(1000000 * (n_days * sxy - sx * total))" +
+            " div (n_days * sxx - sx * sx)").as("slope_ppm"))
+    },
+    Some("""WITH daily AS (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day,
+           |   CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           | c AS (SELECT event_type, day - MIN(day) OVER (
+           |   PARTITION BY event_type) AS x, cnt AS y FROM daily),
+           | m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+           |   CAST(SUM(y) AS BIGINT) AS total, CAST(SUM(x) AS BIGINT) AS sx,
+           |   CAST(SUM(x * y) AS BIGINT) AS sxy,
+           |   CAST(SUM(x * x) AS BIGINT) AS sxx
+           |  FROM c GROUP BY 1)
+           | SELECT event_type, n_days, total,
+           |  CAST((1000000 * (n_days * sxy - sx * total))
+           |   // (n_days * sxx - sx * sx) AS BIGINT) AS slope_ppm
+           | FROM m WHERE n_days >= 2""".stripMargin.replaceAll("\n", "")))
+
+  /** Poisson-bootstrap replica count and the per-1/10000 CDF thresholds
+    * of Poisson(1): P(0)=P(1)=.3679, P(2)=.1839, P(3)=.0613, tail → 4.
+    * Declared before the oracle SQL that interpolates them (the
+    * object-init-order rule).
+    */
+  private val BootReps = 32
+  private val BootCdf = Seq(3679L, 7358L, 9197L, 9810L)
+
+  /** q111 — Poisson bootstrap over the corpus: 32 deterministic
+    * resampling replicas of mean document length, each document's
+    * per-replica multiplicity drawn from a Poisson(1) CDF inverse on an
+    * LCG hash of (doc_id, replica). The spread of the replica means IS
+    * the sampling distribution — error bars on any corpus statistic
+    * with no distributional assumptions and no second pass over the
+    * data (public technique: Efron 1979; the per-element independent-
+    * Poisson form is the standard streaming/parallel variant).
+    *
+    * Scale shape: ONE scan; the replica fan-out explodes a 32-literal
+    * array (codegen'd Generate, no shuffle growth — the 32-group hash
+    * agg absorbs it map-side), multiplicities are pure integer
+    * arithmetic, and the mean is fixed-point `(10^6·Σ(w·len)) div Σw`
+    * on non-negative integers, so `div` ≡ `//` and the oracle is
+    * bit-exact. No RNG anywhere: the LCG closed form is evaluated
+    * identically in both engines.
+    */
+  val qBootstrap: QuerySpec = QuerySpec(
+    "q111_bootstrap",
+    (s, dir) => {
+      val h = pmod(lit(1103515245L) * (col("doc_id") * BootReps + col("b"))
+        + lit(12345L), lit(2147483648L)) % 10000L
+      val w = when(h < BootCdf(0), 0L).when(h < BootCdf(1), 1L)
+        .when(h < BootCdf(2), 2L).when(h < BootCdf(3), 3L).otherwise(4L)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(typedlit((0 until BootReps).map(_.toLong))).as("b"))
+        .select(col("b"), w.as("w"), col("n_chars"))
+        .groupBy(col("b"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_chars")).as("wsum"))
+        .select(col("b"), col("n_eff"),
+          expr("(1000000 * wsum) div n_eff").as("mean_ppm"))
+    },
+    Some(s"""WITH r AS (SELECT doc_id, n_chars, UNNEST(range($BootReps)) AS b
+            |  FROM documents),
+            | w AS (SELECT b, n_chars, CASE
+            |   WHEN h < ${BootCdf(0)} THEN 0 WHEN h < ${BootCdf(1)} THEN 1
+            |   WHEN h < ${BootCdf(2)} THEN 2 WHEN h < ${BootCdf(3)} THEN 3
+            |   ELSE 4 END AS w FROM (SELECT b, n_chars,
+            |    (1103515245 * (doc_id * $BootReps + b) + 12345)
+            |     % 2147483648 % 10000 AS h FROM r))
+            | SELECT CAST(b AS BIGINT) AS b, CAST(SUM(w) AS BIGINT) AS n_eff,
+            |  CAST((1000000 * CAST(SUM(w * n_chars) AS BIGINT))
+            |   // CAST(SUM(w) AS BIGINT) AS BIGINT) AS mean_ppm
+            | FROM w GROUP BY b""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
-      qQuantileSketch)
+      qQuantileSketch, qTrend, qBootstrap)
 }

@@ -386,6 +386,50 @@ object TextAnalysis {
        |   CAST(len(U) + len(B) AS BIGINT) AS n_features
        |  FROM fs)""".stripMargin.replaceAll("\n", "")
 
+  /** q113 — Gini–Simpson lexical diversity per source: 1 − Σ(c/T)², the
+    * probability two random tokens differ. The LOG-FREE diversity index
+    * (Shannon entropy needs `ln`, which the libm-divergence rule bans
+    * from gated queries): low values flag template/boilerplate feeds
+    * whose token mass concentrates on few types — the corpus-level twin
+    * of q48's per-document repetition score, and a standing quality
+    * signal for mixture weighting. Computed exactly in fixed-point
+    * 1/10000ths: (10⁴·(T² − Σc²)) div T², all non-negative integers.
+    *
+    * Scale shape: one token explosion into a (source, token) hash agg —
+    * map-side combine absorbs the fan-out — then a source-keyed moment
+    * agg over the type counts; nothing after the first agg is
+    * corpus-sized. Σc² ≤ T² needs T ≤ 3·10⁹ tokens/source to stay in
+    * BIGINT at the 10⁴ scale; past that the moments graduate to
+    * DECIMAL(38), the q63 rule.
+    */
+  val qDiversity: QuerySpec = QuerySpec(
+    "q113_diversity",
+    (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("""(10000 * (n_tokens * n_tokens - s2))
+                 | div (n_tokens * n_tokens)""".stripMargin
+            .replaceAll("\n", "")).as("simpson_e4")),
+    Some("""WITH tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           |   FROM documents) GROUP BY source, tok),
+           | m AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |   CAST(COUNT(*) AS BIGINT) AS n_types,
+           |   CAST(SUM(c * c) AS BIGINT) AS s2
+           |  FROM tc GROUP BY source)
+           | SELECT source, n_tokens, n_types,
+           |  CAST((10000 * (n_tokens * n_tokens - s2))
+           |   // (n_tokens * n_tokens) AS BIGINT) AS simpson_e4
+           | FROM m""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
-    qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage)
+    qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
+    qDiversity)
 }

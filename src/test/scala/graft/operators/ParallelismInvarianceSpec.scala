@@ -66,7 +66,15 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // histogram cumsum + single-bucket residual-rank select (q104)
       Similarity.qHardNegatives, Profiling.qQuantileSketch,
       // shared-edge CC labels + rank argmax canonical (q106)
-      Graph.qCentralCanonical)) {
+      Graph.qCentralCanonical,
+      // degree-oriented wedge join + closure (q107), literal-carried
+      // greedy MMR selection (q108), windowed lead + ppm rollup (q109)
+      Graph.qTriangles, Similarity.qMmrSelect, Temporal.qTransitions,
+      // integer OLS moments with signed floor-div (q110), LCG-hash
+      // Poisson resampling fan-out (q111), broadcast cluster-split
+      // rollup (q112), token-moment diversity (q113)
+      Profiling.qTrend, Profiling.qBootstrap, Dedup.qClusterSplit,
+      TextAnalysis.qDiversity)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
