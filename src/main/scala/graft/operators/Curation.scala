@@ -29,9 +29,9 @@ object Curation {
         .groupBy(PolyHash(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      // stage 2: near-dup removal (reuse the LSH pair generator; drop the
-      // higher id of each pair)
-      val dupIds = Dedup.qLshPairs.build(s, dir).select(col("doc_id_2").as("doc_id"))
+      // stage 2: near-dup removal (verified pairs from the shared
+      // DupGraph store; drop the higher id of each pair)
+      val dupIds = DupGraph.pairs(s, dir).select(col("doc_id_2").as("doc_id"))
       val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
       // stages 3+4: quality filter + token counts (the ONE definition of
       // the quality metrics, shared with the streaming gate — TextMetrics;
@@ -116,21 +116,12 @@ object Curation {
         .groupBy(PolyHash(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val pairs = Dedup.qLshPairs.build(s, dir)
-        .select(col("doc_id_1"), col("doc_id_2")).persist()
-      val dupIds =
-        try {
-          val edges = pairs
-            .union(pairs.select(col("doc_id_2"), col("doc_id_1")))
-            .toDF("u", "v").persist()
-          try {
-            val (labels, _) = Dedup.connectedComponents(s, edges, scratchTag = "q33c")
-            // non-keepers: every clustered doc that is not its
-            // component's minimum (docs outside the graph never appear)
-            labels.filter(col("cluster_id") =!= col("u"))
-              .select(col("u").as("doc_id"))
-          } finally edges.unpersist()
-        } finally pairs.unpersist()
+      // non-keepers: every clustered doc that is not its component's
+      // minimum (docs outside the graph never appear); labels come from
+      // the shared DupGraph store, computed once per corpus per JVM
+      val dupIds = DupGraph.labels(s, dir)
+        .filter(col("cluster_id") =!= col("u"))
+        .select(col("u").as("doc_id"))
       val deduped = keep.join(dupIds, Seq("doc_id"), "left_anti")
       val words = TextMetrics.wordCount(col("text"))
       val stops = TextMetrics.stopCount(col("text"))

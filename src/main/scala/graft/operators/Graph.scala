@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * Everything is fixed-point integer arithmetic so the DuckDB oracle is
   * bit-exact: ranks are scaled by [[Graph.Scale]], the damping step is
   * `Base + (85 * in) div 100`, and per-neighbor shares use integer
-  * `div`. All quantities stay non-negative, so Spark's `div` (truncate)
-  * and DuckDB's `//` (floor) agree.
+  * `div`. All quantities stay non-negative, where Spark's `div` and
+  * DuckDB's integer `//` (both truncating) trivially agree.
   */
 object Graph {
 
@@ -32,25 +32,6 @@ object Graph {
     * a finite unrolled CTE chain, the q26b discipline.
     */
   private val Iterations = 4
-
-  /** The symmetrized verified-pair edge list, flushed to scratch parquet
-    * so the expensive subtree (MinHash → LSH bands → verified pairs)
-    * executes ONCE and every iteration/consumer reads the tiny edge
-    * table instead of re-running the candidate pipeline (the
-    * per-reference re-execution trap: a lazy plan re-runs a shared
-    * subtree once per reference). At cluster scale the flush is a table
-    * bucketed by `u`, making the join side of every iteration
-    * exchange-free.
-    */
-  private def flushedEdges(s: SparkSession, dir: String,
-      tag: String): DataFrame = {
-    val raw = Dedup.qLshPairs.build(s, dir)
-      .select(col("doc_id_1"), col("doc_id_2")).persist()
-    try Scratch.flush(s, tag,
-      raw.union(raw.select(col("doc_id_2"), col("doc_id_1")))
-        .toDF("u", "v"))
-    finally raw.unpersist(blocking = false)
-  }
 
   /** The damped power iteration as ONE lazy Catalyst plan over a
     * materialized edge table: each iteration is two shuffles on node id
@@ -102,7 +83,7 @@ object Graph {
   val qPageRank: QuerySpec = QuerySpec(
     "q102_pagerank",
     (s, dir) =>
-      rankPlan(flushedEdges(s, dir, "q102-edges"))
+      rankPlan(DupGraph.edges(s, dir))
         .select(col("u").as("doc_id"), col("deg"), col("r").as("pr")),
     Some(s"""WITH pairs AS MATERIALIZED (${Dedup.qLshPairs.oracle.get}),
             | edges AS MATERIALIZED (
@@ -116,9 +97,9 @@ object Graph {
   /** q106 — centrality-canonical selection: for every near-dup cluster
     * (q50's connected components) the member with the highest PageRank
     * is the cluster representative — the most-linked variant, not the
-    * arbitrary min-id that q86's collapse uses. Shares ONE flushed edge
-    * list between the ranking iteration and the CC labeling, so the
-    * candidate pipeline runs once.
+    * arbitrary min-id that q86's collapse uses. The edge table and the CC
+    * labels both come from the shared [[DupGraph]] store, so the
+    * candidate pipeline and the propagation run once per corpus.
     *
     * Scale shape: the canonical argmax is a map-side-combinable
     * `max_by` over a UNIQUE ordering key (r, −u) — no window over the
@@ -128,10 +109,9 @@ object Graph {
   val qCentralCanonical: QuerySpec = QuerySpec(
     "q106_central_canonical",
     (s, dir) => {
-      val edges = flushedEdges(s, dir, "q106-edges")
+      val edges = DupGraph.edges(s, dir)
       val ranks = rankPlan(edges).select(col("u"), col("r"))
-      val (labels, _) =
-        Dedup.connectedComponents(s, edges, scratchTag = "q106")
+      val labels = DupGraph.labels(s, dir)
       labels.join(ranks, Seq("u"))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
@@ -181,7 +161,7 @@ object Graph {
   val qTriangles: QuerySpec = QuerySpec(
     "q107_triangles",
     (s, dir) => {
-      val edges = flushedEdges(s, dir, "q107-edges")
+      val edges = DupGraph.edges(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val oriented = Scratch.flush(s, "q107-oriented", edges
         .join(deg.toDF("u", "du"), Seq("u"))

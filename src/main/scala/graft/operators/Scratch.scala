@@ -34,16 +34,20 @@ private[operators] object Scratch {
   }
 
   /** Write `df` to a fresh scratch parquet for `tag` (dropping the tag's
-    * previous flush) and return the path-backed frame. The write is an
-    * action: the input plan executes exactly once, and every reference
-    * to the returned frame is a plain parquet scan.
+    * previous flush) and return the written path. The write is an
+    * action: the input plan executes exactly once, and every read of the
+    * returned path is a plain parquet scan.
     */
-  def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame = {
+  def flushPath(s: SparkSession, tag: String, df: DataFrame): String = {
     prevFlush.remove(tag).foreach(p => rmTree(p.toFile))
     val dir = java.nio.file.Files.createTempDirectory(root, s"$tag-")
     prevFlush.put(tag, dir)
     val out = dir.resolve("data").toString
     df.write.mode("overwrite").parquet(out)
-    s.read.parquet(out)
+    out
   }
+
+  /** [[flushPath]], returning the path-backed frame. */
+  def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame =
+    s.read.parquet(flushPath(s, tag, df))
 }
