@@ -212,5 +212,96 @@ object Graph {
             | FROM deg d LEFT JOIN pern p ON d.u = p.n""".stripMargin
       .replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qPageRank, qCentralCanonical, qTriangles)
+  /** Peeling-generation cap for q114 (declared before the oracle SQL
+    * that unrolls it — the object-init-order rule). The Spark side
+    * exits at the FIXPOINT and `require`s it within the cap; the oracle
+    * always unrolls the full cap, which is equivalent because peeling a
+    * converged core is a no-op — extra oracle rounds reproduce the same
+    * node set bit-for-bit (the q51 TrainIters discipline). Near-dup
+    * graphs peel in a handful of rounds (clusters are clique-ish);
+    * chain-shaped components peel from the ends at 2 nodes per round,
+    * which is what the cap headroom is for.
+    */
+  private[graft] val PeelIters = 25
+
+  /** q114 — the 2-core of the near-dup graph: iteratively peel every
+    * node with degree < 2 until none remains; survivors are the nodes
+    * on CYCLES of near-duplication. This is the structural complement
+    * of q107's triangles from the other side: a boilerplate star hub
+    * has zero triangles but sits in the 1-core, while ANY tree-shaped
+    * periphery (hubs, chains' ends, one-off pairs) peels away entirely
+    * — what survives is mutually-corroborated duplication mass, the
+    * part of the graph where transitive collapse (q86) is load-bearing
+    * rather than incidental. Output: each 2-core member with its
+    * within-core degree.
+    *
+    * Scale shape: every iteration is two equi-joins of the edge table
+    * against the SHRINKING survivor set plus one hash agg — node-set
+    * sized, nothing corpus-sized after the [[DupGraph]] read. Each
+    * generation materializes through an explicit persisted handle and
+    * the superseded one unpersists immediately (the r5 discipline);
+    * the converged set flushes to scratch so the returned plan reads
+    * parquet, pinning nothing. Fixpoint detection is count equality —
+    * the survivor set only ever shrinks, so equal counts mean equal
+    * sets.
+    */
+  val qKcore: QuerySpec = QuerySpec(
+    "q114_kcore",
+    (s, dir) => {
+      import s.implicits._
+      val edges = DupGraph.edges(s, dir)
+      var curRdd = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2).select(col("u"))
+        .as[Long].rdd.persist()
+      var n = curRdd.count()
+      var cur = curRdd.toDF("u")
+      var iter = 1
+      var done = false
+      while (!done && iter < PeelIters) {
+        val nextRdd = edges
+          .join(cur, Seq("u"))
+          .join(cur.withColumnRenamed("u", "v"), Seq("v"))
+          .groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 2).select(col("u"))
+          .as[Long].rdd.persist()
+        val m = nextRdd.count()
+        curRdd.unpersist(blocking = false)
+        curRdd = nextRdd
+        cur = nextRdd.toDF("u")
+        done = m == n
+        n = m
+        iter += 1
+      }
+      require(done, s"2-core peeling did not converge in $iter rounds")
+      val core = Scratch.flush(s, "q114-core", cur)
+      curRdd.unpersist(blocking = false)
+      edges.join(core, Seq("u"))
+        .join(core.withColumnRenamed("u", "v"), Seq("v"))
+        .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("doc_id"), col("core_deg"))
+    },
+    Some {
+      val steps = (1 to PeelIters - 1).map { i =>
+        s"""e$i AS MATERIALIZED (SELECT e.u, e.v FROM edges e
+           |  JOIN n${i - 1} a ON e.u = a.u JOIN n${i - 1} b ON e.v = b.u),
+           | n$i AS MATERIALIZED (SELECT u FROM (
+           |  SELECT u, COUNT(*) AS c FROM e$i GROUP BY u) WHERE c >= 2)"""
+          .stripMargin
+      }.mkString(",")
+      s"""WITH pairs AS MATERIALIZED (${Dedup.qLshPairs.oracle.get}),
+         | edges AS MATERIALIZED (
+         |   SELECT doc_id_1 AS u, doc_id_2 AS v FROM pairs
+         |   UNION ALL SELECT doc_id_2, doc_id_1 FROM pairs),
+         | n0 AS MATERIALIZED (SELECT u FROM (
+         |   SELECT u, COUNT(*) AS c FROM edges GROUP BY u) WHERE c >= 2),
+         | $steps
+         | SELECT e.u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         | FROM edges e
+         |  JOIN n${PeelIters - 1} a ON e.u = a.u
+         |  JOIN n${PeelIters - 1} b ON e.v = b.u
+         | GROUP BY e.u""".stripMargin.replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] =
+    Seq(qPageRank, qCentralCanonical, qTriangles, qKcore)
 }

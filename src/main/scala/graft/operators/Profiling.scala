@@ -404,7 +404,67 @@ object Profiling {
             |   // CAST(SUM(w) AS BIGINT) AS BIGINT) AS mean_ppm
             | FROM w GROUP BY b""".stripMargin.replaceAll("\n", "")))
 
+  /** q116 — per-source 10%-trimmed mean of document length: drop each
+    * source's shortest and longest decile (by exact rank) and average
+    * the middle 80% — the robust location estimate a feed monitor
+    * alerts on (a plain mean moves with one pathological megadocument;
+    * the trimmed mean moves only when the BULK of the feed shifts).
+    * Reported beside the plain mean so the gap between them is the
+    * outlier-mass signal.
+    *
+    * Exactness: the trim boundary is integer rank arithmetic
+    * (lo = n div 10, keep lo < rn ≤ n − lo) over the unique
+    * (n_chars, doc_id) order, so both engines select the identical row
+    * set; means are fixed-point `(100·Σ) div count` on non-negative
+    * integers (truncating in both engines).
+    *
+    * Scale shape: ONE shuffle — the per-source window that ranks each
+    * source's lengths (exact trimming is a sort by definition); the
+    * rollup reuses the same partitioning. A corpus whose per-source
+    * slice exceeds executor memory trades exactness for q104's
+    * mergeable histogram instead.
+    */
+  val qTrimmedMean: QuerySpec = QuerySpec(
+    "q116_trimmed_mean",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      Tables.load(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("lo", expr("n div 10"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("s_all"),
+          sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"),
+            col("n_chars"))).as("s_trim"),
+          sum(when(col("rn") > col("lo") && col("rn") <= col("n") - col("lo"),
+            1L).otherwise(0L)).as("n_trim"))
+        .select(col("source"), col("n_docs"), col("n_trim"),
+          expr("(100 * s_all) div n_docs").as("mean_e2"),
+          expr("(100 * s_trim) div n_trim").as("trim_mean_e2"))
+    },
+    Some("""WITH r AS (SELECT source, n_chars,
+           |   CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |     ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+           |   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM documents),
+           | t AS (SELECT source, rn, n_chars, n, n // 10 AS lo FROM r)
+           | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS n_trim,
+           |  CAST((100 * CAST(SUM(n_chars) AS BIGINT)) // COUNT(*)
+           |   AS BIGINT) AS mean_e2,
+           |  CAST((100 * CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo
+           |    THEN n_chars END) AS BIGINT))
+           |   // CAST(SUM(CASE WHEN rn > lo AND rn <= n - lo
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS BIGINT) AS trim_mean_e2
+           | FROM t GROUP BY source""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
-      qQuantileSketch, qTrend, qBootstrap)
+      qQuantileSketch, qTrend, qBootstrap, qTrimmedMean)
 }

@@ -429,7 +429,72 @@ object TextAnalysis {
            |   // (n_tokens * n_tokens) AS BIGINT) AS simpson_e4
            | FROM m""".stripMargin.replaceAll("\n", "")))
 
+  /** q115 — per-source total-variation drift: TVD(source ‖ corpus) over
+    * the token unigram distributions, ½·Σ_t |o_st/n_s − c_t/N|. THE
+    * log-free distribution distance (KL and cross-entropy need `ln`,
+    * which the libm-divergence rule bans from gated queries): 0 = the
+    * source reads like the corpus, → 1 = disjoint vocabulary. This is
+    * the domain-shift detector a mixture pipeline monitors per feed —
+    * q113's diversity says a source is degenerate internally; this says
+    * it is UNLIKE everything else — and the quantity behind
+    * domain-upweighting decisions.
+    *
+    * Exactness: tokens ABSENT from a source contribute Σ_{t∉s} c_t/N =
+    * (N − C_s)/N in closed form (C_s = corpus mass of the source's
+    * vocabulary), so the per-(source, token) sum runs only over PRESENT
+    * tokens; everything rides the common denominator n_s·N as exact
+    * BIGINT — |N·o − c·n_s| sums, one fixed-point `div` at the end
+    * (truncating in both engines). 10⁴·2·n_s·N stays in BIGINT to
+    * ~10⁷ tokens/source · 10⁷ corpus; past that the moments graduate
+    * to DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: ONE corpus-sized (source, token) hash agg absorbs the
+    * explosion map-side; the token-total join shuffles only
+    * type-space-sized tables on `tok`; source totals and the grand
+    * total broadcast. Nothing after the first agg is corpus-sized.
+    */
+  val qSourceDrift: QuerySpec = QuerySpec(
+    "q115_source_drift",
+    (s, dir) => {
+      val st = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("o"))
+      val ct = st.groupBy(col("tok")).agg(sum(col("o")).as("c"))
+      val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+      val tot = st.agg(sum(col("o")).as("N"))
+      st.join(ct, Seq("tok"))
+        .join(broadcast(ns), Seq("source"))
+        .join(broadcast(tot))
+        .groupBy(col("source"))
+        .agg(sum(abs(col("N") * col("o") - col("c") * col("n_s"))).as("a"),
+          sum(col("c")).as("cs"))
+        .join(broadcast(ns), Seq("source"))
+        .join(broadcast(tot))
+        .select(col("source"), col("n_s").as("n_tokens"),
+          expr("(10000 * (a + (N - cs) * n_s)) div (2 * n_s * N)")
+            .as("tvd_e4"))
+    },
+    Some("""WITH st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS o
+           |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+           |   FROM documents) GROUP BY source, tok),
+           | ct AS (SELECT tok, CAST(SUM(o) AS BIGINT) AS c
+           |  FROM st GROUP BY tok),
+           | ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+           |  FROM st GROUP BY source),
+           | tot AS (SELECT CAST(SUM(o) AS BIGINT) AS N FROM st),
+           | t AS (SELECT st.source,
+           |   CAST(SUM(ABS(tot.N * st.o - ct.c * ns.n_s)) AS BIGINT) AS a,
+           |   CAST(SUM(ct.c) AS BIGINT) AS cs
+           |  FROM st JOIN ct USING (tok) JOIN ns USING (source), tot
+           |  GROUP BY st.source)
+           | SELECT t.source, ns.n_s AS n_tokens,
+           |  CAST((10000 * (a + (tot.N - cs) * n_s))
+           |   // (2 * n_s * tot.N) AS BIGINT) AS tvd_e4
+           | FROM t JOIN ns USING (source), tot""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
-    qDiversity)
+    qDiversity, qSourceDrift)
 }

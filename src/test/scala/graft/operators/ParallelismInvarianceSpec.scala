@@ -74,7 +74,13 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // Poisson resampling fan-out (q111), broadcast cluster-split
       // rollup (q112), token-moment diversity (q113)
       Profiling.qTrend, Profiling.qBootstrap, Dedup.qClusterSplit,
-      TextAnalysis.qDiversity)) {
+      TextAnalysis.qDiversity,
+      // round-10 additions: iterative 2-core peel with count-equality
+      // fixpoint (q114; the DupGraph memo is parallelism-keyed, so the
+      // full pipeline re-executes per partitioning), token-total join +
+      // closed-form absent-mass TVD (q115), rank-trimmed robust means
+      // (q116)
+      Graph.qKcore, TextAnalysis.qSourceDrift, Profiling.qTrimmedMean)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
