@@ -1051,10 +1051,83 @@ object Corpus {
         .replaceAll("\n", "")
     })
 
+  /** q118 — per-language tokenizer fertility: tokens-per-word and
+    * chars-per-token under the TRAINED BPE merges ([[ensureBpeMerges]]),
+    * by document language. THE tokenizer-equity metric a multilingual
+    * corpus is audited with — a tokenizer trained on the majority
+    * language fragments minority-language words into more, shorter
+    * tokens (higher fertility), which silently taxes their effective
+    * context length and training compute share; this report is what
+    * that decision is made from. q75b reports corpus-global
+    * compression; fertility localizes it to the lang dimension where
+    * the inequity lives.
+    *
+    * Mechanics: the merged vocabulary maps each word `w` to its
+    * bracketed token spelling `ws`; stripping the brackets recovers
+    * `w` exactly (the merge chain only ever fuses bracket boundaries),
+    * so the trained segmentation joins back onto per-(lang, word)
+    * counts without threading `w` through the merge fold. Means are
+    * fixed-point integer `div` (truncating in both engines).
+    *
+    * Scale shape: the corpus collapses to (lang, word) counts in ONE
+    * map-side-combined agg; the vocabulary (≪ corpus) applies the 8
+    * merges as chained literal `replace` expressions in the same
+    * distributed pass as q75b; the join key is the word and the final
+    * rollup is |langs| rows.
+    */
+  val qFertility: QuerySpec = QuerySpec(
+    "q118_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val merges = ensureBpeMerges(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      val lw = docs
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val vocab0 = lw.groupBy(col("w")).agg(sum(col("c")).as("freq"))
+        .as[(String, Long)]
+        .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }
+        .toDF("ws", "freq")
+      val finalVocab = merges.foldLeft(vocab0) { case (v, (_, l, r, _)) =>
+        v.withColumn("ws", expr(s"replace(ws, '[$l][$r]', '[$l$r]')"))
+      }
+      val seg = finalVocab.select(
+        expr("replace(replace(ws, '[', ''), ']', '')").as("w"),
+        size(split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\["))
+          .cast("long").as("ntok"))
+      lw.join(seg, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("c") * col("ntok")).as("n_tokens"),
+          sum(col("c") * length(col("w")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          expr("(10000 * n_tokens) div n_words").as("tok_per_word_e4"),
+          expr("(10000 * n_chars) div n_tokens").as("chars_per_tok_e4"))
+    },
+    Some {
+      val ntok = "len(string_split(ws[2:length(ws) - 1], ']['))"
+      s"""WITH $bpeSqlCtes,
+         | lw AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |   FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY lang, w),
+         | seg AS (SELECT replace(replace(ws, '[', ''), ']', '') AS w,
+         |   CAST($ntok AS BIGINT) AS ntok FROM v$BpeMergeSteps),
+         | r AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+         |   CAST(SUM(c * ntok) AS BIGINT) AS n_tokens,
+         |   CAST(SUM(c * length(w)) AS BIGINT) AS n_chars
+         |  FROM lw JOIN seg USING (w) GROUP BY lang)
+         | SELECT lang, n_words, n_tokens,
+         |  CAST((10000 * n_tokens) // n_words AS BIGINT) AS tok_per_word_e4,
+         |  CAST((10000 * n_chars) // n_tokens AS BIGINT) AS chars_per_tok_e4
+         | FROM r""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists, qBm25TopK)
+    qPostingLists, qBm25TopK, qFertility)
 }

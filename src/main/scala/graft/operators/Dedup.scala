@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.{CharNgramHashes, Exact, PolyHash, WordShingleHashes}
+import graft.functions.{CharNgramHashes, Exact, PolyHash, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -572,6 +572,153 @@ object Dedup {
   private val BoilerWords = 3
   private[graft] val BoilerDf = 5
 
+  /** q117 — shared-span EXTENTS: for every document pair sharing rare
+    * 8-word spans (q59's signal), merge the shared spans into maximal
+    * CONTIGUOUS runs and report the longest one in words. This is the
+    * exact-substring dedup measurement (public technique: Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better" —
+    * the suffix-array substring family): q59 counts shared spans, which
+    * cannot tell 40 scattered boilerplate fragments from ONE copied
+    * 300-word passage; the extent length is what a substring-dedup
+    * policy actually thresholds on ("remove shared substrings ≥ 50
+    * words").
+    *
+    * Mechanics: positions of matching spans in the two documents align
+    * on a DIAGONAL (p1 − p2 constant exactly when the shared text is
+    * contiguous in both), so extents are runs of consecutive p1 within
+    * a (pair, diagonal) group — gaps-and-islands with
+    * `grp = p1 − row_number()` (p1 is strictly increasing per
+    * diagonal: one span per position). An n-word copied passage yields
+    * an extent of n − 7 consecutive spans = n words, reported exactly.
+    *
+    * Scale shape: candidates come ONLY from the span-hash equi-join;
+    * the df cap here bounds total OCCURRENCES per hash (not q59's
+    * distinct-docs df), so the join fan-out per hash is ≤ MaxSpanDf²
+    * and the island window runs over candidate rows, never the corpus.
+    * Both engines keep every occurrence (no within-doc distinct): a
+    * span repeated inside one document matches on every diagonal it
+    * extends.
+    */
+  /** The q117/q119 positioned-span match: every (d1, d2, p1, p2) where
+    * the two documents share one rare 8-word span at those word
+    * positions. Occurrence-df capped (bounds per-hash join fan-out at
+    * MaxSpanDf²); candidates only from the span-hash equi-join.
+    */
+  private def spanPosMatches(docs: DataFrame): DataFrame = {
+    val sp = docs
+      .select(col("doc_id"),
+        posexplode(WordShingles(col("text"), SpanWords)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        PolyHash(col("col")).as("h"))
+    val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxSpanDf).select(col("h"))
+    val filtered = sp.join(rare, Seq("h"))
+    filtered.alias("a")
+      .join(filtered.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.pos").as("p1"), col("b.pos").as("p2"))
+  }
+
+  /** Oracle CTEs `sh`/`sp`/`rare`/`m` — the DuckDB twin of
+    * [[spanPosMatches]], shared by q117 and q119 (prepends `dt`).
+    */
+  private def spanPosSqlCtes: String =
+    s"""dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | sh AS (SELECT doc_id, list_transform(
+       |   list_transform(range(1, greatest(len(tk) - ${SpanWords - 1}, 0) + 1),
+       |     i -> ${(0 until SpanWords).map(o => s"tk[i + $o]").mkString(" || ' ' || ")}),
+       |   s -> ${PolyHash.oracleSql("s")}) AS H FROM dt),
+       | sp AS (SELECT doc_id,
+       |   CAST(UNNEST(range(1, len(H) + 1)) AS BIGINT) AS pos,
+       |   UNNEST(H) AS h FROM sh),
+       | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+       | m AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |   a.pos AS p1, b.pos AS p2
+       |  FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  WHERE a.h IN (SELECT h FROM rare))""".stripMargin
+      .replaceAll("\n", "")
+
+  val qSpanExtents: QuerySpec = QuerySpec(
+    "q117_span_extents",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+      spanPosMatches(Tables.load(s, dir, "documents"))
+        .withColumn("diag", col("p1") - col("p2"))
+        .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
+        .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+        .agg((max(col("p1")) - min(col("p1")) + SpanWords).as("words"))
+        .groupBy(col("d1"), col("d2"))
+        .agg(count(lit(1)).as("n_extents"), max(col("words")).as("longest_words"))
+        .select(col("d1").as("doc_id_1"), col("d2").as("doc_id_2"),
+          col("n_extents"), col("longest_words"))
+    },
+    Some(s"""WITH $spanPosSqlCtes,
+            | g AS (SELECT d1, d2, p1 - p2 AS diag, p1,
+            |   p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2
+            |     ORDER BY p1) AS grp FROM m),
+            | e AS (SELECT d1, d2, diag, grp,
+            |   MAX(p1) - MIN(p1) + $SpanWords AS words
+            |  FROM g GROUP BY d1, d2, diag, grp)
+            | SELECT d1 AS doc_id_1, d2 AS doc_id_2,
+            |  CAST(COUNT(*) AS BIGINT) AS n_extents,
+            |  CAST(MAX(words) AS BIGINT) AS longest_words
+            | FROM e GROUP BY d1, d2""".stripMargin.replaceAll("\n", "")))
+
+  /** q119 — duplicate-token mass: the fraction of corpus tokens lying
+    * inside at least one cross-document shared rare 8-word span — the
+    * headline corpus statistic of substring dedup ("N% of the tokens
+    * are duplicated text"; Lee et al. 2021 report exactly this number
+    * to justify the pass). q117 reports per-pair extents; this is the
+    * one-row KPI a curation run tracks across corpus versions.
+    *
+    * Mechanics: every positioned match (both sides of the pair — a
+    * span duplicates in BOTH documents) expands to its 8 covered word
+    * positions; `covered` is the distinct (doc, position) count, so
+    * overlapping spans never double-count. The total is the exact
+    * corpus token count from the same single-space split.
+    *
+    * Scale shape: the 8× offset explosion happens AFTER the df-capped
+    * match join (candidate-volume-sized, not corpus-sized) and is
+    * absorbed by the distinct's partial aggregation map-side; the
+    * token total is one scan-level agg. The final ratio is one
+    * long-to-long IEEE division (both operands < 2^53 — exact).
+    */
+  val qDupMass: QuerySpec = QuerySpec(
+    "q119_dup_mass",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val m = spanPosMatches(docs)
+      val sides = m.select(col("d1").as("doc_id"), col("p1").as("p"))
+        .union(m.select(col("d2"), col("p2")))
+      val covered = sides
+        .select(col("doc_id"), col("p"),
+          explode(typedlit((0 until SpanWords).map(_.toLong))).as("o"))
+        .select(col("doc_id"), (col("p") + col("o")).as("wp"))
+        .distinct()
+        .agg(count(lit(1)).as("covered_tokens"))
+      val total = docs
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .agg(sum(col("n")).as("total_tokens"))
+      covered.join(total)
+        .select(col("covered_tokens"), col("total_tokens"),
+          (col("covered_tokens").cast("double") /
+            col("total_tokens").cast("double")).as("dup_fraction"))
+    },
+    Some(s"""WITH $spanPosSqlCtes,
+            | sides AS (SELECT d1 AS doc_id, p1 AS p FROM m
+            |   UNION ALL SELECT d2, p2 FROM m),
+            | cov AS (SELECT CAST(COUNT(*) AS BIGINT) AS covered_tokens FROM
+            |   (SELECT DISTINCT doc_id, p + t.o AS wp
+            |    FROM sides, range(0, $SpanWords) t(o))),
+            | tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+            |   AS total_tokens FROM documents)
+            | SELECT covered_tokens, total_tokens,
+            |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+            |   AS dup_fraction
+            | FROM cov, tot""".stripMargin.replaceAll("\n", "")))
+
   val qBoilerplate: QuerySpec = QuerySpec(
     "q81_boilerplate",
     (s, dir) => {
@@ -885,5 +1032,5 @@ object Dedup {
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
-    qSplitLeakage, qClusterSplit)
+    qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass)
 }

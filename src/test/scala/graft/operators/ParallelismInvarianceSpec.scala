@@ -80,7 +80,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // full pipeline re-executes per partitioning), token-total join +
       // closed-form absent-mass TVD (q115), rank-trimmed robust means
       // (q116)
-      Graph.qKcore, TextAnalysis.qSourceDrift, Profiling.qTrimmedMean)) {
+      Graph.qKcore, TextAnalysis.qSourceDrift, Profiling.qTrimmedMean,
+      // diagonal gaps-and-islands extents (q117), trained-merge fold +
+      // word-keyed segmentation join (q118), offset-exploded distinct
+      // coverage (q119)
+      Dedup.qSpanExtents, Corpus.qFertility, Dedup.qDupMass)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
