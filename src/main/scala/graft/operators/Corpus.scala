@@ -1081,10 +1081,13 @@ object Corpus {
       import s.implicits._
       val merges = ensureBpeMerges(s, dir)
       val docs = Tables.load(s, dir, "documents")
-      val lw = docs
+      // flushed: both the vocabulary derivation and the segmentation
+      // join read it — unmaterialized, the corpus explosion would run
+      // once per reference
+      val lw = graft.operators.Scratch.flush(s, "q118-lw", docs
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c")))
       val vocab0 = lw.groupBy(col("w")).agg(sum(col("c")).as("freq"))
         .as[(String, Long)]
         .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }

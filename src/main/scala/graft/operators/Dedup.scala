@@ -689,7 +689,11 @@ object Dedup {
     "q119_dup_mass",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val m = spanPosMatches(docs)
+      // both union branches read the flushed match table — an
+      // unmaterialized m would re-run the span pipeline per branch
+      // (the per-branch re-execution trap; the plan audit showed
+      // eight document scans before the flush)
+      val m = Scratch.flush(s, "q119-m", spanPosMatches(docs))
       val sides = m.select(col("d1").as("doc_id"), col("p1").as("p"))
         .union(m.select(col("d2"), col("p2")))
       val covered = sides

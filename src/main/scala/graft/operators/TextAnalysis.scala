@@ -449,17 +449,22 @@ object TextAnalysis {
     * to DECIMAL(38), the q63 rule.
     *
     * Scale shape: ONE corpus-sized (source, token) hash agg absorbs the
-    * explosion map-side; the token-total join shuffles only
-    * type-space-sized tables on `tok`; source totals and the grand
-    * total broadcast. Nothing after the first agg is corpus-sized.
+    * explosion map-side and is scratch-flushed — its four consumers
+    * (token totals, source totals, grand total, the per-pair join) are
+    * parquet scans of the type-space-sized table, not four re-runs of
+    * the corpus explosion (the per-reference re-execution trap; the
+    * plan audit showed six document scans before the flush). The
+    * token-total join shuffles only type-space-sized tables on `tok`;
+    * source totals and the grand total broadcast.
     */
   val qSourceDrift: QuerySpec = QuerySpec(
     "q115_source_drift",
     (s, dir) => {
-      val st = Tables.load(s, dir, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("source"), col("tok"))
-        .agg(count(lit(1)).as("o"))
+      val st = Scratch.flush(s, "q115-st",
+        Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("o")))
       val ct = st.groupBy(col("tok")).agg(sum(col("o")).as("c"))
       val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
       val tot = st.agg(sum(col("o")).as("N"))
