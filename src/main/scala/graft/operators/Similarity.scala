@@ -796,8 +796,113 @@ object Similarity {
          | $steps $out""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q120 power-iteration parameters, declared before the oracle SQL
+    * that interpolates them (the object-init-order rule). DownScale
+    * requantizes coordinates from 1e6 to 1e3 fixed point and CovShift
+    * drops 16 bits off each covariance entry — together they keep every
+    * product of the iteration inside BIGINT at gate scale (bounds in
+    * the q120 scaladoc); U is the max-abs norm of the iterated vector.
+    */
+  private val PcaIters = 8
+  private val PcaU = 10000L
+  private val PcaDownScale = 1000L
+  private val PcaCovShift = 65536L
+
+  /** q120 — dominant principal component of the embedding cloud by
+    * power iteration: the spectral member of the embedding-analytics
+    * family (cosine q19, clustering q51, cohesion q65, quantization
+    * q26/q74/q94 — none of which expose the GLOBAL shape of the cloud).
+    * The top PC is the anisotropy axis: embedding sets with one
+    * dominant direction cluster and retrieve badly (the "common
+    * direction" pathology), and this loading vector is what you inspect
+    * — and subtract — to fix it.
+    *
+    * Exactness — NO floating point anywhere: the centered covariance
+    * is the integer moment identity N·Σxy − Σx·Σy over DownScale-d
+    * coordinates (|C| ≤ N²·10⁶ — BIGINT to N ≈ 3e6 rows; past that
+    * DECIMAL(38), the q63 rule), each entry truncate-shifted by
+    * CovShift; the iteration normalizes by MAX-ABS instead of the L2
+    * norm (|w| ≤ 64·|C'|·U ≤ 2.4e14), so every step is integer
+    * multiply/sum/div — `div` and `//` both truncate toward zero, and
+    * the unrolled oracle reproduces the loadings bit-for-bit. Max-abs
+    * scaling preserves the direction, which is all a power iteration
+    * needs; sign is pinned by the deterministic all-ones start.
+    *
+    * Scale shape: the moment matrix is the only corpus-sized work —
+    * explode to (vec_id, d, q) and self-join on vec_id (N·dim² rows
+    * into a map-side-combined (d1, d2) agg; dim² = 4096 cells). The
+    * 64×64 matrix then collects driver-side and iterates in microseconds
+    * (exactly where a production eigensolve runs); the result re-enters
+    * the plan as literals, the q60b tiny-result discipline.
+    */
+  val qPrincipalComponent: QuerySpec = QuerySpec(
+    "q120_principal_component",
+    (s, dir) => {
+      import s.implicits._
+      val x = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(Exact.quantize(col("embedding"))))
+        .select(col("vec_id"), col("pos").cast("long").as("d"),
+          expr(s"col div $PcaDownScale").as("v"))
+      val moments = x.alias("a").join(x.alias("b"), Seq("vec_id"))
+        .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+        .agg(sum(col("a.v") * col("b.v")).as("S"))
+      val sums = x.groupBy(col("d")).agg(sum(col("v")).as("s"))
+      val nRows = Tables.load(s, dir, "embeddings").count()
+      val cov = moments
+        .join(broadcast(sums.select(col("d").as("d1"), col("s").as("s1"))), Seq("d1"))
+        .join(broadcast(sums.select(col("d").as("d2"), col("s").as("s2"))), Seq("d2"))
+        .select(col("d1"), col("d2"),
+          expr(s"($nRows * S - s1 * s2) div $PcaCovShift").as("cv"))
+        .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getLong(2)))
+        .toMap
+      val c = Array.tabulate(Dim, Dim)((j, k) => cov((j, k)))
+      var v = Array.fill(Dim)(PcaU)
+      var growth = 0L
+      for (_ <- 1 to PcaIters) {
+        val w = Array.tabulate(Dim)(j =>
+          (0 until Dim).map(k => c(j)(k) * v(k)).sum)
+        val mx = w.map(math.abs).max
+        require(mx > 0L, "power iteration collapsed to the zero vector")
+        v = w.map(x => x * PcaU / mx) // Long division: truncates, ≡ //
+        growth = mx / PcaU
+      }
+      (0 until Dim).map(d => (d.toLong, v(d), growth))
+        .toDF("d", "loading", "growth")
+    },
+    Some {
+      val steps = (1 to PcaIters).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT c.d1 AS d,
+           |   CAST(SUM(c.cv * v.v) AS BIGINT) AS w
+           |  FROM c JOIN v${k - 1} v ON c.d2 = v.d GROUP BY c.d1),
+           | m$k AS (SELECT MAX(ABS(w)) AS mx FROM w$k),
+           | v$k AS MATERIALIZED (SELECT d, (w * $PcaU) // mx AS v
+           |  FROM w$k, m$k)""".stripMargin
+      }.mkString(",")
+      s"""WITH e AS (SELECT vec_id, list_transform(
+         |   ${Exact.quantizeSql("embedding")}, q -> q // $PcaDownScale) AS q
+         |  FROM embeddings),
+         | x AS (SELECT vec_id, CAST(UNNEST(range(0, $Dim)) AS BIGINT) AS d,
+         |   UNNEST(q) AS v FROM e),
+         | mom AS (SELECT a.d AS d1, b.d AS d2,
+         |   CAST(SUM(a.v * b.v) AS BIGINT) AS S
+         |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY a.d, b.d),
+         | sv AS (SELECT d, CAST(SUM(v) AS BIGINT) AS s FROM x GROUP BY d),
+         | nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+         | c AS MATERIALIZED (SELECT d1, d2,
+         |   (nn.n * mom.S - s1.s * s2.s) // $PcaCovShift AS cv
+         |  FROM mom JOIN sv s1 ON mom.d1 = s1.d
+         |   JOIN sv s2 ON mom.d2 = s2.d CROSS JOIN nn),
+         | v0 AS (SELECT CAST(UNNEST(range(0, $Dim)) AS BIGINT) AS d,
+         |   CAST($PcaU AS BIGINT) AS v),
+         | $steps
+         | SELECT v.d, v.v AS loading,
+         |  CAST(m$PcaIters.mx // $PcaU AS BIGINT) AS growth
+         | FROM v$PcaIters v, m$PcaIters""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
     qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
-    qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect)
+    qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect,
+    qPrincipalComponent)
 }

@@ -84,7 +84,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // diagonal gaps-and-islands extents (q117), trained-merge fold +
       // word-keyed segmentation join (q118), offset-exploded distinct
       // coverage (q119)
-      Dedup.qSpanExtents, Corpus.qFertility, Dedup.qDupMass)) {
+      Dedup.qSpanExtents, Corpus.qFertility, Dedup.qDupMass,
+      // all-integer moment matrix + driver-side max-abs power iteration
+      // (q120)
+      Similarity.qPrincipalComponent)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
