@@ -17,9 +17,15 @@ object Tables {
   def path(sfDir: String, table: String): String = s"$sfDir/$table.parquet"
 
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads via the
-    // nanosAsLong legacy mode; the values are µs-precision, so converting
-    // the nano count to TIMESTAMP_MICROS is lossless and matches DuckDB.
+    // events.ts has shipped as TWO encodings across testdata generations:
+    //   (a) parquet TIMESTAMP(NANOS) — Spark only reads it via the
+    //       nanosAsLong legacy mode, surfacing LongType epoch-nanos;
+    //   (b) parquet TIMESTAMP(isAdjustedToUTC=false, MICROS) — Spark 4
+    //       reads it as TIMESTAMP_NTZ.
+    // Both branches normalize to TimestampType at µs precision (lossless:
+    // the nano values are µs-precision; NTZ→TZ is value-identical under
+    // the UTC session every entry point sets), so downstream code can
+    // rely on a single `ts: TIMESTAMP` contract.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(sfDir, table))
     df.schema.fields.foldLeft(df) { (d, f) =>
@@ -29,6 +35,10 @@ object Tables {
         d.withColumn(f.name,
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr(s"${f.name} div 1000")))
+      else if (f.dataType == org.apache.spark.sql.types.TimestampNTZType && f.name == "ts")
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampType))
       else d
     }
   }

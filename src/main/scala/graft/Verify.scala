@@ -1,9 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure discipline (the round-11 lesson): a query that throws must
+  * surface as a LOUD artifact, not a silently missing row. Each failure
+  * gets (a) an EMPTY `outDir/<name>` directory, so a compare that globs
+  * output dirs still sees the name with no parquet inside, and (b) an
+  * entry in `outDir/errors.json`, so a compare that reads it can emit an
+  * explicit err row. The run also cross-checks emitted-dir count against
+  * the requested query count and screams on mismatch.
+  */
 object Verify {
+
+  /** Runs each query, writes its result under `outDir/<name>`, and
+    * returns name → error message for every query that failed. Pure of
+    * session construction so specs can drive it with a test session.
+    */
+  def runQueries(
+      spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String,
+      outDir: String): Map[String, String] = {
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        // leave an empty marker dir so the name stays visible to any
+        // consumer that enumerates outputs instead of oracle keys
+        new java.io.File(s"$outDir/$name").mkdirs()
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+      }
+    }
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v.take(500))}" }
+        .mkString("{", ",", "}"))
+    val emitted = Option(new java.io.File(outDir).list()).getOrElse(Array())
+      .count(n => queries.contains(n))
+    if (emitted != queries.size)
+      System.err.println(s"[verify] COVERAGE MISMATCH: emitted $emitted " +
+        s"output dirs for ${queries.size} queries")
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size}/${queries.size} queries " +
+        s"FAILED: ${errors.keys.mkString(",")}")
+    errors.toMap
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  def jsonQuote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,30 +86,12 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
     }
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    runQueries(spark, selected, sfDir, outDir)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

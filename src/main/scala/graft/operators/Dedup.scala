@@ -387,6 +387,16 @@ object Dedup {
     */
   private[graft] def connectedComponents(s: SparkSession, edges: DataFrame,
       maxIter: Int = 25, scratchTag: String = "default"): (DataFrame, Int) = {
+    val (path, iter) = connectedComponentsPath(s, edges, maxIter, scratchTag)
+    (s.read.parquet(path), iter)
+  }
+
+  /** [[connectedComponents]], returning the flushed scratch PATH instead
+    * of a frame — for callers (DupGraph.labels) that memoize paths and
+    * would otherwise flush the already-flushed result a second time.
+    */
+  private[graft] def connectedComponentsPath(s: SparkSession, edges: DataFrame,
+      maxIter: Int = 25, scratchTag: String = "default"): (String, Int) = {
     // Each generation is pinned through an EXPLICIT RDD handle
     // (persist + count ≡ eager localCheckpoint: the rebuilt DF scans
     // the materialized blocks, truncating the per-iteration plan) so
@@ -453,7 +463,7 @@ object Dedup {
     // table here) and free its storage NOW — returning the persisted
     // plan would pin the last generation until the ContextCleaner
     // eventually noticed, long after the caller consumed the result
-    val out = Scratch.flush(s, s"cc-$scratchTag", labels)
+    val out = Scratch.flushPath(s, s"cc-$scratchTag", labels)
     labelsRdd.unpersist(blocking = false)
     (out, iter)
   }

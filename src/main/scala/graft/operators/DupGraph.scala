@@ -36,13 +36,30 @@ object DupGraph {
   private val paths =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
-  private def memo(s: SparkSession, dir: String, kind: String)
-      (build: => DataFrame): DataFrame = {
+  /** Stable per-corpus discriminator: the scratch tag must vary with the
+    * corpus dir exactly like the memo key does, or a second corpus in
+    * the same JVM flushes under the first's tag and deletes its parquet
+    * out from under the memoized path (ScalarQuant.ensureCodes pattern).
+    */
+  private def dirTag(dir: String): String =
+    java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))
+
+  /** Memoize a flushed-parquet PATH per (dir, parallelism, kind) and
+    * return it as a plain scan. `buildPath` runs once per key and must
+    * return a path that stays live for the JVM (a Scratch flush under a
+    * tag nothing else reuses).
+    */
+  private def memoPath(s: SparkSession, dir: String, kind: String)
+      (buildPath: String => String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
     val p = paths.getOrElseUpdate((dir, parts, kind),
-      Scratch.flushPath(s, s"dupgraph-$kind-p$parts", build))
+      buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts"))
     s.read.parquet(p)
   }
+
+  private def memo(s: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame =
+    memoPath(s, dir, kind)(tag => Scratch.flushPath(s, tag, build))
 
   /** q23's verified pairs (doc_id_1, doc_id_2, jaccard), flushed. */
   def pairs(s: SparkSession, dir: String): DataFrame =
@@ -63,10 +80,11 @@ object DupGraph {
     * jumping propagation).
     */
   def labels(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "labels") {
-      val (lab, _) = Dedup.connectedComponents(s, edges(s, dir),
-        scratchTag = s"dupgraph-cc-p${s.conf.get("spark.sql.shuffle.partitions")}")
-      lab
+    // connectedComponents already flushes its converged generation to
+    // scratch; memoize THAT path instead of re-flushing the result (the
+    // round-11 double-materialization finding)
+    memoPath(s, dir, "labels") { tag =>
+      Dedup.connectedComponentsPath(s, edges(s, dir), scratchTag = tag)._1
     }
 
   /** Build the full store (warmup hook — Bench calls this untimed). */

@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is a bucketed/partitioned warehouse table maintained between runs,
   * not a temp directory — this is the single-JVM stand-in.
   */
-private[operators] object Scratch {
+private[graft] object Scratch {
 
   private val prevFlush =
     scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
@@ -38,14 +38,21 @@ private[operators] object Scratch {
     * action: the input plan executes exactly once, and every read of the
     * returned path is a plain parquet scan.
     */
-  def flushPath(s: SparkSession, tag: String, df: DataFrame): String = {
-    prevFlush.remove(tag).foreach(p => rmTree(p.toFile))
-    val dir = java.nio.file.Files.createTempDirectory(root, s"$tag-")
-    prevFlush.put(tag, dir)
-    val out = dir.resolve("data").toString
-    df.write.mode("overwrite").parquet(out)
-    out
-  }
+  // per-tag flush locks: two threads flushing the SAME tag concurrently
+  // must not delete each other's directory mid-write; flushes of
+  // different tags stay parallel (the write is the expensive part)
+  private val tagLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  def flushPath(s: SparkSession, tag: String, df: DataFrame): String =
+    tagLocks.getOrElseUpdate(tag, new Object).synchronized {
+      prevFlush.remove(tag).foreach(p => rmTree(p.toFile))
+      val dir = java.nio.file.Files.createTempDirectory(root, s"$tag-")
+      prevFlush.put(tag, dir)
+      val out = dir.resolve("data").toString
+      df.write.mode("overwrite").parquet(out)
+      out
+    }
 
   /** [[flushPath]], returning the path-backed frame. */
   def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame =

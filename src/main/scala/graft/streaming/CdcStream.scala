@@ -99,15 +99,15 @@ object CdcStream {
     latestPerKey(s.table(table).select(cols.map(col): _*))
 
   /** Collapse the log to one row per key (tombstones RETAINED). The
-    * reduced state takes a temp-parquet hop because Spark refuses to
-    * overwrite a table it is reading in the same plan.
+    * reduced state takes a scratch-parquet hop because Spark refuses to
+    * overwrite a table it is reading in the same plan; the hop rides the
+    * Scratch lifecycle (one live flush per tag, swept on JVM exit) so
+    * repeated compactions hold ONE state-table copy, not one per call.
     */
   def compact(s: SparkSession, table: String): Unit = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-cdc-compact-").toString
-    state(s, table)
-      .withColumn("kb", pmod(col("cust_id"), lit(Buckets)))
-      .write.mode("overwrite").parquet(tmp)
+    val tmp = graft.operators.Scratch.flushPath(s, s"cdc-compact-$table",
+      state(s, table)
+        .withColumn("kb", pmod(col("cust_id"), lit(Buckets))))
     s.read.parquet(tmp)
       .write.partitionBy("kb").mode("overwrite").saveAsTable(table)
     s.catalog.refreshTable(table)

@@ -38,6 +38,15 @@ final class BrokerTopic(val spark: SparkSession, val name: String,
     i
   }
 
+  /** Append `rows` from the executors (each Spark task is one producer).
+    * Keyed-producer ordering contract — same as Kafka/Pulsar: per-key
+    * order is preserved WITHIN one producing task; rows of one key
+    * spread across tasks append in nondeterministic interleave. Upstream
+    * stages that must hand off per-key order (OrderedProcessor's
+    * foreachBatch republish) already satisfy this — a key's batch output
+    * lives in one partition post-groupByKey. Driver-authored seed frames
+    * should `coalesce(1)` (one sequential producer) if order matters.
+    */
   override def publish(rows: DataFrame): Unit = {
     val topicName = name
     val ki = keyIdx

@@ -35,16 +35,4 @@ class CdcApplySpec extends AnyFunSuite with SparkTestSession {
       "a deleted key survived the merge")
   }
 
-  test("frame dedup finds pixel-identical clusters spanning videos") {
-    assume(new java.io.File(dir).exists(), s"$dir not present")
-    val rows = Multimodal.qFrameDedup.build(spark, dir).collect()
-    assert(rows.nonEmpty, "no duplicate-frame clusters on the gate corpus")
-    // every cluster spans ≥2 videos: frames within one doc are pairwise
-    // distinct by the generation formula, so n_docs == n_frames
-    rows.foreach { r =>
-      assert(r.getLong(2) == r.getLong(1),
-        s"cluster ${r.getLong(0)} repeats a doc: $r")
-      assert(r.getLong(2) >= 2)
-    }
-  }
 }

@@ -10,6 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class MultimodalSpec extends AnyFunSuite with SparkTestSession {
   import Multimodal._
 
+  test("q100: frame dedup finds pixel-identical clusters spanning videos") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val rows = Multimodal.qFrameDedup.build(spark, dir).collect()
+    assert(rows.nonEmpty, "no duplicate-frame clusters on the gate corpus")
+    // every cluster spans ≥2 videos: frames within one doc are pairwise
+    // distinct by the generation formula, so n_docs == n_frames
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1),
+        s"cluster ${r.getLong(0)} repeats a doc: $r")
+      assert(r.getLong(2) >= 2)
+    }
+  }
+
   private object FixedDecoder extends MediaDecoder {
     override def decode(m: MediaRow): MediaMeta =
       MediaMeta(m.doc_id, m.media.length.toLong, 640L, 480L, n_frames = 4L)

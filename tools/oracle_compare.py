@@ -15,6 +15,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# engine-side failures recorded by graft.Verify — surfaced as explicit
+# err rows so a broken query can never read as mere coverage shrink
+engine_errors = {}
+if os.path.exists(f"{out_dir}/errors.json"):
+    engine_errors = json.load(open(f"{out_dir}/errors.json"))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -32,6 +37,10 @@ def canon(df):
 results = {}
 for name, sql in sorted(oracle.items()):
     try:
+        if name in engine_errors:
+            results[name] = {"status": "ENGINE_ERROR",
+                             "err": engine_errors[name][:300]}
+            continue
         eng_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not eng_files:
             results[name] = {"status": "MISSING_ENGINE_OUTPUT"}
