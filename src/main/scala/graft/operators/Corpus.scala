@@ -1127,10 +1127,55 @@ object Corpus {
          | FROM r""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q122 — n-gram novelty: per document, the fraction of its distinct
+    * 5-word-gram hashes NOT already present in any lower-doc_id document
+    * — the memorization/novelty profile a pretraining-data team reads to
+    * find documents that add nothing beyond what the corpus (in its
+    * canonical ingestion order) already contains. novelty = 1.0 means
+    * every gram is first seen here; near 0.0 flags recombined/derived
+    * text that exact and MinHash dedup both miss.
+    *
+    * Scale shape: one gram explosion (codegen'd [[WordShingleHashes]],
+    * distinct within doc), a map-side-combinable min(doc_id) aggregation
+    * per gram hash, and a join back on the SAME `h` partitioning (the
+    * exchange is reused — the q59 df/join pattern), then a per-doc
+    * aggregation. Novelty is (n_grams − n_seen)/n_grams: one integer
+    * subtract + one IEEE division, identical on both engines.
+    */
+  private val NoveltyGram = 5
+  val qNgramNovelty: QuerySpec = QuerySpec(
+    "q122_ngram_novelty",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(WordShingleHashes(col("text"), NoveltyGram)).as("h"))
+      val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      g.join(first, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") < col("doc_id"), 1)).as("n_seen"))
+        .select(col("doc_id"), col("n_grams"), col("n_seen"),
+          ((col("n_grams") - col("n_seen")).cast("double") /
+            col("n_grams").cast("double")).as("novelty"))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            | sg AS (SELECT doc_id, list_distinct(list_transform(
+            |   list_transform(range(1, greatest(len(tk) - ${NoveltyGram - 1}, 0) + 1),
+            |     i -> ${(0 until NoveltyGram).map(o => s"tk[i + $o]").mkString(" || ' ' || ")}),
+            |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt),
+            | g AS (SELECT doc_id, unnest(H) AS h FROM sg),
+            | f AS (SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h)
+            | SELECT g.doc_id, COUNT(*) AS n_grams,
+            |  COUNT(CASE WHEN f.first_doc < g.doc_id THEN 1 END) AS n_seen,
+            |  CAST(COUNT(*) - COUNT(CASE WHEN f.first_doc < g.doc_id THEN 1 END)
+            |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+            | FROM g JOIN f ON g.h = f.h
+            | GROUP BY g.doc_id""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists, qBm25TopK, qFertility)
+    qPostingLists, qBm25TopK, qFertility, qNgramNovelty)
 }

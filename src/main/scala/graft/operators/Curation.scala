@@ -391,6 +391,60 @@ object Curation {
             |  ${graft.functions.Exact.davgSql("sr")} AS avg_stop_ratio
             | FROM m GROUP BY source""".stripMargin.replaceAll("\n", "")))
 
+  /** q123 — length-curriculum staging: assign every document a decile
+    * stage by word count (curriculum learning's canonical easy→hard
+    * axis) and report per-stage composition. Ties share a stage by
+    * construction, so the result is layout-independent.
+    *
+    * Scale shape — the distributive-rank discipline (q39's histogram
+    * form): a global ntile would be a single-partition window over the
+    * corpus, a rejected shape. Instead: per-doc word count (map-side
+    * codegen'd regex), a word-count histogram (map-side-combinable
+    * aggregation to ≤ thousands of rows — word counts are bounded by
+    * document length), TWO windows over that tiny summary (cumulative
+    * count below + grand total; the documented bounded-summary
+    * exception to the no-unpartitioned-window rule), and a broadcast
+    * join of the stage map back onto the docs. stage =
+    * (10 · docs_below) div total — integer division on both engines
+    * (nonneg, so DuckDB's truncating `//` ≡ Spark's `div`).
+    */
+  val qCurriculum: QuerySpec = QuerySpec(
+    "q123_curriculum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.wordCount(col("text")).cast("long").as("w"))
+      val hist = wc.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val below = Window.orderBy(col("w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val stages = hist
+        .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+        .withColumn("total", sum(col("c")).over(whole))
+        .select(col("w"), expr("(10 * cb) div total").as("stage"))
+      wc.join(broadcast(stages), Seq("w"))
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("w")).as("min_words"), max(col("w")).as("max_words"),
+          sum(col("w")).as("total_words"))
+    },
+    Some(s"""WITH wc AS (SELECT doc_id,
+            |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS w
+            |  FROM documents),
+            | h AS (SELECT w, COUNT(*) AS c FROM wc GROUP BY w),
+            | cum AS (SELECT w,
+            |   CAST(COALESCE(SUM(c) OVER (ORDER BY w
+            |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |    AS BIGINT) AS cb,
+            |   CAST(SUM(c) OVER () AS BIGINT) AS total FROM h),
+            | st AS (SELECT w, (10 * cb) // total AS stage FROM cum)
+            | SELECT stage, COUNT(*) AS n_docs, MIN(w) AS min_words,
+            |  MAX(w) AS max_words, CAST(SUM(w) AS BIGINT) AS total_words
+            | FROM wc JOIN st USING (w)
+            | GROUP BY stage""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard)
+    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum)
 }

@@ -1042,9 +1042,177 @@ object Dedup {
             |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters
             | FROM sp GROUP BY sp""".stripMargin.replaceAll("\n", "")))
 
+  /** The q59 span-CTE chain (`dt`/`sg`/`sp`: text → k-word spans →
+    * distinct span hashes → exploded rows) as reusable oracle SQL —
+    * gram strings materialize in ONE list_transform and hash in a
+    * SECOND (the CLAUDE.md lambda-shadowing discipline: the polyhash
+    * fold has its own `i` range variable).
+    */
+  private def spanSqlCtes(k: Int): String =
+    s"""dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       | sg AS (SELECT doc_id, list_distinct(list_transform(
+       |   list_transform(range(1, greatest(len(tk) - ${k - 1}, 0) + 1),
+       |     i -> ${(0 until k).map(o => s"tk[i + $o]").mkString(" || ' ' || ")}),
+       |   s -> ${PolyHash.oracleSql("s")})) AS H FROM dt),
+       | sp AS (SELECT doc_id, unnest(H) AS h FROM sg)""".stripMargin
+      .replaceAll("\n", "")
+
+  /** q121 — overlap-coefficient containment: for candidate pairs from
+    * the df-capped span equi-join, |S_A ∩ S_B| / min(|S_A|, |S_B|) over
+    * distinct 8-word span sets. The asymmetric complement to q23's
+    * Jaccard: a short document wholly CONTAINED in a long one scores
+    * near 1.0 here while its Jaccard stays low — the "quoted article
+    * inside a roundup page" near-dup class that symmetric measures miss.
+    *
+    * Scale shape: candidates ONLY from [[spanCandidatePairs]]'s rare-
+    * span equi-join (shared-span counts therefore count rare spans —
+    * ubiquitous boilerplate is excluded from evidence by design, stated
+    * here and mirrored in the oracle); per-doc span sizes are one
+    * map-side-combinable aggregation joined back on doc_id — a SHUFFLE
+    * join, deliberately: sizes has corpus cardinality (one row per doc)
+    * and must never ride a broadcast.
+    */
+  private val MinOverlap = 0.5
+  val qContainment: QuerySpec = QuerySpec(
+    "q121_containment",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sizes = spanHashes(docs)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = spanCandidatePairs(docs)
+        .groupBy(col("doc_id_1"), col("doc_id_2"))
+        .agg(count(lit(1)).as("n_shared"))
+      // sizes is one row PER DOCUMENT (corpus cardinality) — never
+      // broadcast; the shuffle joins key on doc_id with the candidate
+      // side already bounded by the rare-span cap
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+          .withColumnRenamed("n", "n_1"), Seq("doc_id_1"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+          .withColumnRenamed("n", "n_2"), Seq("doc_id_2"))
+        .select(col("doc_id_1"), col("doc_id_2"), col("n_shared"),
+          col("n_1"), col("n_2"),
+          (col("n_shared").cast("double") /
+            least(col("n_1"), col("n_2")).cast("double")).as("overlap"))
+        .filter(col("overlap") >= MinOverlap)
+    },
+    Some(s"""WITH ${spanSqlCtes(SpanWords)},
+            | sizes AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id),
+            | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+            | shared AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+            |   COUNT(*) AS n_shared
+            |  FROM sp a JOIN sp b ON a.h = b.h AND a.doc_id < b.doc_id
+            |  WHERE a.h IN (SELECT h FROM rare) GROUP BY 1, 2)
+            | SELECT * FROM (
+            |  SELECT d1 AS doc_id_1, d2 AS doc_id_2, n_shared,
+            |   s1.n AS n_1, s2.n AS n_2,
+            |   CAST(n_shared AS DOUBLE) /
+            |    CAST(least(s1.n, s2.n) AS DOUBLE) AS overlap
+            |  FROM shared JOIN sizes s1 ON d1 = s1.doc_id
+            |  JOIN sizes s2 ON d2 = s2.doc_id)
+            | WHERE overlap >= $MinOverlap""".stripMargin.replaceAll("\n", "")))
+
+  /** q124 — edge-span pairs: documents agreeing on their OPENING or
+    * CLOSING 8-word span (doc pairs sharing a template header or footer
+    * — the position-anchored boilerplate class; q81 finds spans common
+    * across many docs anywhere, this finds pairwise shared document
+    * EDGES). One row per (pair, edge): a pair sharing both head and
+    * tail yields two rows.
+    *
+    * Scale shape: per-doc edge hashes are a pure map-side projection
+    * (two codegen'd PolyHash calls — no span explosion at all); pairs
+    * come ONLY from the (edge, hash) equi-join, df-capped at
+    * [[MaxSpanDf]] per edge value so a ubiquitous template header can
+    * never quadratically fan out.
+    */
+  val qEdgeSpans: QuerySpec = QuerySpec(
+    "q124_edge_spans",
+    (s, dir) => {
+      val toks = split(col("text"), " ", -1)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= SpanWords)
+      val edges = d.select(col("doc_id"), lit("head").as("edge"),
+          PolyHash(concat_ws(" ",
+            slice(col("tk"), lit(1), lit(SpanWords)))).as("h"))
+        .union(d.select(col("doc_id"), lit("tail").as("edge"),
+          PolyHash(concat_ws(" ",
+            slice(col("tk"), size(col("tk")) - lit(SpanWords - 1),
+              lit(SpanWords)))).as("h")))
+      val rare = edges.groupBy(col("edge"), col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxSpanDf).select(col("edge"), col("h"))
+      val kept = edges.join(rare, Seq("edge", "h"))
+      kept.alias("a")
+        .join(kept.alias("b"),
+          col("a.edge") === col("b.edge") && col("a.h") === col("b.h") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"),
+          col("a.edge").as("edge"), col("a.h").as("span_hash"))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk
+            |   FROM documents WHERE len(string_split(text, ' ')) >= $SpanWords),
+            | e AS (
+            |  SELECT doc_id, 'head' AS edge,
+            |   ${PolyHash.oracleSql(s"array_to_string(tk[1:$SpanWords], ' ')")} AS h
+            |  FROM dt
+            |  UNION ALL
+            |  SELECT doc_id, 'tail',
+            |   ${PolyHash.oracleSql(
+               s"array_to_string(tk[len(tk) - ${SpanWords - 1}:len(tk)], ' ')")}
+            |  FROM dt),
+            | rare AS (SELECT edge, h FROM e GROUP BY edge, h
+            |  HAVING COUNT(*) <= $MaxSpanDf)
+            | SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+            |  a.edge, a.h AS span_hash
+            | FROM e a JOIN e b
+            |  ON a.edge = b.edge AND a.h = b.h AND a.doc_id < b.doc_id
+            | JOIN rare r ON a.edge = r.edge AND a.h = r.h""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q125 — cross-source duplication matrix: for every pair of sources,
+    * the number of distinct rare 8-word spans appearing in BOTH — the
+    * report that tells a mixture designer which sources are near-copies
+    * of each other (mirror sites, re-crawls, syndication) BEFORE
+    * weighting them as independent, and the source-granular complement
+    * to q69's per-source dup rate.
+    *
+    * Scale shape: spans ride the q59 rare-cap (a span in > MaxSpanDf
+    * docs contributes no evidence, bounding join fanout); (source, h)
+    * rows are distinct-collapsed BEFORE the self-join, so per-hash
+    * fanout is ≤ (#sources)² regardless of how many docs share the
+    * span; output is #sources² rows — tiny at any corpus scale.
+    */
+  val qSourceOverlap: QuerySpec = QuerySpec(
+    "q125_source_overlap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sp = spanHashes(docs)
+      val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxSpanDf).select(col("h"))
+      val ss = sp.join(rare, Seq("h"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("h")).distinct()
+      ss.alias("a")
+        .join(ss.alias("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
+        .agg(count(lit(1)).as("n_shared_spans"))
+    },
+    Some(s"""WITH ${spanSqlCtes(SpanWords)},
+            | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
+            | ss AS (SELECT DISTINCT d.source, sp.h
+            |  FROM sp JOIN documents d USING (doc_id)
+            |  WHERE sp.h IN (SELECT h FROM rare))
+            | SELECT a.source AS source_1, b.source AS source_2,
+            |  COUNT(*) AS n_shared_spans
+            | FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+            | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
-    qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass)
+    qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass,
+    qContainment, qEdgeSpans, qSourceOverlap)
 }

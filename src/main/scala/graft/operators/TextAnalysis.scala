@@ -499,7 +499,70 @@ object TextAnalysis {
            | FROM t JOIN ns USING (source), tot""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q126 — chunk-level dedup savings: the storage/compute a
+    * content-defined-chunking dedup pass would reclaim, as one
+    * corpus-level KPI row. Chunks come from the SAME rolling-hash
+    * chunker as q82 (identical cut rule, so the report prices exactly
+    * what a CDC store would hold); identical chunk text ⇒ identical
+    * hash ⇒ one stored copy. `dedup_ratio` is the fraction of chunk
+    * tokens that are redundant copies.
+    *
+    * Scale shape: one chunk explosion (codegen'd [[CdcChunkStrings]]),
+    * a map-side-combinable per-hash aggregation, then a single global
+    * roll-up over the (distinct-chunk-cardinality) summary — both aggs
+    * partial-combine, nothing holistic, no joins at all.
+    */
+  val qChunkDedup: QuerySpec = QuerySpec(
+    "q126_chunk_dedup",
+    (s, dir) => {
+      val perChunk = Tables.load(s, dir, "documents")
+        .select(explode(CdcChunkStrings(col("text"), TextAnalysis.CdcWindow,
+          TextAnalysis.CdcDivisor)).as("chunk"))
+        .select(PolyHash(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("occ"), min(col("n_tokens")).as("tok"))
+      perChunk.agg(
+          sum(col("occ")).as("chunks_total"),
+          count(lit(1)).as("chunks_distinct"),
+          sum(col("occ") * col("tok")).as("tokens_total"),
+          sum(col("tok")).as("tokens_distinct"))
+        .select(col("chunks_total"), col("chunks_distinct"),
+          col("tokens_total"), col("tokens_distinct"),
+          ((col("tokens_total") - col("tokens_distinct")).cast("double") /
+            col("tokens_total").cast("double")).as("dedup_ratio"))
+    },
+    // chunk reassembly reuses q82's oracle chain verbatim (same w /
+    // divisor constants, same clamped list_slice) so the two reports can
+    // never disagree about what a chunk IS
+    Some {
+      val w = TextAnalysis.CdcWindow
+      val joined = (0 until w).map(o => s"tk[i + $o]").mkString(" || ' ' || ")
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         | g AS (SELECT doc_id, tk, list_transform(list_transform(
+         |   range(1, greatest(len(tk) - ${w - 1}, 0) + 1), i -> $joined),
+         |   s -> ${PolyHash.oracleSql("s")}) AS H FROM dt),
+         | f AS (SELECT doc_id, tk, list_transform(H,
+         |   h -> CASE WHEN h % ${TextAnalysis.CdcDivisor} = 0 THEN 1 ELSE 0 END) AS flags
+         |  FROM g),
+         | tp AS (SELECT doc_id, tk, flags, unnest(range(1, len(tk) + 1)) AS j FROM f),
+         | cx AS (SELECT doc_id, j, tk[j] AS tok,
+         |   COALESCE(CAST(list_sum(list_slice(flags, 1, greatest(j - $w, 0))) AS BIGINT), 0) AS c
+         |  FROM tp),
+         | ch AS (SELECT doc_id, c, string_agg(tok, ' ' ORDER BY j) AS chunk_str,
+         |   COUNT(*) AS n_tokens FROM cx GROUP BY doc_id, c),
+         | pc AS (SELECT ${PolyHash.oracleSql("chunk_str")} AS h,
+         |   COUNT(*) AS occ, MIN(n_tokens) AS tok FROM ch GROUP BY 1)
+         | SELECT CAST(SUM(occ) AS BIGINT) AS chunks_total,
+         |  COUNT(*) AS chunks_distinct,
+         |  CAST(SUM(occ * tok) AS BIGINT) AS tokens_total,
+         |  CAST(SUM(tok) AS BIGINT) AS tokens_distinct,
+         |  CAST(SUM(occ * tok) - SUM(tok) AS DOUBLE) /
+         |   CAST(SUM(occ * tok) AS DOUBLE) AS dedup_ratio
+         | FROM pc""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
-    qDiversity, qSourceDrift)
+    qDiversity, qSourceDrift, qChunkDedup)
 }
