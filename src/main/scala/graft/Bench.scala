@@ -72,6 +72,7 @@ object Bench {
     graft.sources.Bucketed.prepare(spark, sfDir)
     graft.sources.SignatureStore.ensure(spark, sfDir)
     graft.operators.DupGraph.ensure(spark, sfDir)
+    graft.operators.SpanStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
     graft.operators.Similarity.ensureTrained(spark, sfDir)
     graft.operators.Similarity.ensureClustered(spark, sfDir)

@@ -1064,23 +1064,28 @@ object Dedup {
     * near 1.0 here while its Jaccard stays low — the "quoted article
     * inside a roundup page" near-dup class that symmetric measures miss.
     *
-    * Scale shape: candidates ONLY from [[spanCandidatePairs]]'s rare-
-    * span equi-join (shared-span counts therefore count rare spans —
-    * ubiquitous boilerplate is excluded from evidence by design, stated
-    * here and mirrored in the oracle); per-doc span sizes are one
-    * map-side-combinable aggregation joined back on doc_id — a SHUFFLE
-    * join, deliberately: sizes has corpus cardinality (one row per doc)
-    * and must never ride a broadcast.
+    * Scale shape: candidates ONLY from the q59 rare-span equi-join,
+    * read through the shared [[SpanStore]] layout (shared-span counts
+    * therefore count rare spans — ubiquitous boilerplate is excluded
+    * from evidence by design, stated here and mirrored in the oracle);
+    * per-doc span sizes are one map-side-combinable aggregation joined
+    * back on doc_id — a SHUFFLE join, deliberately: sizes has corpus
+    * cardinality (one row per doc) and must never ride a broadcast.
     */
   private val MinOverlap = 0.5
   val qContainment: QuerySpec = QuerySpec(
     "q121_containment",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val sizes = spanHashes(docs)
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val shared = spanCandidatePairs(docs)
-        .groupBy(col("doc_id_1"), col("doc_id_2"))
+      // span evidence reads the shared [[SpanStore]] layout (one flushed
+      // (doc_id, h, df) table per corpus per JVM — the raw-text subtree
+      // previously re-executed per reference, six document scans)
+      val sp = SpanStore.spans(s, dir)
+      val sizes = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val rare = SpanStore.rareSpans(s, dir).select(col("doc_id"), col("h"))
+      val shared = rare.alias("a")
+        .join(rare.alias("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
         .agg(count(lit(1)).as("n_shared"))
       // sizes is one row PER DOCUMENT (corpus cardinality) — never
       // broadcast; the shuffle joins key on doc_id with the candidate
@@ -1187,10 +1192,7 @@ object Dedup {
     "q125_source_overlap",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val sp = spanHashes(docs)
-      val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxSpanDf).select(col("h"))
-      val ss = sp.join(rare, Seq("h"))
+      val ss = SpanStore.rareSpans(s, dir)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("h")).distinct()
       ss.alias("a")
