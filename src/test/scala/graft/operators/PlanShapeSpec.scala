@@ -52,4 +52,42 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
         assert(b.nonEmpty, s"$name lost its broadcast probe join")
       }
     }
+
+  test("q124_edge_spans never explodes spans (two map-side hashes only)") {
+    withStaticPlans {
+      val gens = Dedup.qEdgeSpans.build(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }
+      assert(gens.isEmpty,
+        s"q124 gained ${gens.size} generator(s) — edge hashes must stay a projection")
+    }
+  }
+
+  test("q126_chunk_dedup aggregates without any join") {
+    withStaticPlans {
+      val joins = TextAnalysis.qChunkDedup.build(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+        }
+      assert(joins.isEmpty, s"q126 gained ${joins.size} join(s)")
+    }
+  }
+
+  test("q123_curriculum windows run over the histogram summary, never the corpus") {
+    withStaticPlans {
+      val wins = Curation.qCurriculum.build(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.nonEmpty, "q123 lost its cumulative-histogram windows")
+      wins.foreach { w =>
+        val aggsBelow = w.child.collect {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }
+        assert(aggsBelow.nonEmpty,
+          "a q123 window reads pre-aggregation rows — that is a corpus-scale window")
+      }
+    }
+  }
 }
