@@ -794,26 +794,33 @@ object Corpus {
     (s, dir) => {
       import org.apache.spark.sql.Column
       import org.apache.spark.sql.GraftShims
-      import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+      import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRightUnsigned}
       import graft.functions.MinHash
       val sh = Tables.load(s, dir, "documents")
         .select(col("doc_id"), explode(WordShingleHashes(col("text"), 5)).as("h"))
-      // ONE eval-side scan: the collected gram hashes feed both the
-      // bitmask fold and (as a local relation) the exact-join side that
-      // measures the FP rate — re-deriving the distinct set in-plan
-      // would scan and shuffle the eval docs a second time per run
-      val evalHashes = sh.filter(col("doc_id") % 10 === 0)
-        .select(col("h")).distinct().collect().map(_.getLong(0))
+      // ONE eval-side scan, DISTRIBUTED filter build: the distinct eval
+      // gram hashes flush to scratch once per execution (read twice:
+      // bit aggregation + exact join), the K bit positions per hash
+      // explode map-side, and bit_or collapses them to BloomBits/64
+      // filter words — the driver receives the FIXED-SIZE filter, never
+      // the gram set, so the build survives an eval side of any size
+      // (the round-11 watch item on driver-collected gram hashes)
+      val evalDistinct = Scratch.flush(s, "q85-eval",
+        sh.filter(col("doc_id") % 10 === 0).select(col("h")).distinct())
+      def sll(x: Column, n: Column): Column = GraftShims.column(
+        ShiftLeft(GraftShims.expression(x), GraftShims.expression(n)))
+      val posCols = array((0 until BloomK).map { j =>
+        pmod(lit(MinHash.permA(j)) * col("h") + lit(MinHash.permB(j)),
+          lit(PolyHash.P)) % BloomBits
+      }: _*)
+      val bitWords = evalDistinct
+        .select(explode(posCols).as("p")).distinct()
+        .select(shiftright(col("p"), 6).cast("int").as("w"),
+          sll(lit(1L), col("p").bitwiseAND(lit(63L)).cast("int")).as("b"))
+        .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+        .collect()
       val bits = new Array[Long](BloomBits / 64)
-      evalHashes.foreach { h =>
-        var j = 0
-        while (j < BloomK) {
-          val p = (((MinHash.permA(j) * h + MinHash.permB(j)) % PolyHash.P)
-            % BloomBits).toInt
-          bits(p >> 6) |= 1L << (p & 63)
-          j += 1
-        }
-      }
+      bitWords.foreach(r => bits(r.getInt(0)) = r.getLong(1))
       val bitsLit = typedlit(bits.toSeq)
       // functions.shiftrightunsigned only accepts a literal shift; the
       // Catalyst node takes a column
@@ -826,9 +833,10 @@ object Corpus {
           p.bitwiseAND(lit(63L)).cast("int"))
           .bitwiseAND(lit(1L)) === lit(1L)
       }.reduce(_ && _)
-      val evalDf = s.createDataset(evalHashes.toSeq)(
-        org.apache.spark.sql.Encoders.scalaLong)
-        .toDF("h").withColumn("ev", lit(1L))
+      // exact-hit side: the SAME flushed eval frame (benchmark-sized by
+      // definition — the broadcast stays appropriate; the scale hazard
+      // was the driver collect, which is gone)
+      val evalDf = evalDistinct.withColumn("ev", lit(1L))
       sh.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(evalDf), Seq("h"), "left")
         .select(col("doc_id"),
