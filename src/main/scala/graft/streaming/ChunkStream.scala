@@ -77,13 +77,22 @@ object ChunkStream {
     * tokens_new) where `new` counts chunks absent from the store BEFORE
     * this batch (probe-then-append, the CurationStream order: a batch's
     * chunks are visible to the NEXT batch's probe, never its own).
+    *
+    * @param compactEvery run [[Bucketed.compact]] on the store after
+    *   every Nth batch (0 = never) — per-trigger appends add one file
+    *   set per bucket per batch, and periodic compaction keeps probe
+    *   reads from degrading over a long ingest (the CurationStream
+    *   convention; the rename swap self-heals via the recover-on-start).
     */
   def startIncremental(spark: SparkSession, docs: DataFrame, store: Store,
-      checkpointDir: String, onBatch: DataFrame => Unit): StreamingQuery = {
+      checkpointDir: String, onBatch: DataFrame => Unit,
+      compactEvery: Int = 0): StreamingQuery = {
     Bucketed.recover(spark, store.table)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Bucketed.compact(spark, store.table, Buckets, "h")
         val ch = chunksOf(batch).persist()
         try if (ch.limit(1).count() > 0) {
           val flagged = ch.join(

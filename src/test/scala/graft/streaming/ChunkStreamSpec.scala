@@ -28,7 +28,8 @@ class ChunkStreamSpec extends AnyFunSuite with SparkTestSession {
       spark, src.toDS().toDF("doc_id", "text"), store, ckpt,
       onBatch = r => r.collect().foreach(row => reports.add(
         (row.getLong(0), row.getLong(1), row.getLong(2),
-          row.getLong(3), row.getLong(4)))))
+          row.getLong(3), row.getLong(4)))),
+      compactEvery = 2)
     try {
       docs.grouped(200).foreach { g =>
         src.addData(g.toSeq)
