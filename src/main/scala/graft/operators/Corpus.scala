@@ -805,7 +805,13 @@ object Corpus {
       // filter words — the driver receives the FIXED-SIZE filter, never
       // the gram set, so the build survives an eval side of any size
       // (the round-11 watch item on driver-collected gram hashes)
-      val evalDistinct = Scratch.flush(s, "q85-eval",
+      // tag carries the corpus-dir + parallelism discriminator (the
+      // DupGraph/SpanStore lesson): a second corpus in the same JVM must
+      // not delete this flush out from under a still-unexecuted plan
+      val evalTag = "q85-eval-d" +
+        java.lang.Long.toHexString(PolyHash.hash(dir)) +
+        s"-p${s.conf.get("spark.sql.shuffle.partitions")}"
+      val evalDistinct = Scratch.flush(s, evalTag,
         sh.filter(col("doc_id") % 10 === 0).select(col("h")).distinct())
       def sll(x: Column, n: Column): Column = GraftShims.column(
         ShiftLeft(GraftShims.expression(x), GraftShims.expression(n)))

@@ -49,11 +49,19 @@ object DupGraph {
     * return a path that stays live for the JVM (a Scratch flush under a
     * tag nothing else reuses).
     */
+  // build lock: TrieMap.getOrElseUpdate may evaluate a racing thunk
+  // twice and discard one result — but a discarded build has already
+  // flushed under the same tag (deleting the winner's files), so the
+  // build itself must be serialized (the SpanStore rule)
+  private val buildLock = new Object
+
   private def memoPath(s: SparkSession, dir: String, kind: String)
       (buildPath: String => String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
-    val p = paths.getOrElseUpdate((dir, parts, kind),
-      buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts"))
+    val p = buildLock.synchronized {
+      paths.getOrElseUpdate((dir, parts, kind),
+        buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts"))
+    }
     s.read.parquet(p)
   }
 

@@ -33,15 +33,23 @@ object SpanStore {
   private def dirTag(dir: String): String =
     java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))
 
+  // build lock: TrieMap.getOrElseUpdate may evaluate a racing thunk
+  // twice and discard one result — but a discarded build has already
+  // FLUSHED (deleting the winner's directory under the same tag), so
+  // the build must be serialized, not just the memo insert
+  private val buildLock = new Object
+
   /** All distinct spans per doc with df: (doc_id, h, df). */
   def spans(s: SparkSession, dir: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
-    val p = paths.getOrElseUpdate((dir, parts), {
-      val sp = Dedup.spanHashes(graft.Tables.load(s, dir, "documents"))
-      val df = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      Scratch.flushPath(s, s"spanstore-d${dirTag(dir)}-p$parts",
-        sp.join(df, Seq("h")))
-    })
+    val p = buildLock.synchronized {
+      paths.getOrElseUpdate((dir, parts), {
+        val sp = Dedup.spanHashes(graft.Tables.load(s, dir, "documents"))
+        val df = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        Scratch.flushPath(s, s"spanstore-d${dirTag(dir)}-p$parts",
+          sp.join(df, Seq("h")))
+      })
+    }
     s.read.parquet(p)
   }
 

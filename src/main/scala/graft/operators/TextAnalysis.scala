@@ -512,16 +512,22 @@ object TextAnalysis {
     * roll-up over the (distinct-chunk-cardinality) summary — both aggs
     * partial-combine, nothing holistic, no joins at all.
     */
+  /** Per-hash chunk summary (h, occ, tok) under the q82 cut rule — the
+    * ONE definition shared by q126 and [[graft.streaming.ChunkStream]],
+    * so stream and batch can never disagree about what a chunk is.
+    */
+  private[graft] def chunkSummary(docs: DataFrame): DataFrame =
+    docs.select(explode(CdcChunkStrings(col("text"), TextAnalysis.CdcWindow,
+        TextAnalysis.CdcDivisor)).as("chunk"))
+      .select(PolyHash(col("chunk")).as("h"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"), min(col("n_tokens")).as("tok"))
+
   val qChunkDedup: QuerySpec = QuerySpec(
     "q126_chunk_dedup",
     (s, dir) => {
-      val perChunk = Tables.load(s, dir, "documents")
-        .select(explode(CdcChunkStrings(col("text"), TextAnalysis.CdcWindow,
-          TextAnalysis.CdcDivisor)).as("chunk"))
-        .select(PolyHash(col("chunk")).as("h"),
-          size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
-        .groupBy(col("h"))
-        .agg(count(lit(1)).as("occ"), min(col("n_tokens")).as("tok"))
+      val perChunk = chunkSummary(Tables.load(s, dir, "documents"))
       perChunk.agg(
           sum(col("occ")).as("chunks_total"),
           count(lit(1)).as("chunks_distinct"),

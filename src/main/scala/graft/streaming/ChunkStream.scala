@@ -1,6 +1,5 @@
 package graft.streaming
 
-import graft.functions.{CdcChunkStrings, PolyHash}
 import graft.operators.TextAnalysis
 import graft.sources.Bucketed
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -35,16 +34,11 @@ object ChunkStream {
   final case class Store(table: String)
 
   /** Per-batch chunk summary: (h, occ, tok) — one row per distinct
-    * chunk hash with its occurrence count and token length (identical
-    * chunk text ⇒ identical token count, so `min` is exact).
+    * chunk hash with its occurrence count and token length. Delegates
+    * to the ONE shared definition ([[TextAnalysis.chunkSummary]]) so
+    * the stream's store can never fork from the gated q126 KPI.
     */
-  def chunksOf(docs: DataFrame): DataFrame =
-    docs.select(explode(CdcChunkStrings(col("text"), TextAnalysis.CdcWindow,
-        TextAnalysis.CdcDivisor)).as("chunk"))
-      .select(PolyHash(col("chunk")).as("h"),
-        size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
-      .groupBy(col("h"))
-      .agg(count(lit(1)).as("occ"), min(col("n_tokens")).as("tok"))
+  def chunksOf(docs: DataFrame): DataFrame = TextAnalysis.chunkSummary(docs)
 
   /** Create (or overwrite) an empty chunk store. */
   def build(s: SparkSession, tag: String): Store = {
@@ -99,15 +93,30 @@ object ChunkStream {
               spark.table(store.table).select(col("h"), lit(1).as("stored")),
               Seq("h"), "left").persist()
           try {
-            val report = flagged.agg(
+            // MATERIALIZE the report before mutating the store: a lazy
+            // frame handed to the callback would silently recompute the
+            // probe against the post-append store (chunks_new = 0) if
+            // consumed after this batch returns
+            val reportRow = flagged.agg(
               lit(batchId).as("batch_id"),
               sum(col("occ")).as("chunks_total"),
               count(when(col("stored").isNull, 1)).as("chunks_new"),
               sum(col("occ") * col("tok")).as("tokens_total"),
               coalesce(sum(when(col("stored").isNull, col("tok"))), lit(0L))
                 .as("tokens_new"))
-            onBatch(report)
-            append(spark, store, flagged.filter(col("stored").isNull))
+            val materialized = spark.createDataFrame(
+              java.util.Arrays.asList(reportRow.collect(): _*),
+              reportRow.schema)
+            onBatch(materialized)
+            // `flagged.filter(stored IS NULL)` IS the anti-join result
+            // against the pre-append store — write it directly instead
+            // of routing through append()'s anti-join (which would scan
+            // the growing store a second time per trigger). Replay-safe:
+            // a re-delivered batch recomputes the filter against the
+            // post-append store and writes nothing.
+            flagged.filter(col("stored").isNull).select(col("h"), col("tok"))
+              .write.bucketBy(Buckets, "h").sortBy("h")
+              .mode("append").saveAsTable(store.table)
           } finally flagged.unpersist()
         } finally ch.unpersist()
       }

@@ -18,7 +18,9 @@ class ChunkStreamSpec extends AnyFunSuite with SparkTestSession {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    val store = ChunkStream.build(spark, s"cs${System.nanoTime()}")
+    // FIXED tag: build()'s dropStale then cleans the previous run's
+    // table — a nanoTime tag would leak one warehouse table per sbt run
+    val store = ChunkStream.build(spark, "spec")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cs-ckpt-").toString
     val reports = new java.util.concurrent.ConcurrentLinkedQueue[
       (Long, Long, Long, Long, Long)]()
