@@ -1186,10 +1186,79 @@ object Corpus {
             | FROM g JOIN f ON g.h = f.h
             | GROUP BY g.doc_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q127 — sequence-length histogram: documents and tokens per
+    * power-of-two token-count bucket, with cumulative coverage
+    * fractions — THE report read before fixing a packing length
+    * (q56's `max_seq_len`): "2^10 covers 97% of docs but only 81% of
+    * tokens" is the difference between truncating rare long documents
+    * and truncating the corpus's token mass.
+    *
+    * Scale shape: token count and bucket are one map-side pass (the
+    * bucket is the binary-representation LENGTH of the whitespace token
+    * count — integer floor(log2)+1 with no libm), the histogram is a
+    * map-side-combinable ≤64-group aggregation, and the cumulative
+    * fractions ride two windows over that bounded summary (the q123
+    * discipline). Fractions are single IEEE divisions of exact integers.
+    */
+  val qSeqlenHistogram: QuerySpec = QuerySpec(
+    "q127_seqlen_histogram",
+    (s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.expressions.Window
+      // functions.shiftleft only takes a LITERAL shift amount (the q85
+      // rule) — the per-row bucket shift needs the Catalyst node
+      def sll(x: Column, n: Column): Column = GraftShims.column(
+        org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+          GraftShims.expression(x), GraftShims.expression(n)))
+      val hist = Tables.load(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("t"))
+        .select(length(conv(col("t"), 10, 2)).cast("long").as("bucket"),
+          col("t"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      val upTo = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cd", sum(col("n_docs")).over(upTo))
+        .withColumn("ct", sum(col("n_tokens")).over(upTo))
+        .withColumn("td", sum(col("n_docs")).over(whole))
+        .withColumn("tt", sum(col("n_tokens")).over(whole))
+        .select(col("bucket"),
+          sll(lit(1L), (col("bucket") - 1).cast("int")).as("min_len"),
+          (sll(lit(1L), col("bucket").cast("int")) - 1).as("max_len"),
+          col("n_docs"), col("n_tokens"),
+          (col("cd").cast("double") / col("td").cast("double"))
+            .as("doc_coverage"),
+          (col("ct").cast("double") / col("tt").cast("double"))
+            .as("token_coverage"))
+    },
+    Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+           |  FROM documents),
+           | h AS (SELECT CAST(length(bin(t)) AS BIGINT) AS bucket,
+           |   COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+           |  FROM t GROUP BY 1),
+           | c AS (SELECT bucket, n_docs, n_tokens,
+           |   CAST(SUM(n_docs) OVER (ORDER BY bucket
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cd,
+           |   CAST(SUM(n_tokens) OVER (ORDER BY bucket
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+           |   CAST(SUM(n_docs) OVER () AS BIGINT) AS td,
+           |   CAST(SUM(n_tokens) OVER () AS BIGINT) AS tt FROM h)
+           | SELECT bucket,
+           |  (CAST(1 AS BIGINT) << CAST(bucket - 1 AS INT)) AS min_len,
+           |  (CAST(1 AS BIGINT) << CAST(bucket AS INT)) - 1 AS max_len,
+           |  n_docs, n_tokens,
+           |  CAST(cd AS DOUBLE) / CAST(td AS DOUBLE) AS doc_coverage,
+           |  CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE) AS token_coverage
+           | FROM c""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists, qBm25TopK, qFertility, qNgramNovelty)
+    qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram)
 }

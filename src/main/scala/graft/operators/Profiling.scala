@@ -464,7 +464,49 @@ object Profiling {
            |    THEN 1 ELSE 0 END) AS BIGINT) AS BIGINT) AS trim_mean_e2
            | FROM t GROUP BY source""".stripMargin.replaceAll("\n", "")))
 
+  /** q128 — ingestion-order drift: per-doc quality metrics averaged
+    * over 20 equal doc_id-range buckets — the monitoring report that
+    * catches a crawler or upstream filter change mid-ingest (lengths
+    * creeping down, stopword density creeping up) while q115's
+    * source-level drift stays flat because every source shifted
+    * together. doc_id is the ingestion-order proxy; buckets are
+    * id-range (not rank) so the assignment is one integer map with no
+    * global sort.
+    *
+    * Scale shape: the max id is a one-row aggregate broadcast back
+    * (cross-join with a single-row frame); bucket assignment and
+    * metrics are map-side; the ≤20-group aggregation map-side-combines.
+    * Double averages ride [[Exact.davg]] (decimal-exact,
+    * order-insensitive — the gated-sum convention).
+    */
+  val qIngestionDrift: QuerySpec = QuerySpec(
+    "q128_ingestion_drift",
+    (s, dir) => {
+      import graft.TextMetrics
+      val docs = Tables.load(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id")).as("mx"))
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      docs.crossJoin(broadcast(maxId))
+        .select(
+          least(expr("(doc_id * 20) div (mx + 1)"), lit(19L)).as("bucket"),
+          col("n_chars"),
+          TextMetrics.stopRatio(words, stops).as("sr"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          Exact.davg(col("n_chars").cast("double")).as("avg_chars"),
+          Exact.davg(col("sr")).as("avg_stop_ratio"))
+    },
+    Some(s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+            | b AS (SELECT least((doc_id * 20) // (mx.mx + 1), 19) AS bucket,
+            |   n_chars, ${graft.TextMetrics.stopRatioSql("text")} AS sr
+            |  FROM documents, mx)
+            | SELECT bucket, COUNT(*) AS n_docs,
+            |  ${Exact.davgSql("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+            |  ${Exact.davgSql("sr")} AS avg_stop_ratio
+            | FROM b GROUP BY bucket""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
-      qQuantileSketch, qTrend, qBootstrap, qTrimmedMean)
+      qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift)
 }
