@@ -1211,10 +1211,37 @@ object Dedup {
             | FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q129 — near-dup cluster-size histogram: how many clusters exist at
+    * each size, read off the shared [[DupGraph]] labels — the shape
+    * report a dedup pass is judged by (a long tail of giant clusters
+    * means the threshold is too loose or a template is fooling the
+    * signatures; all-pairs-of-two means it is too tight to collapse
+    * anything). Every node in the graph has ≥1 verified pair, so sizes
+    * start at 2; singleton documents are by definition not in the graph.
+    *
+    * Scale shape: two map-side-combinable aggregations over the flushed
+    * label store (cluster sizes, then the ≤log-many size groups) — the
+    * CC iteration itself is q50's already-bounded cost, paid once per
+    * corpus in the store build.
+    */
+  val qClusterSizes: QuerySpec = QuerySpec(
+    "q129_cluster_sizes",
+    (s, dir) =>
+      DupGraph.labels(s, dir)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+        .groupBy(col("n").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters")),
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | labels AS (SELECT u, MIN(r) AS cluster_id FROM reach GROUP BY u),
+            | cs AS (SELECT cluster_id, COUNT(*) AS n FROM labels
+            |  GROUP BY cluster_id)
+            | SELECT n AS cluster_size, COUNT(*) AS n_clusters
+            | FROM cs GROUP BY n""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass,
-    qContainment, qEdgeSpans, qSourceOverlap)
+    qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes)
 }
