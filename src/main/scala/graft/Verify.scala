@@ -38,11 +38,6 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v.take(500))}" }
         .mkString("{", ",", "}"))
-    val emitted = Option(new java.io.File(outDir).list()).getOrElse(Array())
-      .count(n => queries.contains(n))
-    if (emitted != queries.size)
-      System.err.println(s"[verify] COVERAGE MISMATCH: emitted $emitted " +
-        s"output dirs for ${queries.size} queries")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size}/${queries.size} queries " +
         s"FAILED: ${errors.keys.mkString(",")}")
@@ -86,6 +81,20 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(",")}")
     }
+    // Coverage cross-check against the ORACLE key set (the old
+    // output-dir count was unreachable: both success and failure paths
+    // emit a dir by construction): a query registered without an oracle
+    // row gets only the driver's weaker rows-only check, and an oracle
+    // row without a query would never be exercised — both are silent
+    // coverage holes worth screaming about.
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    val unqueried = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    if (unoracled.nonEmpty)
+      System.err.println(s"[verify] COVERAGE: ${unoracled.size} queries " +
+        s"have NO oracle SQL: ${unoracled.toSeq.sorted.mkString(",")}")
+    if (unqueried.nonEmpty)
+      System.err.println(s"[verify] COVERAGE: ${unqueried.size} oracle " +
+        s"rows have NO query: ${unqueried.toSeq.sorted.mkString(",")}")
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     runQueries(spark, selected, sfDir, outDir)

@@ -49,17 +49,24 @@ object DupGraph {
     * return a path that stays live for the JVM (a Scratch flush under a
     * tag nothing else reuses).
     */
-  // build lock: TrieMap.getOrElseUpdate may evaluate a racing thunk
+  // build locks: TrieMap.getOrElseUpdate may evaluate a racing thunk
   // twice and discard one result — but a discarded build has already
   // flushed under the same tag (deleting the winner's files), so the
-  // build itself must be serialized (the SpanStore rule)
-  private val buildLock = new Object
+  // build itself must be serialized. PER KEY, not globally: only
+  // same-tag builds can clobber each other (the tag carries dir +
+  // parallelism + kind), and a global monitor would block unrelated
+  // corpora behind the multi-minute CC iteration (Scratch.tagLocks
+  // pattern — TrieMap.getOrElseUpdate installs one winning lock object
+  // even if the `new Object` thunk races).
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), Object]
 
   private def memoPath(s: SparkSession, dir: String, kind: String)
       (buildPath: String => String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
-    val p = buildLock.synchronized {
-      paths.getOrElseUpdate((dir, parts, kind),
+    val key = (dir, parts, kind)
+    val p = buildLocks.getOrElseUpdate(key, new Object).synchronized {
+      paths.getOrElseUpdate(key,
         buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts"))
     }
     s.read.parquet(p)

@@ -728,14 +728,19 @@ object Similarity {
     * curation pipeline needs: plain top-k returns K near-copies of the
     * best hit; MMR returns K hits that COVER the neighborhood.
     *
-    * Scale shape: the greedy loop is K passes, each ONE map-side scan —
-    * the selected set rides as ≤K quantized-vector literals (the q60b
-    * tiny-deterministic-results-as-literals discipline) and the argmax
-    * is a TakeOrdered(1), so there is no join, no window, and no
-    * driver-side data beyond K vectors. Step-1's empty selected set
-    * scores `7·rel + 3` (max-sim floor −1), keeping one formula shape
-    * per step. The query vector is the min-id embedding; the query
-    * point itself is excluded from the pool.
+    * Scale shape: greedy MMR is INHERENTLY sequential — selection i
+    * depends on selections 1..i−1, so the loop is K driver-driven
+    * passes by construction (K bounded, here 5). Each pass is ONE
+    * map-side scan over the PERSISTED pool — the scan + quantize +
+    * relevance cosine are paid once, not once per pass (the r5 q33
+    * explicit-handle lesson) — the selected set rides as ≤K
+    * quantized-vector literals (the q60b tiny-deterministic-results-
+    * as-literals discipline) and the argmax is a TakeOrdered(1), so
+    * there is no join, no window, and no driver-side data beyond K
+    * vectors. Step-1's empty selected set scores `7·rel + 3` (max-sim
+    * floor −1), keeping one formula shape per step. The query vector
+    * is the min-id embedding; the query point itself is excluded from
+    * the pool.
     */
   val qMmrSelect: QuerySpec = QuerySpec(
     "q108_mmr_select",
@@ -747,26 +752,29 @@ object Similarity {
       val pool = emb.filter(col("vec_id") =!= qid)
         .select(col("vec_id"), col("qe"),
           Exact.cosineFromQuantized(col("qe"), typedlit(qq)).as("rel"))
-      var selected = Vector.empty[(Long, Seq[Long], Double, Double)]
-      for (_ <- 1 to MmrK) {
-        val simsToSel = selected.map { case (_, sq, _, _) =>
-          Exact.cosineFromQuantized(col("qe"), typedlit(sq)) }
-        val mmr =
-          if (simsToSel.isEmpty) lit(7) * col("rel") + lit(3)
-          else if (simsToSel.size == 1) lit(7) * col("rel") - lit(3) * simsToSel.head
-          else lit(7) * col("rel") - lit(3) * greatest(simsToSel: _*)
-        val r = pool
-          .filter(if (selected.isEmpty) lit(true)
-            else !col("vec_id").isInCollection(selected.map(_._1)))
-          .select(col("vec_id"), col("qe"), col("rel"), mmr.as("mmr"))
-          .orderBy(col("mmr").desc, col("vec_id")).limit(1).collect()(0)
-        selected = selected :+
-          ((r.getLong(0), r.getSeq[Long](1), r.getDouble(2), r.getDouble(3)))
-      }
-      import s.implicits._
-      selected.zipWithIndex
-        .map { case ((id, _, rel, mmr), i) => (i + 1L, id, rel, mmr) }
-        .toDF("rk", "vec_id", "rel", "mmr")
+        .persist()
+      try {
+        var selected = Vector.empty[(Long, Seq[Long], Double, Double)]
+        for (_ <- 1 to MmrK) {
+          val simsToSel = selected.map { case (_, sq, _, _) =>
+            Exact.cosineFromQuantized(col("qe"), typedlit(sq)) }
+          val mmr =
+            if (simsToSel.isEmpty) lit(7) * col("rel") + lit(3)
+            else if (simsToSel.size == 1) lit(7) * col("rel") - lit(3) * simsToSel.head
+            else lit(7) * col("rel") - lit(3) * greatest(simsToSel: _*)
+          val r = pool
+            .filter(if (selected.isEmpty) lit(true)
+              else !col("vec_id").isInCollection(selected.map(_._1)))
+            .select(col("vec_id"), col("qe"), col("rel"), mmr.as("mmr"))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1).collect()(0)
+          selected = selected :+
+            ((r.getLong(0), r.getSeq[Long](1), r.getDouble(2), r.getDouble(3)))
+        }
+        import s.implicits._
+        selected.zipWithIndex
+          .map { case ((id, _, rel, mmr), i) => (i + 1L, id, rel, mmr) }
+          .toDF("rk", "vec_id", "rel", "mmr")
+      } finally pool.unpersist()
     },
     Some {
       val steps = (2 to MmrK).map { i =>

@@ -33,17 +33,21 @@ object SpanStore {
   private def dirTag(dir: String): String =
     java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))
 
-  // build lock: TrieMap.getOrElseUpdate may evaluate a racing thunk
+  // build locks: TrieMap.getOrElseUpdate may evaluate a racing thunk
   // twice and discard one result — but a discarded build has already
   // FLUSHED (deleting the winner's directory under the same tag), so
-  // the build must be serialized, not just the memo insert
-  private val buildLock = new Object
+  // the build must be serialized, not just the memo insert. PER KEY:
+  // only same-tag builds clobber each other; distinct corpora build
+  // concurrently (the DupGraph rule).
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
   /** All distinct spans per doc with df: (doc_id, h, df). */
   def spans(s: SparkSession, dir: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
-    val p = buildLock.synchronized {
-      paths.getOrElseUpdate((dir, parts), {
+    val key = (dir, parts)
+    val p = buildLocks.getOrElseUpdate(key, new Object).synchronized {
+      paths.getOrElseUpdate(key, {
         val sp = Dedup.spanHashes(graft.Tables.load(s, dir, "documents"))
         val df = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
         Scratch.flushPath(s, s"spanstore-d${dirTag(dir)}-p$parts",

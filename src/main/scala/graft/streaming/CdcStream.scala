@@ -98,20 +98,30 @@ object CdcStream {
   def state(s: SparkSession, table: String): DataFrame =
     latestPerKey(s.table(table).select(cols.map(col): _*))
 
+  // per-table compaction locks: the Scratch tag lock releases when
+  // flushPath returns, so without this a second concurrent compact on
+  // the same table could drop the first call's tmp flush while the
+  // first is still reading it into the table overwrite — mid-overwrite
+  // failure, corrupted state table. Held end-to-end across flush + read
+  // + overwrite (TrieMap.getOrElseUpdate installs one winning lock).
+  private val compactLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Collapse the log to one row per key (tombstones RETAINED). The
     * reduced state takes a scratch-parquet hop because Spark refuses to
     * overwrite a table it is reading in the same plan; the hop rides the
     * Scratch lifecycle (one live flush per tag, swept on JVM exit) so
     * repeated compactions hold ONE state-table copy, not one per call.
     */
-  def compact(s: SparkSession, table: String): Unit = {
-    val tmp = graft.operators.Scratch.flushPath(s, s"cdc-compact-$table",
-      state(s, table)
-        .withColumn("kb", pmod(col("cust_id"), lit(Buckets))))
-    s.read.parquet(tmp)
-      .write.partitionBy("kb").mode("overwrite").saveAsTable(table)
-    s.catalog.refreshTable(table)
-  }
+  def compact(s: SparkSession, table: String): Unit =
+    compactLocks.getOrElseUpdate(table, new Object).synchronized {
+      val tmp = graft.operators.Scratch.flushPath(s, s"cdc-compact-$table",
+        state(s, table)
+          .withColumn("kb", pmod(col("cust_id"), lit(Buckets))))
+      s.read.parquet(tmp)
+        .write.partitionBy("kb").mode("overwrite").saveAsTable(table)
+      s.catalog.refreshTable(table)
+    }
 
   /** The MERGE materialization of `base` (cust_id, base_bal) under the
     * store's current state — q98's join semantics: kept / updated /

@@ -117,6 +117,13 @@ object ChunkStream {
             flagged.filter(col("stored").isNull).select(col("h"), col("tok"))
               .write.bucketBy(Buckets, "h").sortBy("h")
               .mode("append").saveAsTable(store.table)
+            // the append executes through the micro-batch session clone
+            // (flagged derives from `batch`), and relation caches are
+            // per-session: refresh the coordinating session's view so
+            // its probe on the NEXT trigger — and any concurrent
+            // stats() reader — sees this batch's files (the
+            // ProductQuant.appendFresh / CdcStream.applyBatch rule)
+            spark.catalog.refreshTable(store.table)
           } finally flagged.unpersist()
         } finally ch.unpersist()
       }
