@@ -614,7 +614,7 @@ object Dedup {
     * positions. Occurrence-df capped (bounds per-hash join fan-out at
     * MaxSpanDf²); candidates only from the span-hash equi-join.
     */
-  private def spanPosMatches(docs: DataFrame): DataFrame = {
+  private[graft] def spanPosMatches(docs: DataFrame): DataFrame = {
     val sp = docs
       .select(col("doc_id"),
         posexplode(WordShingles(col("text"), SpanWords)))
@@ -732,6 +732,101 @@ object Dedup {
             |  CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
             |   AS dup_fraction
             | FROM cov, tot""".stripMargin.replaceAll("\n", "")))
+
+  /** q130 removal threshold: only shared extents of at least this many
+    * words are spliced out (Lee et al. 2021 threshold 50 at web scale;
+    * 20 here so the gate corpus exercises the rewrite on real extents —
+    * q117 at sf0.01 has 24/26 pairs at ≥20 words). Declared before the
+    * query so the oracle interpolation sees it (object-init-order rule).
+    */
+  private[graft] val MinRemoveWords = 20
+
+  /** The q130 rewrite, parameterized on the extent threshold so the
+    * invariance spec can run it at `minWords = SpanWords` (every match
+    * removed), where removed mass must equal the d2-side covered-
+    * position mass of [[spanPosMatches]] exactly.
+    *
+    * Removal rule: a word position `p` of document `d` is removed iff
+    * some extent of length ≥ minWords shared with a LOWER doc_id covers
+    * `p` on `d`'s side — i.e. the lowest-doc_id occurrence of a shared
+    * passage is kept and every later document loses its copy
+    * (deterministic, order-free; transitively, the globally lowest
+    * holder keeps the text). Output: every document with its token
+    * count, removed-token count, and the spliced text.
+    */
+  private[graft] def substringRemove(docs: DataFrame, minWords: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    // maximal contiguous shared runs (the q117 diagonal islands), kept
+    // only at ≥ minWords; the d2-side extent covers word positions
+    // [s1 − diag, e1 − diag + SpanWords − 1]
+    val ext = spanPosMatches(docs)
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
+      .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
+      .agg(min(col("p1")).as("s1"), max(col("p1")).as("e1"))
+      .filter(col("e1") - col("s1") + SpanWords >= minWords)
+    // distinct removal positions per doc — overlapping extents (and the
+    // same passage shared with several earlier docs) never double-count
+    val rpos = ext.select(col("d2").as("doc_id"),
+        explode(sequence(col("s1") - col("diag"),
+          col("e1") - col("diag") + lit(SpanWords - 1))).as("wp"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_list(col("wp")).as("rpos"))
+    // splice: filter tokens by position. Join fan-in is bounded by the
+    // per-doc removal list (≤ doc length); docs without removals pass
+    // through the null branch. split/array_join on ' ' round-trips any
+    // text exactly (empty tokens preserve runs of spaces), so the
+    // untouched-doc output is byte-identical to the input.
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .join(rpos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens_before"),
+        coalesce(size(col("rpos")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          filter(col("tk"), (_, i) =>
+            col("rpos").isNull || !array_contains(col("rpos"), i.cast("long"))),
+          " ").as("clean_text"))
+  }
+
+  /** q130 — substring-removal REWRITE: the operator a curation pipeline
+    * runs after reading q117's extent report (Lee et al. 2021's removal
+    * step — their metric is q117/q119; this emits the cleaned corpus).
+    * Shared extents ≥ [[MinRemoveWords]] words are spliced out of every
+    * document except the lowest-doc_id holder, with per-doc removed-
+    * token accounting.
+    *
+    * Scale shape: extents come from the df-capped positioned equi-join
+    * (candidate-volume-sized, never all-pairs); the position explosion
+    * is extent-length-bounded and collapses map-side via distinct; the
+    * rewrite itself is ONE pass over the corpus joined against the
+    * per-doc removal lists (doc_id-keyed, list length ≤ doc length).
+    * The token filter is a higher-order function — interpreted, but
+    * evaluated once per document on the rewrite pass, not in any
+    * iterated hot loop.
+    */
+  val qSubstringRemove: QuerySpec = QuerySpec(
+    "q130_substring_remove",
+    (s, dir) => substringRemove(Tables.load(s, dir, "documents"), MinRemoveWords),
+    Some(s"""WITH $spanPosSqlCtes,
+            | g AS (SELECT d1, d2, p1 - p2 AS diag, p1,
+            |   p1 - ROW_NUMBER() OVER (PARTITION BY d1, d2, p1 - p2
+            |     ORDER BY p1) AS grp FROM m),
+            | e AS (SELECT d1, d2, diag, grp, MIN(p1) AS s1, MAX(p1) AS e1
+            |  FROM g GROUP BY d1, d2, diag, grp
+            |  HAVING MAX(p1) - MIN(p1) + $SpanWords >= $MinRemoveWords),
+            | rem AS (SELECT DISTINCT doc_id, wp FROM (
+            |   SELECT d2 AS doc_id, CAST(UNNEST(range(s1 - diag,
+            |     e1 - diag + $SpanWords)) AS BIGINT) AS wp FROM e)),
+            | rp AS (SELECT doc_id, list(wp) AS rpos FROM rem GROUP BY doc_id),
+            | dt2 AS (SELECT d.doc_id, string_split(d.text, ' ') AS tk, rp.rpos
+            |  FROM documents d LEFT JOIN rp ON d.doc_id = rp.doc_id)
+            | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens_before,
+            |  CAST(COALESCE(len(rpos), 0) AS BIGINT) AS n_removed,
+            |  COALESCE(array_to_string(list_filter(tk, (x, xi) ->
+            |    rpos IS NULL OR NOT list_contains(rpos, xi)), ' '), '')
+            |   AS clean_text
+            | FROM dt2""".stripMargin.replaceAll("\n", "")))
 
   val qBoilerplate: QuerySpec = QuerySpec(
     "q81_boilerplate",
@@ -1073,34 +1168,42 @@ object Dedup {
     * cardinality (one row per doc) and must never ride a broadcast.
     */
   private val MinOverlap = 0.5
+
+  /** q121's report over an arbitrary span-evidence frame with the
+    * [[SpanStore]] layout (doc_id, h, df) — factored out so the
+    * streamed store ([[graft.streaming.SpanStream]]) feeds the IDENTICAL
+    * operator code path (SpanStreamSpec pins the equivalence).
+    */
+  private[graft] def containmentFrom(sp: DataFrame): DataFrame = {
+    val sizes = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val rare = sp.filter(col("df") <= MaxSpanDf)
+      .select(col("doc_id"), col("h"))
+    val shared = rare.alias("a")
+      .join(rare.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared"))
+    // sizes is one row PER DOCUMENT (corpus cardinality) — never
+    // broadcast; the shuffle joins key on doc_id with the candidate
+    // side already bounded by the rare-span cap
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
+        .withColumnRenamed("n", "n_1"), Seq("doc_id_1"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
+        .withColumnRenamed("n", "n_2"), Seq("doc_id_2"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_shared"),
+        col("n_1"), col("n_2"),
+        (col("n_shared").cast("double") /
+          least(col("n_1"), col("n_2")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= MinOverlap)
+  }
+
   val qContainment: QuerySpec = QuerySpec(
     "q121_containment",
-    (s, dir) => {
-      // span evidence reads the shared [[SpanStore]] layout (one flushed
-      // (doc_id, h, df) table per corpus per JVM — the raw-text subtree
-      // previously re-executed per reference, six document scans)
-      val sp = SpanStore.spans(s, dir)
-      val sizes = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val rare = SpanStore.rareSpans(s, dir).select(col("doc_id"), col("h"))
-      val shared = rare.alias("a")
-        .join(rare.alias("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-        .agg(count(lit(1)).as("n_shared"))
-      // sizes is one row PER DOCUMENT (corpus cardinality) — never
-      // broadcast; the shuffle joins key on doc_id with the candidate
-      // side already bounded by the rare-span cap
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "doc_id_1")
-          .withColumnRenamed("n", "n_1"), Seq("doc_id_1"))
-        .join(sizes.withColumnRenamed("doc_id", "doc_id_2")
-          .withColumnRenamed("n", "n_2"), Seq("doc_id_2"))
-        .select(col("doc_id_1"), col("doc_id_2"), col("n_shared"),
-          col("n_1"), col("n_2"),
-          (col("n_shared").cast("double") /
-            least(col("n_1"), col("n_2")).cast("double")).as("overlap"))
-        .filter(col("overlap") >= MinOverlap)
-    },
+    // span evidence reads the shared [[SpanStore]] layout (one flushed
+    // (doc_id, h, df) table per corpus per JVM — the raw-text subtree
+    // previously re-executed per reference, six document scans)
+    (s, dir) => containmentFrom(SpanStore.spans(s, dir)),
     Some(s"""WITH ${spanSqlCtes(SpanWords)},
             | sizes AS (SELECT doc_id, COUNT(*) AS n FROM sp GROUP BY doc_id),
             | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
@@ -1188,19 +1291,25 @@ object Dedup {
     * fanout is ≤ (#sources)² regardless of how many docs share the
     * span; output is #sources² rows — tiny at any corpus scale.
     */
+  /** q125's report over an arbitrary span-evidence frame with the
+    * [[SpanStore]] layout — factored out for the streamed store, like
+    * [[containmentFrom]].
+    */
+  private[graft] def sourceOverlapFrom(sp: DataFrame, docs: DataFrame): DataFrame = {
+    val ss = sp.filter(col("df") <= MaxSpanDf)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("h")).distinct()
+    ss.alias("a")
+      .join(ss.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   val qSourceOverlap: QuerySpec = QuerySpec(
     "q125_source_overlap",
-    (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val ss = SpanStore.rareSpans(s, dir)
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .select(col("source"), col("h")).distinct()
-      ss.alias("a")
-        .join(ss.alias("b"),
-          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_1"), col("b.source").as("source_2"))
-        .agg(count(lit(1)).as("n_shared_spans"))
-    },
+    (s, dir) => sourceOverlapFrom(
+      SpanStore.spans(s, dir), Tables.load(s, dir, "documents")),
     Some(s"""WITH ${spanSqlCtes(SpanWords)},
             | rare AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) <= $MaxSpanDf),
             | ss AS (SELECT DISTINCT d.source, sp.h
@@ -1242,6 +1351,6 @@ object Dedup {
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
-    qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass,
+    qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes)
 }
