@@ -94,13 +94,26 @@ object Bucketed {
     * without bucketed reads.
     */
   def compact(s0: SparkSession, table: String, buckets: Int, key: String,
-      moreKeys: String*): Unit = {
+      moreKeys: String*): Unit =
+    compactImpl(s0, table, buckets, key, moreKeys, dedupe = false)
+
+  /** [[compact]] that also DROPS DUPLICATE ROWS in the rewrite — for
+    * stores whose replay contract can double-append (SpanStream's
+    * crash window between its span and manifest appends).
+    */
+  def compactDistinct(s0: SparkSession, table: String, buckets: Int,
+      key: String, moreKeys: String*): Unit =
+    compactImpl(s0, table, buckets, key, moreKeys, dedupe = true)
+
+  private def compactImpl(s0: SparkSession, table: String, buckets: Int,
+      key: String, moreKeys: Seq[String], dedupe: Boolean): Unit = {
     val s = s0.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     recover(s, table) // a previous compact may have died mid-swap
     val tmp = s"${table}_compact"
     dropStale(s, tmp)
-    s.table(table).write.bucketBy(buckets, key, moreKeys: _*)
+    val src = if (dedupe) s.table(table).distinct() else s.table(table)
+    src.write.bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
     dropStale(s, table)
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
