@@ -309,6 +309,68 @@ object Corpus {
             |   % 1000000 < r.thr
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q132 — temperature-weighted mixture PLANNER (τ = 1/2): q61 samples
+    * under externally fixed weights; this derives the weights from the
+    * data the way multilingual/multi-source training mixtures are
+    * actually set (public technique: sampling probability ∝ n^τ — the
+    * flattening exponent of the multilingual-BERT / XLM-R exposure
+    * correction). Per source: natural token share, temperature share
+    * ∝ √src_tok, the token target under a budget of half the corpus,
+    * and the epochs factor (target/size — how many times a low-resource
+    * source repeats; the over/under-sampling number a mixture review
+    * reads). τ = 1/2 is the one temperature expressible without the
+    * banned `pow` (IEEE `sqrt` is exact in both engines); the √ is
+    * quantized to fixed-point 1/1000ths BEFORE summation so the weight
+    * normalizer is an integer sum (order-insensitive — a raw double Σ
+    * would diverge between engines), and every division is a single
+    * IEEE double op or integer `div`.
+    *
+    * Scale shape: one map-side token-count agg to ≤|sources| rows; the
+    * single-row totals frame broadcast-joins back. Integer headroom:
+    * (tot_tok div 2) · wq needs tot_tok · √tot_tok · 10³ < 2⁶³ —
+    * fine to ~10¹³ tokens; past that the products graduate to
+    * DECIMAL(38) (the q63 rule).
+    */
+  val qMixturePlanner: QuerySpec = QuerySpec(
+    "q132_mixture_planner",
+    (s, dir) => {
+      val perSrc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("wq",
+          floor(sqrt(col("src_tok").cast("double")) * lit(1000.0d)).cast("long"))
+      val tot = perSrc.agg(sum(col("src_tok")).as("tot_tok"),
+        sum(col("wq")).as("wq_sum"))
+      perSrc.crossJoin(tot) // tot is one row — broadcast by construction
+        .withColumn("natural_share",
+          col("src_tok").cast("double") / col("tot_tok").cast("double"))
+        .withColumn("temp_share",
+          col("wq").cast("double") / col("wq_sum").cast("double"))
+        .withColumn("target_tok", expr("((tot_tok div 2) * wq) div wq_sum"))
+        .withColumn("epochs",
+          col("target_tok").cast("double") / col("src_tok").cast("double"))
+        .select(col("source"), col("src_tok"), col("natural_share"),
+          col("temp_share"), col("target_tok"), col("epochs"))
+    },
+    Some(s"""WITH t AS (SELECT source,
+            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            |  FROM documents),
+            | ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+            |  FROM t GROUP BY source),
+            | w AS (SELECT source, src_tok,
+            |   CAST(floor(sqrt(CAST(src_tok AS DOUBLE)) * 1000.0) AS BIGINT)
+            |    AS wq FROM ps),
+            | tot AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS tot_tok,
+            |   CAST(SUM(wq) AS BIGINT) AS wq_sum FROM w)
+            | SELECT source, src_tok,
+            |  CAST(src_tok AS DOUBLE) / CAST(tot_tok AS DOUBLE) AS natural_share,
+            |  CAST(wq AS DOUBLE) / CAST(wq_sum AS DOUBLE) AS temp_share,
+            |  CAST(((tot_tok // 2) * wq) // wq_sum AS BIGINT) AS target_tok,
+            |  CAST(((tot_tok // 2) * wq) // wq_sum AS DOUBLE)
+            |   / CAST(src_tok AS DOUBLE) AS epochs
+            | FROM w, tot""".stripMargin.replaceAll("\n", "")))
+
   /** q62 — deterministic training shuffle: give every document a
     * reproducible pseudo-random position in one of 4096 shards — the
     * global-shuffle layout step between curation and sequence packing
@@ -1257,7 +1319,7 @@ object Corpus {
 
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
-    qGroupedTopK, qSequencePack, qMixtureSample, qShardShuffle,
+    qGroupedTopK, qSequencePack, qMixtureSample, qMixturePlanner, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram)

@@ -893,6 +893,58 @@ object Dedup {
             | FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id"""
       .stripMargin.replaceAll("\n", "")))
 
+  /** q131 — quality-keeper dedup collapse: q86 chooses each near-dup
+    * cluster's survivor by MINIMUM doc_id (the label itself); a real
+    * curation pass keeps the BEST copy — the cluster member with the
+    * highest q80 quality score (tiebreak lowest doc_id, so the choice
+    * is a total deterministic order). Output: every document with its
+    * score, its quality-chosen canonical id (itself when unclustered),
+    * and the survivor flag — `filter(kept = 1)` is the deduplicated
+    * corpus with per-cluster best copies retained.
+    *
+    * Scale shape: one map-side scoring pass (the codegen'd q80 kernel
+    * [[graft.functions.HashedLinearScore]] — no second text pipeline),
+    * the flushed [[DupGraph]] label store (CC cost paid once per
+    * corpus), a struct-ordered `max_by` over CLUSTERED docs only
+    * (map-side partial argmax, no corpus window), and one left join of
+    * the corpus against the clustered-docs-sized keeper map.
+    */
+  val qQualityCollapse: QuerySpec = QuerySpec(
+    "q131_quality_collapse",
+    (s, dir) => {
+      val scored = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(graft.functions.HashedLinearScore(col("text"),
+            TextAnalysis.ClassifierModulus), 1).as("score"))
+      val labels = DupGraph.labels(s, dir).withColumnRenamed("u", "doc_id")
+      val keepers = scored.join(labels, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(max_by(col("doc_id"),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("keeper_id"))
+      scored.join(labels, Seq("doc_id"), "left")
+        .join(keepers, Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("score"),
+          coalesce(col("keeper_id"), col("doc_id")).as("canonical_id"))
+        .withColumn("kept",
+          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+    },
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+            |  FROM reach GROUP BY u),
+            | ${TextAnalysis.classifierScoreCtes},
+            | kp AS (SELECT cluster_id, doc_id AS keeper_id FROM (
+            |   SELECT cl.cluster_id, sc.doc_id,
+            |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+            |     ORDER BY sc.score DESC, sc.doc_id) AS rn
+            |   FROM cl JOIN sc ON cl.doc_id = sc.doc_id) WHERE rn = 1)
+            | SELECT sc.doc_id, sc.score,
+            |  COALESCE(kp.keeper_id, sc.doc_id) AS canonical_id,
+            |  CASE WHEN sc.doc_id = COALESCE(kp.keeper_id, sc.doc_id)
+            |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM sc LEFT JOIN cl ON sc.doc_id = cl.doc_id
+            |  LEFT JOIN kp ON cl.cluster_id = kp.cluster_id"""
+      .stripMargin.replaceAll("\n", "")))
+
   /** q91 — LSH band-occupancy report: per band, the bucket count, the
     * heaviest bucket, and the candidate-pair volume Σ C(occ, 2) the band
     * contributes to q23's self-join — the skew guard you MONITOR before
@@ -1352,5 +1404,5 @@ object Dedup {
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
-    qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes)
+    qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse)
 }

@@ -74,6 +74,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q130_substring_remove pair evidence comes only from equi-joins") {
+    withStaticPlans {
+      val bad = Dedup.qSubstringRemove.build(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+        }
+      assert(bad.isEmpty,
+        s"q130 gained ${bad.size} non-equi join(s) — an all-pairs surface")
+    }
+  }
+
+  test("q131_quality_collapse picks keepers by aggregation, never a corpus window") {
+    withStaticPlans {
+      val plan = Dedup.qQualityCollapse.build(spark, dir)
+        .queryExecution.executedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"q131 gained ${wins.size} window(s) — the keeper argmax must stay a max_by agg")
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }
+      assert(bad.isEmpty, s"q131 gained ${bad.size} cartesian join(s)")
+    }
+  }
+
   test("q123_curriculum windows run over the histogram summary, never the corpus") {
     withStaticPlans {
       val wins = Curation.qCurriculum.build(spark, dir)
