@@ -609,19 +609,30 @@ object Dedup {
     * span repeated inside one document matches on every diagonal it
     * extends.
     */
-  /** The q117/q119 positioned-span match: every (d1, d2, p1, p2) where
-    * the two documents share one rare 8-word span at those word
-    * positions. Occurrence-df capped (bounds per-hash join fan-out at
-    * MaxSpanDf²); candidates only from the span-hash equi-join.
+  /** Positioned span rows of a corpus: (doc_id, pos, h) — every 8-word
+    * span occurrence with its 0-based word position. Shared by the
+    * batch match join below and the streaming substring-dedup store
+    * ([[graft.streaming.CleanStream]]), so stream and batch can never
+    * disagree about what a positioned span is.
     */
-  private[graft] def spanPosMatches(docs: DataFrame): DataFrame = {
-    val sp = docs
-      .select(col("doc_id"),
+  private[graft] def spanPosRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(WordShingles(col("text"), SpanWords)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         PolyHash(col("col")).as("h"))
+
+  /** The q117/q119 positioned-span match: every (d1, d2, p1, p2) where
+    * the two documents share one rare 8-word span at those word
+    * positions. Occurrence-df capped (bounds per-hash join fan-out at
+    * maxDf²); candidates only from the span-hash equi-join. `maxDf` is
+    * parameterized for the stream-equivalence spec (cap off); gated
+    * queries always use [[MaxSpanDf]].
+    */
+  private[graft] def spanPosMatches(
+      docs: DataFrame, maxDf: Long = MaxSpanDf): DataFrame = {
+    val sp = spanPosRows(docs)
     val rare = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxSpanDf).select(col("h"))
+      .filter(col("df") <= maxDf).select(col("h"))
     val filtered = sp.join(rare, Seq("h"))
     filtered.alias("a")
       .join(filtered.alias("b"),
@@ -754,30 +765,36 @@ object Dedup {
     * holder keeps the text). Output: every document with its token
     * count, removed-token count, and the spliced text.
     */
-  private[graft] def substringRemove(docs: DataFrame, minWords: Int): DataFrame = {
+  /** Match rows (d1, d2, p1, p2) → per-d2-doc distinct removal-position
+    * lists (doc_id, rpos): diagonal islands ≥ minWords, d2-side extent
+    * [s1 − diag, e1 − diag + SpanWords − 1] exploded and distinct-
+    * collapsed (overlapping extents, and the same passage shared with
+    * several earlier docs, never double-count). Shared verbatim by the
+    * batch q130 and the streaming [[graft.streaming.CleanStream]].
+    */
+  private[graft] def removalPositions(m: DataFrame, minWords: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
-    // maximal contiguous shared runs (the q117 diagonal islands), kept
-    // only at ≥ minWords; the d2-side extent covers word positions
-    // [s1 − diag, e1 − diag + SpanWords − 1]
-    val ext = spanPosMatches(docs)
-      .withColumn("diag", col("p1") - col("p2"))
+    m.withColumn("diag", col("p1") - col("p2"))
       .withColumn("grp", col("p1") - row_number().over(w).cast("long"))
       .groupBy(col("d1"), col("d2"), col("diag"), col("grp"))
       .agg(min(col("p1")).as("s1"), max(col("p1")).as("e1"))
       .filter(col("e1") - col("s1") + SpanWords >= minWords)
-    // distinct removal positions per doc — overlapping extents (and the
-    // same passage shared with several earlier docs) never double-count
-    val rpos = ext.select(col("d2").as("doc_id"),
+      .select(col("d2").as("doc_id"),
         explode(sequence(col("s1") - col("diag"),
           col("e1") - col("diag") + lit(SpanWords - 1))).as("wp"))
       .distinct()
       .groupBy(col("doc_id")).agg(collect_list(col("wp")).as("rpos"))
-    // splice: filter tokens by position. Join fan-in is bounded by the
-    // per-doc removal list (≤ doc length); docs without removals pass
-    // through the null branch. split/array_join on ' ' round-trips any
-    // text exactly (empty tokens preserve runs of spaces), so the
-    // untouched-doc output is byte-identical to the input.
+  }
+
+  /** Splice the removal positions out of each document's token stream —
+    * the rewrite half of q130, shared with the stream. Join fan-in is
+    * bounded by the per-doc removal list (≤ doc length); docs without
+    * removals pass through the null branch. split/array_join on ' '
+    * round-trips any text exactly (empty tokens preserve runs of
+    * spaces), so the untouched-doc output is byte-identical.
+    */
+  private[graft] def spliceTokens(docs: DataFrame, rpos: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
       .join(rpos, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -787,7 +804,11 @@ object Dedup {
           filter(col("tk"), (_, i) =>
             col("rpos").isNull || !array_contains(col("rpos"), i.cast("long"))),
           " ").as("clean_text"))
-  }
+
+  private[graft] def substringRemove(
+      docs: DataFrame, minWords: Int,
+      maxDf: Long = MaxSpanDf): DataFrame =
+    spliceTokens(docs, removalPositions(spanPosMatches(docs, maxDf), minWords))
 
   /** q130 — substring-removal REWRITE: the operator a curation pipeline
     * runs after reading q117's extent report (Lee et al. 2021's removal

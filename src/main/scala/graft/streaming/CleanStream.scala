@@ -1,0 +1,150 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import graft.sources.Bucketed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming substring-dedup — the dedup-on-ingest form of q130's batch
+  * rewrite: documents arrive continuously, each micro-batch's new
+  * documents are spliced against extents (≥ `minWords` words) they
+  * share with ALREADY-INGESTED documents (and with lower-doc_id
+  * documents in the same batch), the cleaned rows are handed to the
+  * caller, and the batch's ORIGINAL positioned spans are appended to a
+  * persisted store. The keeper rule is FIRST ARRIVAL: whoever brought a
+  * passage first keeps it verbatim; every later copy is removed — the
+  * arrival-order analog of batch q130's lowest-doc_id rule (ingesting
+  * in doc_id order makes the two IDENTICAL, which CleanStreamSpec pins
+  * bit-exactly against `Dedup.substringRemove` through the SHARED
+  * `removalPositions`/`spliceTokens` code path).
+  *
+  * The store holds ORIGINAL spans, not cleaned ones: the keeper's text
+  * is intact by construction, and matching later arrivals against the
+  * original keeps the removal decision independent of how the stream
+  * was chunked into batches.
+  *
+  * Scale shape: per trigger, the probe joins the admission-bounded
+  * batch's positioned spans against the h-BUCKETED store (exchange-free
+  * on the store side), the in-batch self-join is batch-sized, the
+  * extent windows run over candidate rows only, and the splice is one
+  * pass over the batch. The doc-id manifest makes replay a no-op
+  * (at-least-once foreachBatch): a replayed batch cleans nothing and
+  * appends nothing. Spans append before the manifest commits — the
+  * SpanStream crash-window choice (duplication is recoverable via
+  * [[compact]]'s DISTINCT rewrite; loss would not be).
+  *
+  * No df cap on the probe: the batch store's cap is a corpus-global
+  * skew guard, but a stream cannot know a span's final df — capping
+  * against history would admit early copies of ubiquitous boilerplate
+  * and then drift from the batch semantics forever. The store-side
+  * fan-out per hash is instead bounded by ingest order: every stored
+  * occurrence of a hash joins only against the CURRENT batch's
+  * occurrences of it. A production deployment would add a hot-hash
+  * tombstone list (drop spans whose stored df exceeds a bound from the
+  * probe AND from removal) — noted, not implemented, because it
+  * changes removal semantics.
+  */
+object CleanStream {
+
+  val Buckets = 16
+
+  final case class Store(posTable: String, docTable: String)
+
+  /** Create (or overwrite) an empty positioned-span store. */
+  def build(s: SparkSession, tag: String): Store = {
+    import s.implicits._
+    val t = Store(s"graft_clean_$tag", s"graft_clean_docs_$tag")
+    Bucketed.dropStale(s, t.posTable)
+    Bucketed.dropStale(s, t.docTable)
+    Bucketed.write(Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "h"),
+      t.posTable, Buckets, "h")
+    Bucketed.write(Seq.empty[Long].toDF("doc_id"),
+      t.docTable, Buckets, "doc_id")
+    t
+  }
+
+  /** Process one batch: clean its NEW docs against the store + earlier
+    * in-batch docs, return the materialized cleaned frame (empty for a
+    * fully-replayed batch), and ingest the originals. The returned
+    * frame is collected BEFORE the store append — a lazy frame consumed
+    * after it would re-probe the post-append store and self-match every
+    * doc (the ChunkStream report lesson).
+    */
+  def cleanAndIngest(s: SparkSession, t: Store, docs: DataFrame,
+      minWords: Int): DataFrame = {
+    val newDocs = docs.select(col("doc_id"), col("text"))
+      .join(s.table(t.docTable), Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      if (newDocs.limit(1).count() == 0) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, String)]
+          .toDF("doc_id", "n_tokens_before", "n_removed", "clean_text")
+      } else {
+        val spNew = Dedup.spanPosRows(newDocs)
+        // keeper side (d1): stored docs — first arrivals — plus
+        // lower-doc_id docs of this same batch (the in-batch tiebreak
+        // that keeps the result independent of batch chunking when
+        // ingesting in id order)
+        val stored = s.table(t.posTable)
+        val m = stored.alias("a")
+          .join(spNew.alias("b"), col("a.h") === col("b.h")
+            && col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.pos").as("p1"), col("b.pos").as("p2"))
+          .union(spNew.alias("a")
+            .join(spNew.alias("b"), col("a.h") === col("b.h")
+              && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+              col("a.pos").as("p1"), col("b.pos").as("p2")))
+        val cleanedPlan = Dedup.spliceTokens(
+          newDocs, Dedup.removalPositions(m, minWords))
+        val cleaned = s.createDataFrame(
+          java.util.Arrays.asList(cleanedPlan.collect(): _*),
+          cleanedPlan.schema)
+        spNew.write.bucketBy(Buckets, "h").sortBy("h")
+          .mode("append").saveAsTable(t.posTable)
+        newDocs.select(col("doc_id"))
+          .write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
+          .mode("append").saveAsTable(t.docTable)
+        // appends ran on the frame's bound session; refresh the
+        // coordinating session's relation caches (the ChunkStream rule)
+        s.catalog.refreshTable(t.posTable)
+        s.catalog.refreshTable(t.docTable)
+        cleaned
+      }
+    } finally newDocs.unpersist()
+  }
+
+  /** Heal crash-window duplicate rows and collapse per-trigger append
+    * files (DISTINCT rewrite, one file set per bucket).
+    */
+  def compact(s: SparkSession, t: Store): Unit = {
+    Bucketed.compactDistinct(s, t.posTable, Buckets, "h")
+    Bucketed.compactDistinct(s, t.docTable, Buckets, "doc_id")
+  }
+
+  /** The incremental front door: per micro-batch, clean + ingest;
+    * `onBatch` receives the materialized cleaned frame of each
+    * non-empty batch. Periodic compaction first, the ChunkStream
+    * cadence.
+    */
+  def startIncremental(spark: SparkSession, docs: DataFrame, store: Store,
+      minWords: Int, checkpointDir: String, onBatch: DataFrame => Unit,
+      compactEvery: Int = 0): StreamingQuery = {
+    Bucketed.recover(spark, store.posTable)
+    Bucketed.recover(spark, store.docTable)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          compact(spark, store)
+        if (batch.limit(1).count() > 0) {
+          val cleaned = cleanAndIngest(spark, store, batch, minWords)
+          if (!cleaned.isEmpty) onBatch(cleaned)
+        }
+      }
+      .start()
+  }
+}
