@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    processed messages over the drain wall-clock (no failure
   *    injection — this number isolates shuffle + state overhead; retry
   *    semantics are the specs' business).
+  *  - `clean_ingest_rows_per_sec`: the streaming substring-dedup front
+  *    door ([[graft.streaming.CleanStream]]) ingesting the sf0.001
+  *    corpus in micro-batches — docs/s through probe → extent →
+  *    splice → store append, the heaviest per-trigger path of the
+  *    ingest twins (the deterministic rows count doubles as a loss
+  *    check, like the other legs).
   *
   * Numbers carry the same ±20% host-variance caveat as the batch table;
   * they are trend indicators, not gates.
@@ -109,6 +115,37 @@ object StreamBench {
       val rows = spark.table(sink).count()
       require(rows == n.toLong, s"ordered leg processed $rows of $n messages")
       InMemoryBroker.deleteTopic(in.name)
+      (rows, sec)
+    }
+
+    leg("clean_ingest") {
+      import graft.streaming.{CleanStream, Sources}
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val store = CleanStream.build(spark, s"sbench_$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String)](spark)
+      val t0 = System.nanoTime()
+      val query = CleanStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "text"), store,
+        minWords = 20, ckpt, onBatch = _ => ())
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(store.docTable).count()
+      graft.sources.Bucketed.dropStale(spark, store.posTable)
+      graft.sources.Bucketed.dropStale(spark, store.docTable)
+      require(rows == docs.length.toLong,
+        s"clean-ingest leg manifested $rows of ${docs.length} docs")
       (rows, sec)
     }
 
