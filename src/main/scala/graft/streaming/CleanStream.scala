@@ -32,7 +32,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * (at-least-once foreachBatch): a replayed batch cleans nothing and
   * appends nothing. Spans append before the manifest commits — the
   * SpanStream crash-window choice (duplication is recoverable via
-  * [[compact]]'s DISTINCT rewrite; loss would not be).
+  * [[compact]]'s DISTINCT rewrite; loss would not be). In that window
+  * (spans committed, manifest not) the replay re-runs the batch against
+  * a stored side stripped of the batch's own spans, so it emits the
+  * SAME cleaned rows as the crashed attempt and the duplicate span
+  * rows heal at the next compact.
   *
   * No df cap on the probe: the batch store's cap is a corpus-global
   * skew guard, but a stream cannot know a span's final df — capping
@@ -86,8 +90,23 @@ object CleanStream {
         // keeper side (d1): stored docs — first arrivals — plus
         // lower-doc_id docs of this same batch (the in-batch tiebreak
         // that keeps the result independent of batch chunking when
-        // ingesting in id order)
+        // ingesting in id order).
+        //
+        // Crash-window guard: if a prior attempt of THIS batch appended
+        // its spans but died before the manifest commit, the replayed
+        // batch's own spans are already in posTable — anti-join the
+        // stored side against the batch's doc_ids so in-batch pairs
+        // never enter the cross-store leg in BOTH orientations (which
+        // would splice the first-arrival keeper's passage too). The
+        // distinct() tolerates pre-compaction duplicate span rows from
+        // the same window for OLDER docs (duplicated match rows would
+        // corrupt removalPositions' row_number island grouping). Both
+        // are no-ops on the clean path: the anti-join's probe side is
+        // the admission-bounded batch (broadcast), and the distinct
+        // runs exchange-free on the h-bucketed scan.
         val stored = s.table(t.posTable)
+          .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .distinct()
         val m = stored.alias("a")
           .join(spNew.alias("b"), col("a.h") === col("b.h")
             && col("a.doc_id") =!= col("b.doc_id"))

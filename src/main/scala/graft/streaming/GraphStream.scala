@@ -38,11 +38,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Scale shape: per trigger, everything is bounded by the batch and the
   * touched components — the new-edge anti-join probes the u-bucketed
   * ledger exchange-free, touched cluster ids ride as a driver literal
-  * (bounded by 2·|batch pairs|, the admission-bounded q60b discipline;
-  * a deployment with giant batches would swap the literal for a
-  * broadcast semi-join), and the CC pass runs over star+batch edges,
-  * never the whole graph. Label reads cost one latest-per-key
-  * reduction, collapsed by [[compact]] on the maintenance cadence.
+  * (bounded by 2·|batch pairs|, the admission-bounded q60b discipline)
+  * up to [[DefaultLiteralThreshold]] and as a broadcast semi-join past
+  * it (so a misconfigured admission bound cannot blow the driver), and
+  * the CC pass runs over star+batch edges, never the whole graph.
+  * Label reads cost one latest-per-key reduction, collapsed by
+  * [[compact]] on the maintenance cadence.
   */
 object GraphStream {
 
@@ -54,6 +55,7 @@ object GraphStream {
   def build(s: SparkSession, tag: String): Store = {
     import s.implicits._
     val t = Store(s"graft_graph_$tag", s"graft_graph_labels_$tag")
+    genCounters.remove(t.labelTable)
     Bucketed.dropStale(s, t.edgeTable)
     Bucketed.dropStale(s, t.labelTable)
     Bucketed.write(Seq.empty[(Long, Long)].toDF("u", "v"),
@@ -73,13 +75,45 @@ object GraphStream {
       .groupBy(col("doc_id"))
       .agg(max_by(col("cluster_id"), col("gen")).as("cluster_id"))
 
-  /** Ingest one batch of verified pairs at generation `gen` (strictly
-    * increasing across calls; foreachBatch's batchId). Idempotent: a
-    * replayed batch's pairs anti-join the ledger and relabel nothing —
-    * unless a prior crash lost the ledger append, in which case the
-    * relabel recomputes byte-equal labels (see the class contract).
+  // Append generations are derived from the STORE, never trusted from
+  // the caller: foreachBatch's batchId resets to 0 when a stream is
+  // restarted against an existing store with a fresh checkpoint
+  // directory, which would make labels()' max_by(cluster_id, gen)
+  // prefer stale pre-restart labels over new merge results. One counter
+  // per label table, seeded from max(gen)+1 on first touch (one
+  // bucketed column scan per JVM, not per trigger), strictly increasing
+  // thereafter — monotonicity survives compact()'s rewrite-to-gen-0
+  // because the counter only ever moves forward.
+  private val genCounters = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+
+  private def nextGen(s: SparkSession, t: Store): Long =
+    genCounters.getOrElseUpdate(t.labelTable, {
+      val mx = s.table(t.labelTable)
+        .agg(coalesce(max(col("gen")), lit(-1L))).first().getLong(0)
+      new java.util.concurrent.atomic.AtomicLong(mx)
+    }).incrementAndGet()
+
+  /** Test hook: forget the in-memory generation counter, simulating a
+    * coordinating-JVM restart (the counter re-seeds from the table).
     */
-  def ingest(s: SparkSession, t: Store, pairs: DataFrame, gen: Long): Unit = {
+  private[graft] def forgetGen(t: Store): Unit = genCounters.remove(t.labelTable)
+
+  /** Above this many touched cluster ids, the driver literal swaps for
+    * a broadcast semi-join — the giant-batch fallback that keeps a
+    * misconfigured admission bound from blowing the driver with an
+    * isin literal while still leaving the label side exchange-free.
+    */
+  val DefaultLiteralThreshold = 4096
+
+  /** Ingest one batch of verified pairs at the next store generation.
+    * Idempotent: a replayed batch's pairs anti-join the ledger and
+    * relabel nothing — unless a prior crash lost the ledger append, in
+    * which case the relabel recomputes byte-equal labels at a higher
+    * gen (see the class contract).
+    */
+  def ingest(s: SparkSession, t: Store, pairs: DataFrame,
+      literalThreshold: Int = DefaultLiteralThreshold): Unit = {
     val canon = pairs.toDF("d1", "d2")
       .select(least(col("d1"), col("d2")).as("u"),
         greatest(col("d1"), col("d2")).as("v"))
@@ -87,26 +121,38 @@ object GraphStream {
     val newEdges = canon
       .join(s.table(t.edgeTable), Seq("u", "v"), "left_anti").persist()
     try if (newEdges.limit(1).count() > 0) {
+      val gen = nextGen(s, t)
       val lbl = labels(s, t)
       val endpoints = newEdges.select(col("u").as("doc_id"))
         .union(newEdges.select(col("v"))).distinct()
-      val touched = endpoints.join(lbl, Seq("doc_id"))
-        .select(col("cluster_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      val touchedDf = endpoints.join(lbl, Seq("doc_id"))
+        .select(col("cluster_id")).distinct().persist()
       // affected subgraph: label-stars of touched clusters + new edges,
-      // symmetrized for the CC kernel
+      // symmetrized for the CC kernel. Touched ids ride as a driver
+      // literal (partition-filterable, label side untouched) up to the
+      // threshold; past it they stay distributed as a broadcast
+      // semi-join (label side still exchange-free).
+      val touchedSample = touchedDf.limit(literalThreshold + 1).collect()
       val stars =
-        if (touched.isEmpty) newEdges.limit(0).toDF("u", "v")
-        else lbl.filter(col("cluster_id").isInCollection(touched))
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id").as("u"), col("cluster_id").as("v"))
+        if (touchedSample.isEmpty) newEdges.limit(0).toDF("u", "v")
+        else if (touchedSample.length <= literalThreshold) {
+          val touched = touchedSample.map(_.getLong(0)).toSeq
+          lbl.filter(col("cluster_id").isInCollection(touched))
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("u"), col("cluster_id").as("v"))
+        } else
+          lbl.join(broadcast(touchedDf), Seq("cluster_id"), "left_semi")
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id").as("u"), col("cluster_id").as("v"))
       val half = stars.union(newEdges)
       val sym = half.union(half.select(col("v"), col("u"))).toDF("u", "v")
-      val (merged, _) = Dedup.connectedComponents(
-        s, sym, scratchTag = s"graphstream-${t.edgeTable}")
-      merged.toDF("doc_id", "cluster_id").withColumn("gen", lit(gen))
-        .write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
-        .mode("append").saveAsTable(t.labelTable)
+      try {
+        val (merged, _) = Dedup.connectedComponents(
+          s, sym, scratchTag = s"graphstream-${t.edgeTable}")
+        merged.toDF("doc_id", "cluster_id").withColumn("gen", lit(gen))
+          .write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
+          .mode("append").saveAsTable(t.labelTable)
+      } finally touchedDf.unpersist()
       newEdges
         .write.bucketBy(Buckets, "u").sortBy("u")
         .mode("append").saveAsTable(t.edgeTable)
@@ -155,7 +201,7 @@ object GraphStream {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compact(spark, store)
         if (batch.limit(1).count() > 0)
-          ingest(spark, store, batch, batchId)
+          ingest(spark, store, batch)
       }
       .start()
   }

@@ -62,6 +62,58 @@ class CleanStreamSpec extends AnyFunSuite with SparkTestSession {
       "replayed docs appended span rows")
   }
 
+  test("crash window (spans committed, manifest not) replays to the first attempt's clean") {
+    import spark.implicits._
+    val p = "one two three four five six seven eight nine ten"
+    val batch = Seq((5L, p), (10L, p))
+    // reference: the same batch through an un-crashed store — in-batch
+    // keeper is the lower doc_id
+    val ref = CleanStream.build(spark, "specref")
+    val expected = rows(CleanStream.cleanAndIngest(
+      spark, ref, batch.toDF("doc_id", "text"), minWords = 8))
+    assert(expected == Seq((5L, 10L, 0L, p), (10L, 10L, 10L, "")),
+      "sanity: the lower doc_id keeps the in-batch passage")
+
+    // crashed store: a prior attempt appended the batch's spans but
+    // died before the manifest commit — the replay must not let the
+    // batch's own stored spans emit BOTH pair orientations (which
+    // would splice the keeper too)
+    val store = CleanStream.build(spark, "speccrash")
+    Dedup.spanPosRows(batch.toDF("doc_id", "text"))
+      .write.bucketBy(CleanStream.Buckets, "h").sortBy("h")
+      .mode("append").saveAsTable(store.posTable)
+    spark.catalog.refreshTable(store.posTable)
+    val replayed = rows(CleanStream.cleanAndIngest(
+      spark, store, batch.toDF("doc_id", "text"), minWords = 8))
+    assert(replayed == expected,
+      "crash-window replay diverged — the keeper lost its passage")
+    // the window's duplicate span rows heal at compact
+    CleanStream.compact(spark, store)
+    assert(spark.table(store.posTable).count() ==
+      spark.table(ref.posTable).count(),
+      "compact must collapse the crash window's duplicate span rows")
+  }
+
+  test("pre-compaction duplicate stored spans do not fragment removal extents") {
+    import spark.implicits._
+    val p = "aa bb cc dd ee ff gg hh ii jj"
+    val store = CleanStream.build(spark, "specdup")
+    CleanStream.cleanAndIngest(spark, store,
+      Seq((1L, p)).toDF("doc_id", "text"), minWords = 10)
+    // crash-window double append for the ALREADY-MANIFESTED doc:
+    // without the distinct() on the stored probe side, the duplicated
+    // match rows split the row_number islands and the 10-word extent
+    // falls below minWords — the copy silently keeps the passage
+    Dedup.spanPosRows(Seq((1L, p)).toDF("doc_id", "text"))
+      .write.bucketBy(CleanStream.Buckets, "h").sortBy("h")
+      .mode("append").saveAsTable(store.posTable)
+    spark.catalog.refreshTable(store.posTable)
+    val second = rows(CleanStream.cleanAndIngest(
+      spark, store, Seq((2L, p)).toDF("doc_id", "text"), minWords = 10))
+    assert(second == Seq((2L, 10L, 10L, "")),
+      "duplicate stored span rows fragmented the removal extent")
+  }
+
   test("first arrival keeps the passage, even with the higher doc_id") {
     import spark.implicits._
     val store = CleanStream.build(spark, "specord")

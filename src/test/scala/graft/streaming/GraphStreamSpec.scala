@@ -53,7 +53,7 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestSession {
     val edgesBefore = spark.table(store.edgeTable).count()
     val logBefore = spark.table(store.labelTable).count()
     GraphStream.ingest(spark, store,
-      pairs.take(5).toDF("doc_id_1", "doc_id_2"), gen = 999L)
+      pairs.take(5).toDF("doc_id_1", "doc_id_2"))
     assert(spark.table(store.edgeTable).count() == edgesBefore,
       "replayed pairs entered the edge ledger")
     assert(spark.table(store.labelTable).count() == logBefore,
@@ -71,18 +71,62 @@ class GraphStreamSpec extends AnyFunSuite with SparkTestSession {
   test("a late edge merges two established clusters down to the global min id") {
     import spark.implicits._
     val store = GraphStream.build(spark, "specmerge")
-    GraphStream.ingest(spark, store, Seq((20L, 30L)).toDF("a", "b"), gen = 1L)
+    GraphStream.ingest(spark, store, Seq((20L, 30L)).toDF("a", "b"))
     assert(labelRows(GraphStream.labels(spark, store)) == Seq((20L, 20L), (30L, 20L)))
-    GraphStream.ingest(spark, store, Seq((40L, 50L)).toDF("a", "b"), gen = 2L)
+    GraphStream.ingest(spark, store, Seq((40L, 50L)).toDF("a", "b"))
     // the bridge merges both clusters; 20's cluster must relabel to 20
     // ... and a second bridge to a LOWER new node relabels everyone
-    GraphStream.ingest(spark, store, Seq((30L, 40L)).toDF("a", "b"), gen = 3L)
+    GraphStream.ingest(spark, store, Seq((30L, 40L)).toDF("a", "b"))
     assert(labelRows(GraphStream.labels(spark, store)) ==
       Seq((20L, 20L), (30L, 20L), (40L, 20L), (50L, 20L)),
       "bridged clusters must collapse to the min id across BOTH")
-    GraphStream.ingest(spark, store, Seq((10L, 50L)).toDF("a", "b"), gen = 4L)
+    GraphStream.ingest(spark, store, Seq((10L, 50L)).toDF("a", "b"))
     assert(labelRows(GraphStream.labels(spark, store)) ==
       Seq((10L, 10L), (20L, 10L), (30L, 10L), (40L, 10L), (50L, 10L)),
       "a lower-id late arrival must relabel every established member")
+  }
+
+  test("restart with a fresh checkpoint cannot rewind generations") {
+    import spark.implicits._
+    val store = GraphStream.build(spark, "specgen")
+    GraphStream.ingest(spark, store, Seq((20L, 30L)).toDF("a", "b"))
+    GraphStream.ingest(spark, store, Seq((40L, 50L)).toDF("a", "b"))
+    // compact rewrites the log to gen 0; a restarted coordinator
+    // (fresh JVM + fresh checkpoint dir → batchId back at 0) must still
+    // append ABOVE every stored generation, or max_by(cluster_id, gen)
+    // prefers the stale pre-restart labels
+    GraphStream.compact(spark, store)
+    GraphStream.forgetGen(store)
+    GraphStream.ingest(spark, store, Seq((30L, 40L)).toDF("a", "b"))
+    assert(labelRows(GraphStream.labels(spark, store)) ==
+      Seq((20L, 20L), (30L, 20L), (40L, 20L), (50L, 20L)),
+      "post-restart merge lost to stale labels — generation rewound")
+    // and WITHOUT the compact: counters re-seed from the live max
+    GraphStream.forgetGen(store)
+    GraphStream.ingest(spark, store, Seq((10L, 50L)).toDF("a", "b"))
+    assert(labelRows(GraphStream.labels(spark, store)) ==
+      Seq((10L, 10L), (20L, 10L), (30L, 10L), (40L, 10L), (50L, 10L)),
+      "re-seeded generation must beat the uncompacted label log")
+  }
+
+  test("literal and broadcast-semi-join star paths produce identical labels") {
+    import spark.implicits._
+    // chain batches so later ingests touch established clusters (stars
+    // non-empty), on two stores: one forced past the literal threshold
+    val batches = Seq(
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)),
+      Seq((2L, 3L), (6L, 7L)),
+      Seq((4L, 5L), (9L, 1L)))
+    val lit = GraphStream.build(spark, "speclit")
+    val bcast = GraphStream.build(spark, "specbcast")
+    batches.foreach { b =>
+      GraphStream.ingest(spark, lit, b.toDF("a", "b"))
+      GraphStream.ingest(spark, bcast, b.toDF("a", "b"), literalThreshold = 0)
+    }
+    val expect = labelRows(GraphStream.labels(spark, lit))
+    assert(expect.nonEmpty && expect.forall(_._2 == 1L),
+      "chained batches should collapse to one cluster rooted at 1")
+    assert(labelRows(GraphStream.labels(spark, bcast)) == expect,
+      "broadcast fallback diverged from the literal path")
   }
 }

@@ -69,7 +69,6 @@ strides = {
     "partkey": stride_of(part, "p_partkey"),
     "orderkey": stride_of(orders, "o_orderkey"),
     "event_id": stride_of(events, "event_id"),
-    "user_id": stride_of(events, "user_id"),
     "doc_id": stride_of(documents, "doc_id"),
     "vec_id": stride_of(embeddings, "vec_id"),
 }
@@ -81,7 +80,12 @@ KEY_COLS = {
     "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
     "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey",
                  "l_suppkey": "suppkey"},
-    "events": {"event_id": "event_id", "user_id": "user_id"},
+    # user_id is drawn from the CUSTOMER key space (q97 joins it against
+    # orders.o_custkey, q98 against customer.c_custkey) — it must tile
+    # with the custkey stride or every tile k>0's user_ids land inside
+    # tile 0's custkey range and the join fan-out concentrates T× onto
+    # low custkeys instead of being preserved per tile.
+    "events": {"event_id": "event_id", "user_id": "custkey"},
     "documents": {"doc_id": "doc_id"},
     "embeddings": {"vec_id": "vec_id"},
 }
