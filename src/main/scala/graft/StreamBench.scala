@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    splice → store append, the heaviest per-trigger path of the
   *    ingest twins (the deterministic rows count doubles as a loss
   *    check, like the other legs).
+  *  - `clean_ingest_capped_rows_per_sec`: the same leg with the
+  *    hot-hash tombstone guard on (`maxStoredDf = 25`) — the
+  *    throughput delta the bound buys/costs per trigger.
   *
   * Numbers carry the same ±20% host-variance caveat as the batch table;
   * they are trend indicators, not gates.
@@ -118,36 +121,43 @@ object StreamBench {
       (rows, sec)
     }
 
-    leg("clean_ingest") {
-      import graft.streaming.{CleanStream, Sources}
-      import spark.implicits._
-      val tag = System.nanoTime()
-      val srcDir = "/root/testdata/sf0.001"
-      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
-      val docs = Tables.load(spark, srcDir, "documents")
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val store = CleanStream.build(spark, s"sbench_$tag")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
-      val src = Sources.queue[(Long, String)](spark)
-      val t0 = System.nanoTime()
-      val query = CleanStream.startIncremental(
-        spark, src.toDS().toDF("doc_id", "text"), store,
-        minWords = 20, ckpt, onBatch = _ => ())
-      try {
-        docs.grouped(100).foreach { g =>
-          src.addData(g.toSeq)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val rows = spark.table(store.docTable).count()
-      graft.sources.Bucketed.dropStale(spark, store.posTable)
-      graft.sources.Bucketed.dropStale(spark, store.docTable)
-      require(rows == docs.length.toLong,
-        s"clean-ingest leg manifested $rows of ${docs.length} docs")
-      (rows, sec)
-    }
+    def cleanIngestLeg(name: String, maxStoredDf: Long): Unit =
+      leg(name) {
+        import graft.streaming.{CleanStream, Sources}
+        import spark.implicits._
+        val tag = System.nanoTime()
+        val srcDir = "/root/testdata/sf0.001"
+        require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+        val docs = Tables.load(spark, srcDir, "documents")
+          .select(col("doc_id"), col("text")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        val store = CleanStream.build(spark, s"sbench_$tag")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+        val src = Sources.queue[(Long, String)](spark)
+        val t0 = System.nanoTime()
+        val query = CleanStream.startIncremental(
+          spark, src.toDS().toDF("doc_id", "text"), store,
+          minWords = 20, ckpt, onBatch = _ => (), maxStoredDf = maxStoredDf)
+        try {
+          docs.grouped(100).foreach { g =>
+            src.addData(g.toSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rows = spark.table(store.docTable).count()
+        graft.sources.Bucketed.dropStale(spark, store.posTable)
+        graft.sources.Bucketed.dropStale(spark, store.docTable)
+        graft.sources.Bucketed.dropStale(spark, store.tombTable)
+        require(rows == docs.length.toLong,
+          s"$name leg manifested $rows of ${docs.length} docs")
+        (rows, sec)
+      }
+
+    // uncapped (exact batch-equivalent semantics) vs hot-hash-guarded:
+    // the delta is what the maxStoredDf bound buys/costs per trigger
+    cleanIngestLeg("clean_ingest", Long.MaxValue)
+    cleanIngestLeg("clean_ingest_capped", 25L)
 
     (metrics.toMap, errors.toMap)
   }

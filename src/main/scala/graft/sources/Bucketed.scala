@@ -105,14 +105,29 @@ object Bucketed {
       key: String, moreKeys: String*): Unit =
     compactImpl(s0, table, buckets, key, moreKeys, dedupe = true)
 
+  /** [[compactDistinct]] that additionally DROPS rows whose `key` value
+    * appears in `excludeTable` — the tombstone purge of
+    * [[graft.streaming.CleanStream]]'s hot-hash guard (tombstoned spans
+    * are excluded from every future probe, so carrying them is dead
+    * weight).
+    */
+  def compactDistinctExcluding(s0: SparkSession, table: String,
+      buckets: Int, key: String, excludeTable: String): Unit =
+    compactImpl(s0, table, buckets, key, Nil, dedupe = true,
+      exclude = Some(excludeTable))
+
   private def compactImpl(s0: SparkSession, table: String, buckets: Int,
-      key: String, moreKeys: Seq[String], dedupe: Boolean): Unit = {
+      key: String, moreKeys: Seq[String], dedupe: Boolean,
+      exclude: Option[String] = None): Unit = {
     val s = s0.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     recover(s, table) // a previous compact may have died mid-swap
     val tmp = s"${table}_compact"
     dropStale(s, tmp)
-    val src = if (dedupe) s.table(table).distinct() else s.table(table)
+    val base = exclude.fold(s.table(table))(ex =>
+      s.table(table).join(
+        s.table(ex).select(col(key)).distinct(), Seq(key), "left_anti"))
+    val src = if (dedupe) base.distinct() else base
     src.write.bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
     dropStale(s, table)

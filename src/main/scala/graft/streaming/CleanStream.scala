@@ -38,33 +38,51 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * SAME cleaned rows as the crashed attempt and the duplicate span
   * rows heal at the next compact.
   *
-  * No df cap on the probe: the batch store's cap is a corpus-global
-  * skew guard, but a stream cannot know a span's final df — capping
-  * against history would admit early copies of ubiquitous boilerplate
-  * and then drift from the batch semantics forever. The store-side
-  * fan-out per hash is instead bounded by ingest order: every stored
-  * occurrence of a hash joins only against the CURRENT batch's
-  * occurrences of it. A production deployment would add a hot-hash
-  * tombstone list (drop spans whose stored df exceeds a bound from the
-  * probe AND from removal) — noted, not implemented, because it
-  * changes removal semantics.
+  * No df cap on the DEFAULT probe: the batch store's cap is a
+  * corpus-global skew guard, but a stream cannot know a span's final
+  * df — capping against history would admit early copies of ubiquitous
+  * boilerplate and then drift from the batch semantics forever. The
+  * store-side fan-out per hash is instead bounded by ingest order:
+  * every stored occurrence of a hash joins only against the CURRENT
+  * batch's occurrences of it. What that leaves unbounded over the
+  * stream's LIFETIME is a ubiquitous span's stored occurrence list —
+  * every future batch occurrence of the hash joins against all of
+  * them. The opt-in `maxStoredDf` hot-hash guard closes that: once a
+  * span hash's stored occurrence count crosses the bound it is written
+  * to a TOMBSTONE list and excluded thereafter from the probe, from
+  * removal, and from the store append (and its stored rows are purged
+  * at the next [[compact]]) — so per-trigger probe fan-out per hash is
+  * bounded by maxStoredDf × batch occurrences, forever. This is an
+  * explicit SEMANTICS change, mirroring the batch cap discipline
+  * (ubiquitous boilerplate is noise, not dedup signal — the
+  * [[graft.operators.Dedup]] MaxSpanDf rationale): a later copy of a
+  * tombstoned passage is KEPT, which is why the default is off
+  * (`Long.MaxValue` ≡ the exact batch-equivalent semantics).
+  * Tombstones are detected AFTER the manifest commit; a crash in
+  * between re-detects at the hash's next batch appearance (the count
+  * is recomputed from the store, so the guard is self-healing, never
+  * lossy).
   */
 object CleanStream {
 
   val Buckets = 16
 
-  final case class Store(posTable: String, docTable: String)
+  final case class Store(posTable: String, docTable: String,
+      tombTable: String)
 
   /** Create (or overwrite) an empty positioned-span store. */
   def build(s: SparkSession, tag: String): Store = {
     import s.implicits._
-    val t = Store(s"graft_clean_$tag", s"graft_clean_docs_$tag")
+    val t = Store(s"graft_clean_$tag", s"graft_clean_docs_$tag",
+      s"graft_clean_tomb_$tag")
     Bucketed.dropStale(s, t.posTable)
     Bucketed.dropStale(s, t.docTable)
+    Bucketed.dropStale(s, t.tombTable)
     Bucketed.write(Seq.empty[(Long, Long, Long)].toDF("doc_id", "pos", "h"),
       t.posTable, Buckets, "h")
     Bucketed.write(Seq.empty[Long].toDF("doc_id"),
       t.docTable, Buckets, "doc_id")
+    Bucketed.write(Seq.empty[Long].toDF("h"), t.tombTable, Buckets, "h")
     t
   }
 
@@ -76,7 +94,8 @@ object CleanStream {
     * doc (the ChunkStream report lesson).
     */
   def cleanAndIngest(s: SparkSession, t: Store, docs: DataFrame,
-      minWords: Int): DataFrame = {
+      minWords: Int, maxStoredDf: Long = Long.MaxValue): DataFrame = {
+    val capped = maxStoredDf != Long.MaxValue
     val newDocs = docs.select(col("doc_id"), col("text"))
       .join(s.table(t.docTable), Seq("doc_id"), "left_anti")
       .persist()
@@ -86,7 +105,15 @@ object CleanStream {
         Seq.empty[(Long, Long, Long, String)]
           .toDF("doc_id", "n_tokens_before", "n_removed", "clean_text")
       } else {
-        val spNew = Dedup.spanPosRows(newDocs)
+        // hot-hash guard (opt-in): tombstoned hashes leave the pipeline
+        // here — batch side, stored side, and the store append all see
+        // the filtered frame, so a tombstoned span neither removes nor
+        // accumulates. With the knob off the plan is EXACTLY the
+        // uncapped one (no tombstone join at all).
+        val spNewAll = Dedup.spanPosRows(newDocs)
+        val spNew =
+          if (!capped) spNewAll
+          else spNewAll.join(s.table(t.tombTable), Seq("h"), "left_anti")
         // keeper side (d1): stored docs — first arrivals — plus
         // lower-doc_id docs of this same batch (the in-batch tiebreak
         // that keeps the result independent of batch chunking when
@@ -104,9 +131,12 @@ object CleanStream {
         // are no-ops on the clean path: the anti-join's probe side is
         // the admission-bounded batch (broadcast), and the distinct
         // runs exchange-free on the h-bucketed scan.
-        val stored = s.table(t.posTable)
+        val stored0 = s.table(t.posTable)
           .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .distinct()
+        val stored =
+          if (!capped) stored0
+          else stored0.join(s.table(t.tombTable), Seq("h"), "left_anti")
         val m = stored.alias("a")
           .join(spNew.alias("b"), col("a.h") === col("b.h")
             && col("a.doc_id") =!= col("b.doc_id"))
@@ -131,17 +161,52 @@ object CleanStream {
         // coordinating session's relation caches (the ChunkStream rule)
         s.catalog.refreshTable(t.posTable)
         s.catalog.refreshTable(t.docTable)
+        if (capped) {
+          // detect hashes whose STORED occurrence count just crossed the
+          // bound: count only over this batch's hashes (the store is
+          // h-bucketed → exchange-free group-by; a non-tombstoned hash
+          // holds ≤ maxStoredDf + batch rows, so this is bounded even
+          // for the hash that is about to go hot). Crash tolerance: the
+          // tombstone append is last — losing it just re-detects at the
+          // hash's next appearance; duplicates are impossible (anti-join
+          // below) short of a tombstone-append crash, which the probe's
+          // anti-join semantics absorb anyway.
+          //
+          // The probe hashes derive from the RAW batch frame, not from
+          // spNew: the refreshTable calls above invalidate every cached
+          // dataset that READS the store tables (spNew does, through
+          // newDocs' manifest anti-join), so spNew re-evaluated here
+          // would see its own docs manifested and collapse to empty.
+          // Raw-batch hashes may include replayed docs' — harmless, the
+          // counts come from the store and the tomb anti-join dedups.
+          val batchHashes = Dedup
+            .spanPosRows(docs.select(col("doc_id"), col("text")))
+            .select(col("h")).distinct()
+          val hot = s.table(t.posTable)
+            .join(batchHashes, Seq("h"), "left_semi")
+            .groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .filter(col("df") > maxStoredDf).select(col("h"))
+            .join(s.table(t.tombTable), Seq("h"), "left_anti")
+          hot.write.bucketBy(Buckets, "h").sortBy("h")
+            .mode("append").saveAsTable(t.tombTable)
+          s.catalog.refreshTable(t.tombTable)
+        }
         cleaned
       }
     } finally newDocs.unpersist()
   }
 
-  /** Heal crash-window duplicate rows and collapse per-trigger append
-    * files (DISTINCT rewrite, one file set per bucket).
+  /** Heal crash-window duplicate rows, collapse per-trigger append
+    * files (DISTINCT rewrite, one file set per bucket), and purge
+    * spans of tombstoned hashes (they can never be probed again).
     */
   def compact(s: SparkSession, t: Store): Unit = {
-    Bucketed.compactDistinct(s, t.posTable, Buckets, "h")
+    if (s.table(t.tombTable).limit(1).count() > 0)
+      Bucketed.compactDistinctExcluding(s, t.posTable, Buckets, "h",
+        t.tombTable)
+    else Bucketed.compactDistinct(s, t.posTable, Buckets, "h")
     Bucketed.compactDistinct(s, t.docTable, Buckets, "doc_id")
+    Bucketed.compactDistinct(s, t.tombTable, Buckets, "h")
   }
 
   /** The incremental front door: per micro-batch, clean + ingest;
@@ -151,16 +216,19 @@ object CleanStream {
     */
   def startIncremental(spark: SparkSession, docs: DataFrame, store: Store,
       minWords: Int, checkpointDir: String, onBatch: DataFrame => Unit,
-      compactEvery: Int = 0): StreamingQuery = {
+      compactEvery: Int = 0,
+      maxStoredDf: Long = Long.MaxValue): StreamingQuery = {
     Bucketed.recover(spark, store.posTable)
     Bucketed.recover(spark, store.docTable)
+    Bucketed.recover(spark, store.tombTable)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           compact(spark, store)
         if (batch.limit(1).count() > 0) {
-          val cleaned = cleanAndIngest(spark, store, batch, minWords)
+          val cleaned =
+            cleanAndIngest(spark, store, batch, minWords, maxStoredDf)
           if (!cleaned.isEmpty) onBatch(cleaned)
         }
       }
