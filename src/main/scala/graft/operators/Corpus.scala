@@ -1104,28 +1104,38 @@ object Corpus {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     },
-    Some {
-      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST((length(br) - length(replace(br, '[$t]', ''))) / ${t.length + 2} AS BIGINT) AS tf$i"
-      }.mkString(", ")
-      val dfCols = Bm25Terms.indices.map(i =>
-        s"COUNT(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
-      val scoreSum = Bm25Terms.indices.map(i =>
-        s"(CAST(tf$i * (2*n - 2*df$i + 1) * d AS DOUBLE) / " +
-          s"CAST((tf$i * d + dl * n) * (2*df$i + 1) AS DOUBLE))").mkString(" + ")
-      val anyTf = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
-      s"""WITH b AS (SELECT doc_id,
-         |   '[' || replace(text, ' ', '][') || ']' AS br FROM documents),
-         | pd AS (SELECT doc_id,
-         |   CAST((length(br) - length(replace(br, '][', ''))) / 2 + 1 AS BIGINT) AS dl,
-         |   $tfCols FROM b),
-         | st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS d,
-         |   $dfCols FROM pd)
-         | SELECT doc_id, $scoreSum AS score
-         | FROM pd, st WHERE $anyTf > 0
-         | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-        .replaceAll("\n", "")
-    })
+    Some(s"""WITH $bm25SqlCtes
+            | SELECT doc_id, $bm25ScoreSql AS score
+            | FROM pd, st WHERE $bm25AnyTfSql > 0
+            | ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q93's oracle CTEs (`b`/`pd`/`st`: bracketed text, per-doc tf/dl,
+    * one-row corpus stats) — shared with the q133 hybrid-fusion oracle.
+    */
+  private[graft] def bm25SqlCtes: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST((length(br) - length(replace(br, '[$t]', ''))) / ${t.length + 2} AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"COUNT(*) FILTER (WHERE tf$i > 0) AS df$i").mkString(", ")
+    s"""b AS (SELECT doc_id,
+       |   '[' || replace(text, ' ', '][') || ']' AS br FROM documents),
+       | pd AS (SELECT doc_id,
+       |   CAST((length(br) - length(replace(br, '][', ''))) / 2 + 1 AS BIGINT) AS dl,
+       |   $tfCols FROM b),
+       | st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS d,
+       |   $dfCols FROM pd)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** The rational BM25 score sum over `pd, st` columns (q93's oracle). */
+  private[graft] def bm25ScoreSql: String = Bm25Terms.indices.map(i =>
+    s"(CAST(tf$i * (2*n - 2*df$i + 1) * d AS DOUBLE) / " +
+      s"CAST((tf$i * d + dl * n) * (2*df$i + 1) AS DOUBLE))").mkString(" + ")
+
+  /** Any-term-matched filter expression (q93's oracle). */
+  private[graft] def bm25AnyTfSql: String =
+    Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
 
   /** q118 — per-language tokenizer fertility: tokens-per-word and
     * chars-per-token under the TRAINED BPE merges ([[ensureBpeMerges]]),

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Exact
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Serving-side retrieval composition over layouts the engine already
+  * maintains: reciprocal-rank fusion of the lexical (q93 BM25 over the
+  * q89 posting-list statistics) and dense (q26c clustered-IVF) top-k
+  * lists, and SemDeDup-style semantic dedup bounded by the trained
+  * clusters. Both are the operators a retrieval/curation stack runs
+  * directly on top of the BM25 statistics pass and the
+  * clustered-at-rest ANN layout — no new scans, no new layouts.
+  */
+object Retrieval {
+
+  /** Standard RRF smoothing constant (Cormack et al. 2009's k=60). */
+  private[graft] val RrfK = 60
+
+  /** lcm(61..70) — every fused rank contributes `RrfScale/(RrfK+rank)`
+    * as an EXACT BIGINT (ranks are ≤ 10 per list), so the fusion score
+    * is pure integer arithmetic: RRF is rational, and clearing the
+    * common denominator makes it log-free and bit-exact on both
+    * engines (the q93 rational-IDF discipline applied to rank fusion).
+    */
+  private[graft] val RrfScale = 142813628717760L
+
+  /** q133 — hybrid retrieval fusion: reciprocal-rank fusion of the
+    * lexical BM25 top-10 (q93) and the dense clustered-ANN top-10
+    * (q26c) for the same served request — the serving-side operator
+    * every hybrid retrieval stack runs over exactly these two layouts
+    * (posting-list stats + clustered vectors). Output: the fused
+    * top-10 with each side's rank (NULL when the doc appears in only
+    * one list) and the scaled integer RRF score.
+    *
+    * Scale shape: both inputs are existing TakeOrdered(10) plans (q93:
+    * one map-side corpus pass + a broadcast one-row stats join; q26c:
+    * a partition-pruned nprobe scan); ranking each is a window over 10
+    * rows, and the fusion is a full-outer join of two ≤10-row frames —
+    * the whole operator adds O(k) work on top of the two retrievals
+    * regardless of corpus size.
+    */
+  val qHybridRrf: QuerySpec = QuerySpec(
+    "q133_hybrid_rrf",
+    (s, dir) => {
+      val lex = Corpus.qBm25TopK.build(s, dir)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("lex_rank"))
+      val dense = Similarity.qAnnPruned.build(s, dir)
+        .withColumn("dense_rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id")))
+            .cast("long"))
+        .select(col("vec_id").as("doc_id"), col("dense_rank"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale div ($RrfK + dense_rank)"), lit(0L)))
+            .as("rrf_scaled"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH ${Corpus.bm25SqlCtes},
+            | lextop AS (SELECT doc_id, ${Corpus.bm25ScoreSql} AS score
+            |  FROM pd, st WHERE ${Corpus.bm25AnyTfSql} > 0
+            |  ORDER BY score DESC, doc_id LIMIT 10),
+            | lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (
+            |   ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+            |  FROM lextop),
+            | ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | ${Similarity.annQuerySqlCtes},
+            | dentop AS (${Similarity.annTopSql}),
+            | den AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER (
+            |   ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS dense_rank
+            |  FROM dentop)
+            | SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+            |  lex.lex_rank AS lex_rank, den.dense_rank AS dense_rank,
+            |  CAST(COALESCE($RrfScale // ($RrfK + lex.lex_rank), 0)
+            |   + COALESCE($RrfScale // ($RrfK + den.dense_rank), 0)
+            |   AS BIGINT) AS rrf_scaled
+            | FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
+            | ORDER BY rrf_scaled DESC, doc_id LIMIT 10""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** Cosine threshold for a "tight" semantic group — the q25 near-dup
+    * convention carried to the cluster-bounded pass.
+    */
+  private[graft] val SemTau = 0.3
+
+  /** q134 — semantic dedup, SemDeDup-shaped (public technique: Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): within each TRAINED IVF cluster
+    * (q26b's codebook, q26c's clustered-at-rest layout), a document is
+    * marked removed iff a LOWER-id member of the same cluster sits at
+    * cosine ≥ τ — the paper's greedy keep-first-by-index rule, with
+    * `exemplar_id` = the lowest such neighbor (itself when kept).
+    * Output: every vector with its cluster, exemplar, and survivor
+    * flag — `filter(kept = 1)` is the semantically deduplicated
+    * corpus. This is the embedding-space dedup class that pairwise
+    * sign-LSH (q25) approximates, but cluster-bounded: candidates come
+    * ONLY from the cid equi-join of the clustered layout — never
+    * cross-cluster, never all-pairs.
+    *
+    * Scale shape: the self-join keys on cid alone, so candidate volume
+    * is Σ_c C(n_c, 2) — bounded by the cluster granularity knob K
+    * (SemDeDup's own scaling lever: K grows with the corpus to hold
+    * n_c ≈ const, which keeps the join linear-ish; RetrievalFusionSpec
+    * pins the volume identity and the no-cartesian plan shape). The
+    * cosine verify is the codegen'd integer kernel, the exemplar
+    * reduction is a map-side-combinable MIN per vec_id, and the final
+    * left join is vec_id-keyed.
+    */
+  val qSemDedup: QuerySpec = QuerySpec(
+    "q134_semantic_dedup",
+    (s, dir) => {
+      Similarity.ensureTrained(s, dir)
+      val v = s.table(Similarity.ensureClustered(s, dir))
+      val exemplars = v.alias("a")
+        .join(v.alias("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .filter(
+          Exact.cosineFromQuantized(col("a.qe"), col("b.qe")) >= SemTau)
+        .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
+        .groupBy(col("vec_id")).agg(min(col("nbr")).as("exemplar_lo"))
+      v.select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .join(exemplars, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("exemplar_lo"), col("vec_id")).as("exemplar_id"),
+          when(col("exemplar_lo").isNull, 1L).otherwise(0L).as("kept"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | pr AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+            |  FROM fm a JOIN fm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+            | ex AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+            |  FROM pr GROUP BY vec_id)
+            | SELECT fm.vec_id, CAST(fm.cid AS BIGINT) AS cid,
+            |  COALESCE(ex.exemplar_lo, fm.vec_id) AS exemplar_id,
+            |  CASE WHEN ex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |   ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM fm LEFT JOIN ex ON fm.vec_id = ex.vec_id""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qHybridRrf, qSemDedup)
+}

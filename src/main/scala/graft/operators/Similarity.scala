@@ -374,19 +374,38 @@ object Similarity {
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     },
-    Some(s"""WITH $trainSqlCtes,
-            | q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
-            | fa AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
-            |   PARTITION BY e.vec_id
-            |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
-            |  FROM e, c$TrainIters c),
-            | fm AS (SELECT vec_id, qe, cid FROM fa WHERE rk = 1),
-            | probe AS (SELECT c.cid, ROW_NUMBER() OVER (
-            |   ORDER BY ${Exact.cosineSql("c.cqe", "q.qqe")} DESC, c.cid) AS prk
-            |  FROM c$TrainIters c, q)
-            | SELECT fm.vec_id, ${Exact.cosineSql("fm.qe", "q.qqe")} AS cos_sim
-            | FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= 2, q
-            | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin.replaceAll("\n", "")))
+    Some(s"WITH $trainSqlCtes, $annAssignSqlCtes, $annQuerySqlCtes $annTopSql"))
+
+  /** The oracle's converged full assignment (`fa`/`fm`: every vector
+    * with its trained cluster id) — shared by q26b/q26c, the q133
+    * fusion oracle, and the q134 semantic-dedup oracle. Assumes `e` and
+    * `c$TrainIters` from [[trainSqlCtes]] are in scope.
+    */
+  private[graft] def annAssignSqlCtes: String =
+    s"""fa AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+       |   PARTITION BY e.vec_id
+       |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+       |  FROM e, c$TrainIters c),
+       | fm AS (SELECT vec_id, qe, cid FROM fa WHERE rk = 1)""".stripMargin
+      .replaceAll("\n", "")
+
+  /** The oracle's query-side CTEs (`q`: the vec_id=0 query vector;
+    * `probe`: centroid probe ranking) — q26b/q26c/q133.
+    */
+  private[graft] def annQuerySqlCtes: String =
+    s"""q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+       | probe AS (SELECT c.cid, ROW_NUMBER() OVER (
+       |   ORDER BY ${Exact.cosineSql("c.cqe", "q.qqe")} DESC, c.cid) AS prk
+       |  FROM c$TrainIters c, q)""".stripMargin.replaceAll("\n", "")
+
+  /** The nprobe=2 IVF top-10 SELECT over `fm`/`probe`/`q` (q26b's
+    * oracle tail, reused as a CTE body by q133).
+    */
+  private[graft] def annTopSql: String =
+    s"""SELECT fm.vec_id, ${Exact.cosineSql("fm.qe", "q.qqe")} AS cos_sim
+       | FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= 2, q
+       | ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+      .replaceAll("\n", "")
 
   // ---- clustered-at-rest ANN layout (IVF with partition pruning) ---------
 
