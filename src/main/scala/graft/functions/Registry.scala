@@ -35,6 +35,25 @@ object Registry {
       .map(_.asInstanceOf[ArrayData].toLongArray().toSeq).toSeq
   }
 
+  /** Literal ARRAY<BIGINT> (for [[SqEncode]]'s per-dimension bounds). */
+  private def longsArg(e: Expression, what: String): Seq[Long] = {
+    require(e.foldable, s"$what must be a literal array of BIGINT")
+    e.eval().asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  /** Literal ARRAY<ARRAY<ARRAY<BIGINT>>> → [[PqEncode]]'s M per-subspace
+    * codebooks (M·K·(dim/M) longs — the same in-expression broadcast
+    * shape as [[NearestCentroid]], one level deeper).
+    */
+  private def codebooks3Arg(e: Expression): Seq[Seq[Seq[Long]]] = {
+    require(e.foldable, "codebooks must be a literal array of array of arrays")
+    e.eval().asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(ArrayType(LongType)))
+      .map(_.asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(LongType))
+        .map(_.asInstanceOf[ArrayData].toLongArray().toSeq).toSeq).toSeq
+  }
+
   /** Cosine from two quantized (ARRAY<BIGINT>) vectors — the exact
     * [[Exact.cosineFromQuantized]] tree, so the SQL surface can run the
     * documented cosine/ANN path end to end: the only floating-point
@@ -64,7 +83,17 @@ object Registry {
     "graft_qdot" -> (es => QDot(es.head, es(1))),
     "graft_cosine" -> (es => cosineExpr(es.head, es(1))),
     "graft_nearest_centroid" ->
-      (es => NearestCentroid(es.head, codebookArg(es(1)))))
+      (es => NearestCentroid(es.head, codebookArg(es(1)))),
+    "graft_hashed_linear_score" ->
+      (es => HashedLinearScore(es.head, intArg(es(1), "modulus"))),
+    "graft_cdc_chunks" ->
+      (es => CdcChunkStrings(es.head, intArg(es(1), "w"),
+        intArg(es(2), "divisor"))),
+    "graft_pq_encode" -> (es => PqEncode(es.head, codebooks3Arg(es(1)))),
+    "graft_pq_adc" -> (es => PqAdc(es.head, codebookArg(es(1)))),
+    "graft_sq_encode" ->
+      (es => SqEncode(es.head, longsArg(es(1), "mins"),
+        longsArg(es(2), "spans"))))
 
   /** Register everything as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

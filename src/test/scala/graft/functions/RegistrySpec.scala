@@ -110,6 +110,99 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
     assert(sqlPairs == Seq((0L, 1L)))
   }
 
+  test("a SQL-only chunk-dedup pipeline matches the q126 DataFrame path") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    Registry.register(spark)
+    Seq(
+      (0L, "alpha beta gamma alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words with no shared chunk content at all"),
+      (3L, "short"))
+      .toDF("doc_id", "text").createOrReplaceTempView("chunk_probe")
+    val (w, d) = (TextAnalysis.CdcWindow, TextAnalysis.CdcDivisor)
+    // the SQL user's chunk store: cut → hash → per-hash summary — the
+    // exact q126 chain, with the kernels coming off the registry
+    val viaSql = spark.sql(
+      s"""WITH ch AS (
+         |  SELECT explode(graft_cdc_chunks(text, $w, $d)) AS chunk
+         |  FROM chunk_probe),
+         | per AS (
+         |  SELECT graft_polyhash(chunk) AS h, COUNT(*) AS occ,
+         |    MIN(CAST(size(split(chunk, ' ')) AS BIGINT)) AS tok
+         |  FROM ch GROUP BY h)
+         | SELECT * FROM per ORDER BY h""".stripMargin).collect()
+    val viaApi = TextAnalysis.chunkSummary(spark.table("chunk_probe"))
+      .orderBy("h").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // the identical pair actually shares chunks (occ > 1 somewhere)
+    assert(viaSql.exists(_.getLong(1) > 1L))
+  }
+
+  test("a SQL-only quality-score pipeline matches the q80 DataFrame path") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    Registry.register(spark)
+    Seq((0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "spark catalyst expressions generate java bytecode"),
+        (2L, ""))
+      .toDF("doc_id", "text").createOrReplaceTempView("score_probe")
+    val m = TextAnalysis.ClassifierModulus
+    val viaSql = spark.sql(
+      s"""WITH f AS (
+         |  SELECT doc_id, graft_hashed_linear_score(text, $m) AS fv
+         |  FROM score_probe)
+         | SELECT doc_id, element_at(fv, 1) AS score,
+         |   element_at(fv, 2) AS n_features,
+         |   CASE WHEN element_at(fv, 1) >= 0 THEN CAST(1 AS BIGINT)
+         |        ELSE CAST(0 AS BIGINT) END AS keep
+         | FROM f ORDER BY doc_id""".stripMargin).collect()
+    val f = HashedLinearScore(col("text"), m)
+    val viaApi = spark.table("score_probe")
+      .select(col("doc_id"), f.as("f"))
+      .select(col("doc_id"),
+        element_at(col("f"), 1).as("score"),
+        element_at(col("f"), 2).as("n_features"))
+      .withColumn("keep", when(col("score") >= 0, 1L).otherwise(0L))
+      .orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
+  test("the PQ and SQ kernels are callable from SQL and match the Column API") {
+    import spark.implicits._
+    Registry.register(spark)
+    // 4-dim quantized vectors, M=2 subspaces × K=2 centroids × ds=2
+    Seq((0L, Seq(1L, 2L, 95L, 1L)), (1L, Seq(99L, 99L, 1L, 48L)),
+        (2L, Seq(50L, 50L, 40L, 30L)))
+      .toDF("vec_id", "qv").createOrReplaceTempView("pq_probe")
+    val cb = Seq(Seq(Seq(0L, 0L), Seq(100L, 100L)),
+      Seq(Seq(0L, 50L), Seq(90L, 0L)))
+    val adcTab = Seq(Seq(7L, 11L), Seq(13L, 17L))
+    val mins = Seq(0L, 0L, 0L, 0L)
+    val spans = Seq(100L, 100L, 95L, 50L)
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        | graft_pq_encode(qv, array(array(array(0L, 0L), array(100L, 100L)),
+        |   array(array(0L, 50L), array(90L, 0L)))) AS codes,
+        | graft_pq_adc(graft_pq_encode(qv,
+        |   array(array(array(0L, 0L), array(100L, 100L)),
+        |     array(array(0L, 50L), array(90L, 0L)))),
+        |   array(array(7L, 11L), array(13L, 17L))) AS adc,
+        | graft_sq_encode(qv, array(0L, 0L, 0L, 0L),
+        |   array(100L, 100L, 95L, 50L)) AS sq
+        | FROM pq_probe ORDER BY vec_id""".stripMargin).collect()
+    val viaApi = spark.table("pq_probe").select(
+        col("vec_id"),
+        PqEncode(col("qv"), cb).as("codes"),
+        PqAdc(PqEncode(col("qv"), cb), adcTab).as("adc"),
+        SqEncode(col("qv"), mins, spans).as("sq"))
+      .orderBy("vec_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // sanity: row 0 is (near-c0, near-c1) → codes [0,1], adc 7+17=24
+    assert(viaSql(0).getSeq[Long](1) == Seq(0L, 1L))
+    assert(viaSql(0).getLong(2) == 24L)
+  }
+
   test("the extensions class injects every registered function name") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw
