@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.{PolyHash, WordShingleHashes, WordShingles}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level training-data operators: benchmark decontamination,
@@ -202,10 +202,11 @@ object Corpus {
     * window recurses the same way. Token counts are whitespace tokens
     * (the q29 ws_tokens definition).
     */
-  val qSequencePack: QuerySpec = QuerySpec(
-    "q56_sequence_pack",
-    (s, dir) => {
-      val budget = 4096L
+  /** The q56 two-level packing over an arbitrary (source, doc_id, text)
+    * frame — shared by the gated query and [[graft.CurationRun]]'s
+    * shard-layout stage.
+    */
+  private[graft] def sequencePack(docs: DataFrame, budget: Long = 4096L): DataFrame = {
       val wIn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"), col("block"))
         .orderBy(col("doc_id"))
@@ -214,7 +215,7 @@ object Corpus {
         .partitionBy(col("source"))
         .orderBy(col("block"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val inBlock = Tables.load(s, dir, "documents")
+      val inBlock = docs
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           expr("doc_id div 1024").as("block"))
@@ -232,7 +233,11 @@ object Corpus {
           col("start_tok"),
           (col("start_tok") / budget).cast("long").as("seq_id"),
           (col("start_tok") % budget).as("seq_off"))
-    },
+  }
+
+  val qSequencePack: QuerySpec = QuerySpec(
+    "q56_sequence_pack",
+    (s, dir) => sequencePack(Tables.load(s, dir, "documents")),
     Some("""WITH t AS (SELECT source, doc_id,
            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
            |  FROM documents),
@@ -331,10 +336,11 @@ object Corpus {
     * fine to ~10¹³ tokens; past that the products graduate to
     * DECIMAL(38) (the q63 rule).
     */
-  val qMixturePlanner: QuerySpec = QuerySpec(
-    "q132_mixture_planner",
-    (s, dir) => {
-      val perSrc = Tables.load(s, dir, "documents")
+  /** The q132 planner over an arbitrary (source, text) frame — shared
+    * by the gated query and [[graft.CurationRun]]'s mixture stage.
+    */
+  private[graft] def mixturePlan(docs: DataFrame): DataFrame = {
+      val perSrc = docs
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
@@ -352,7 +358,11 @@ object Corpus {
           col("target_tok").cast("double") / col("src_tok").cast("double"))
         .select(col("source"), col("src_tok"), col("natural_share"),
           col("temp_share"), col("target_tok"), col("epochs"))
-    },
+  }
+
+  val qMixturePlanner: QuerySpec = QuerySpec(
+    "q132_mixture_planner",
+    (s, dir) => mixturePlan(Tables.load(s, dir, "documents")),
     Some(s"""WITH t AS (SELECT source,
             |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
             |  FROM documents),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
 import graft.functions.PolyHash
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline — the composite query a
@@ -358,14 +359,16 @@ object Curation {
     * computes every per-doc signal, one shuffle on the ~20-key source
     * column; integer sums + two final IEEE divisions.
     */
-  val qSourceScorecard: QuerySpec = QuerySpec(
-    "q87_source_scorecard",
-    (s, dir) => {
+  /** The q87 rollup over an arbitrary (source, n_chars, text) frame —
+    * shared by the gated query and [[graft.CurationRun]]'s final
+    * scorecard stage.
+    */
+  private[graft] def sourceScorecard(docs: DataFrame): DataFrame = {
       val f = graft.functions.HashedLinearScore(col("text"),
         TextAnalysis.ClassifierModulus)
       val nWords = TextMetrics.wordCount(col("text"))
       val nStop = TextMetrics.stopCount(col("text"))
-      Tables.load(s, dir, "documents")
+      docs
         .select(col("source"), col("n_chars"),
           element_at(f, 1).as("score"),
           TextMetrics.stopRatio(nWords, nStop).as("sr"))
@@ -377,7 +380,11 @@ object Curation {
           (sum(col("score")).cast("double") / count(lit(1)).cast("double"))
             .as("avg_score"),
           graft.functions.Exact.davg(col("sr")).as("avg_stop_ratio"))
-    },
+  }
+
+  val qSourceScorecard: QuerySpec = QuerySpec(
+    "q87_source_scorecard",
+    (s, dir) => sourceScorecard(Tables.load(s, dir, "documents")),
     Some(s"""WITH ${TextAnalysis.classifierScoreCtes},
             | m AS (SELECT d.source, d.n_chars, sc.score,
             |   ${TextMetrics.stopRatioSql("d.text")} AS sr

@@ -175,27 +175,33 @@ object Dedup {
     * every short doc would band identically via the COALESCE fallback and
     * pair up with 0/0 Jaccard).
     */
+  /** The q23 pipeline over an arbitrary (doc_id, text) frame — shared
+    * by the gated query and [[graft.CurationRun]]'s collapse stage
+    * (which runs it over the CLEANED corpus).
+    *
+    * The signature subtree is shared by the banding branch and the
+    * Jaccard-verify branch; AQE reuses the one shuffle, so no persist is
+    * needed (a session-lifetime cache of the collect_set(H) column costs
+    * more to materialize than it saves and leaks storage memory). At
+    * cluster scale the durable form of this sharing is a persistent
+    * parquet/bucketed signature table maintained between runs — not a
+    * driver-session cache.
+    */
+  private[graft] def verifiedPairs(docsText: DataFrame): DataFrame = {
+    val docs = minhashAgg(shingleHashRows(docsText), withSet = true)
+    val cand = lshCandidates(docs)
+    val sets = docs.select(col("doc_id"), col("H"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")), "doc_id_1")
+      .join(sets.select(col("doc_id").as("doc_id_2"), col("H").as("H2")), "doc_id_2")
+      .select(col("doc_id_1"), col("doc_id_2"),
+        jaccard(col("H1"), col("H2")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+  }
+
   val qLshPairs: QuerySpec = QuerySpec(
     "q23_lsh_pairs",
-    (s, dir) => {
-      // The signature subtree is shared by the banding branch and the
-      // Jaccard-verify branch; AQE reuses the one shuffle, so no persist is
-      // needed (a session-lifetime cache of the collect_set(H) column costs
-      // more to materialize than it saves and leaks storage memory). At
-      // cluster scale the durable form of this sharing is a persistent
-      // parquet/bucketed signature table maintained between runs — not a
-      // driver-session cache.
-      val docs = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
-      val cand = lshCandidates(docs)
-      val sets = docs.select(col("doc_id"), col("H"))
-      cand
-        .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")), "doc_id_1")
-        .join(sets.select(col("doc_id").as("doc_id_2"), col("H").as("H2")), "doc_id_2")
-        .select(col("doc_id_1"), col("doc_id_2"),
-          jaccard(col("H1"), col("H2")).as("jaccard"))
-        .filter(col("jaccard") >= 0.7)
-    },
+    (s, dir) => verifiedPairs(Tables.load(s, dir, "documents")),
     Some(s"""WITH $lshCandSqlCtes
             | SELECT * FROM (
             |   SELECT doc_id_1, doc_id_2,
@@ -930,25 +936,34 @@ object Dedup {
     * (map-side partial argmax, no corpus window), and one left join of
     * the corpus against the clustered-docs-sized keeper map.
     */
+  /** The q131 keeper discipline over arbitrary (doc_id, text) docs and
+    * (doc_id, cluster_id) labels — shared by the gated query (flushed
+    * [[DupGraph]] labels) and [[graft.CurationRun]] (labels computed
+    * fresh over the cleaned corpus).
+    */
+  private[graft] def qualityCollapse(
+      docsText: DataFrame, labelRows: DataFrame): DataFrame = {
+    val scored = docsText
+      .select(col("doc_id"),
+        element_at(graft.functions.HashedLinearScore(col("text"),
+          TextAnalysis.ClassifierModulus), 1).as("score"))
+    val labels = labelRows.toDF("doc_id", "cluster_id")
+    val keepers = scored.join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("score"), (-col("doc_id")).as("nid"))).as("keeper_id"))
+    scored.join(labels, Seq("doc_id"), "left")
+      .join(keepers, Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("keeper_id"), col("doc_id")).as("canonical_id"))
+      .withColumn("kept",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+  }
+
   val qQualityCollapse: QuerySpec = QuerySpec(
     "q131_quality_collapse",
-    (s, dir) => {
-      val scored = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          element_at(graft.functions.HashedLinearScore(col("text"),
-            TextAnalysis.ClassifierModulus), 1).as("score"))
-      val labels = DupGraph.labels(s, dir).withColumnRenamed("u", "doc_id")
-      val keepers = scored.join(labels, Seq("doc_id"))
-        .groupBy(col("cluster_id"))
-        .agg(max_by(col("doc_id"),
-          struct(col("score"), (-col("doc_id")).as("nid"))).as("keeper_id"))
-      scored.join(labels, Seq("doc_id"), "left")
-        .join(keepers, Seq("cluster_id"), "left")
-        .select(col("doc_id"), col("score"),
-          coalesce(col("keeper_id"), col("doc_id")).as("canonical_id"))
-        .withColumn("kept",
-          when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
-    },
+    (s, dir) => qualityCollapse(Tables.load(s, dir, "documents"),
+      DupGraph.labels(s, dir)),
     Some(s"""WITH RECURSIVE $ccSqlCtes,
             | cl AS (SELECT u AS doc_id, MIN(r) AS cluster_id
             |  FROM reach GROUP BY u),
