@@ -83,7 +83,19 @@ object Bench {
     graft.operators.Corpus.ensureBpeMerges(spark, sfDir)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // dev-loop filter (the Verify SPARK_GRAFT_ONLY twin): focused
+    // re-measurement of a few queries without the full-suite wall time.
+    // The driver's invocation leaves it unset and times the whole
+    // surface; unknown names fail fast (a typo would silently measure
+    // nothing and read as an empty-but-green artifact).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(Queries.all.map(_.name).toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in Queries.all: ${unknown.mkString(",")}")
+    }
     val headline = Queries.all.filter(_.headline)
+      .filter(q => only.forall(_.contains(q.name)))
     val runs = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()

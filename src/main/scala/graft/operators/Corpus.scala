@@ -1337,10 +1337,64 @@ object Corpus {
            |  CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE) AS token_coverage
            | FROM c""".stripMargin.replaceAll("\n", "")))
 
+  /** Candidate sequence budgets for q136 — declared before the query so
+    * the oracle interpolation sees them (object-init-order rule).
+    */
+  private[operators] val PackBudgets = Seq(512L, 1024L, 2048L, 4096L, 8192L)
+
+  /** q136 — packing-efficiency curve: for each candidate sequence
+    * budget, the sequence count, tail-waste tokens, and fill efficiency
+    * q56's concat-and-chunk layout would produce — the budget-tuning
+    * report a training team reads before fixing seq_len (q72's
+    * yield-curve discipline applied to the packing knob). Under
+    * concat-and-chunk the ONLY waste is each source stream's final
+    * partial sequence: `waste(B) = Σ_src (B − src_tok mod B) mod B`,
+    * so the whole curve derives from per-source token totals — exact
+    * integer arithmetic, one IEEE division for the efficiency ratio.
+    *
+    * Scale shape: one map-side token-count agg to ≤|sources| rows, then
+    * a ≤|sources|·|budgets| exploded summary agg — nothing after the
+    * first aggregation is corpus-sized, same shape as q132.
+    */
+  val qPackingEfficiency: QuerySpec = QuerySpec(
+    "q136_packing_efficiency",
+    (s, dir) => {
+      val perSrc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+      perSrc
+        .select(col("src_tok"),
+          explode(typedlit(PackBudgets)).as("budget"))
+        .groupBy(col("budget"))
+        .agg(sum(expr("(src_tok + budget - 1) div budget")).as("n_seqs"),
+          sum(expr("(budget - (src_tok % budget)) % budget")).as("waste_tok"),
+          sum(col("src_tok")).as("total_tok"))
+        .select(col("budget"), col("n_seqs"), col("waste_tok"),
+          (col("total_tok").cast("double") /
+            (col("n_seqs") * col("budget")).cast("double")).as("efficiency"))
+    },
+    Some(s"""WITH t AS (SELECT source,
+            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            |  FROM documents),
+            | ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+            |  FROM t GROUP BY source),
+            | x AS (SELECT src_tok, CAST(b.budget AS BIGINT) AS budget
+            |  FROM ps, (VALUES (${PackBudgets.mkString("), (")})) b(budget))
+            | SELECT budget,
+            |  CAST(SUM((src_tok + budget - 1) // budget) AS BIGINT) AS n_seqs,
+            |  CAST(SUM((budget - (src_tok % budget)) % budget) AS BIGINT)
+            |   AS waste_tok,
+            |  CAST(SUM(src_tok) AS DOUBLE) /
+            |   CAST(SUM((src_tok + budget - 1) // budget) * budget AS DOUBLE)
+            |   AS efficiency
+            | FROM x GROUP BY budget""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qMixturePlanner, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram)
+    qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram,
+    qPackingEfficiency)
 }

@@ -452,6 +452,96 @@ object Curation {
             | FROM wc JOIN st USING (w)
             | GROUP BY stage""".stripMargin.replaceAll("\n", "")))
 
+  /** The Gopher stopword list restricted to words the shared
+    * [[TextMetrics.StopRe]] gate also recognizes — ONE stopword
+    * vocabulary across the repo (an operator-private list would fork
+    * the notion of "stopword" between q33's gate and this rule).
+    */
+  private[operators] val GopherStops = Seq("the", "and", "of", "to", "in", "is")
+
+  /** q135 — Gopher-style per-document quality rules (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the public rule battery
+    * every recent curation stack reimplements, e.g. FineWeb): word
+    * count in [50, 100000], mean word length in [3, 10], ≥ 80% of
+    * words containing an alphabetic character, and ≥ 2 distinct
+    * stopwords present. Emits each signal, each rule verdict, and the
+    * overall pass flag — the inspectable form a threshold review needs
+    * (q72's yield-curve discipline, applied to rule-based filtering;
+    * complements q33's ratio gate and q80's learned scorer).
+    *
+    * Every verdict is INTEGER arithmetic (cross-multiplied bounds:
+    * `3·n ≤ chars ≤ 10·n`, `5·alpha ≥ 4·n`), so rule flags can never
+    * straddle an FP boundary between engines; the reported mean/frac
+    * are single IEEE divisions of exact sub-2^53 ints. Word chars
+    * come from `length(translate(text, ' ', ''))` — codegen'd, no
+    * per-word loop; the one higher-order filter (alpha words) runs
+    * once per document in a non-iterated scan (the q130 precedent).
+    *
+    * Scale shape: pure map over the corpus — no shuffle, no join; the
+    * same embarrassingly-parallel shape as q28/q30/q80 at 100 TB.
+    */
+  val qGopherRules: QuerySpec = QuerySpec(
+    "q135_gopher_rules",
+    (s, dir) => {
+      val tk = split(col("text"), " ")
+      val stopHits = GopherStops
+        .map(w => array_contains(tk, w).cast("long"))
+        .reduce(_ + _)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tk).cast("long").as("n_words"),
+          length(translate(col("text"), " ", "")).cast("long").as("cw"),
+          size(filter(tk, w => w.rlike("[a-z]"))).cast("long").as("aw"),
+          stopHits.as("n_stop_distinct"))
+        .select(col("doc_id"), col("n_words"),
+          (col("cw").cast("double") / col("n_words").cast("double"))
+            .as("mean_word_len"),
+          (col("aw").cast("double") / col("n_words").cast("double"))
+            .as("alpha_frac"),
+          col("n_stop_distinct"),
+          when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
+            .otherwise(0L).as("words_ok"),
+          when(col("cw") >= lit(3L) * col("n_words")
+            && col("cw") <= lit(10L) * col("n_words"), 1L)
+            .otherwise(0L).as("mwl_ok"),
+          when(lit(5L) * col("aw") >= lit(4L) * col("n_words"), 1L)
+            .otherwise(0L).as("alpha_ok"),
+          when(col("n_stop_distinct") >= 2L, 1L).otherwise(0L).as("stop_ok"))
+        .withColumn("pass",
+          col("words_ok") * col("mwl_ok") * col("alpha_ok") * col("stop_ok"))
+    },
+    Some {
+      val stopSql = GopherStops
+        .map(w => s"CAST(list_contains(tk, '$w') AS BIGINT)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+         |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS cw
+         |  FROM documents),
+         | m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, cw,
+         |   CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
+         |     AS BIGINT) AS aw,
+         |   $stopSql AS n_stop_distinct
+         |  FROM t)
+         | SELECT doc_id, n_words,
+         |  CAST(cw AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |  CAST(aw AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+         |  n_stop_distinct,
+         |  CASE WHEN n_words >= 50 AND n_words <= 100000
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS words_ok,
+         |  CASE WHEN cw >= 3 * n_words AND cw <= 10 * n_words
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS mwl_ok,
+         |  CASE WHEN 5 * aw >= 4 * n_words
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alpha_ok,
+         |  CASE WHEN n_stop_distinct >= 2
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stop_ok,
+         |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+         |   * CASE WHEN cw >= 3 * n_words AND cw <= 10 * n_words THEN 1 ELSE 0 END
+         |   * CASE WHEN 5 * aw >= 4 * n_words THEN 1 ELSE 0 END
+         |   * CASE WHEN n_stop_distinct >= 2 THEN CAST(1 AS BIGINT) ELSE 0 END)
+         |   AS pass
+         | FROM m""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum)
+    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
+    qGopherRules)
 }

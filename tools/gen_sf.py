@@ -22,9 +22,17 @@ Tiling rules (tile k of T):
   into C(T*df, 2) pairs — quadratic-in-T candidate growth injected by
   the GENERATOR, which would mask the engine's own scaling. n_chars is
   recomputed for the suffixed text.
-- embeddings.embedding, tile k>0: element 0 nudged by k * 1e-3 so no
-  cross-tile exact-duplicate vectors exist (ANN/neardup candidate
-  volume grows linearly in T, as a real corpus grows).
+- embeddings.embedding, tile k>0: a per-tile ORTHOGONAL transform
+  (cyclic shift of dimensions by k + hash-derived sign flips — a
+  hypercube symmetry). Intra-tile inner products and cosines are
+  preserved BIT-EXACTLY (values only move/flip), while cross-tile
+  pairs decorrelate, so sign-LSH bucket occupancy and near-dup
+  candidate volume grow LINEARLY in T, as a real corpus grows. This
+  is the embedding twin of the ~t<k> token-suffix rule: the earlier
+  element-0 nudge (k * 1e-3) left cross-tile copies sharing nearly
+  every LSH hyperplane sign, so every vector became C(T, 2) candidate
+  pairs — generator-injected quadratic growth that surfaced as
+  super-linear exponents on q25/q52/q64 at T=10.
 - events.ts: unchanged — T times the events in the same time range
   (denser windows, how an event stream actually scales).
 
@@ -127,13 +135,20 @@ def tile_documents(table):
 def tile_embeddings(table):
     parts = []
     vecs = table["embedding"].to_pylist()
+    dim = len(vecs[0])
+    # deterministic sign pattern per (tile, dim): multiplicative hash,
+    # top bit decides the flip — pure arithmetic, no RNG
+    def sign(k, d):
+        return -1.0 if (2654435761 * (d + 1 + 97 * k)) & 0x80000000 else 1.0
     for k in range(tiles):
         t = offset_keys(table, "embeddings", k)
         if k > 0:
-            nudged = [[v[0] + np.float32(k * 1e-3)] + v[1:] for v in vecs]
+            signs = [sign(k, d) for d in range(dim)]
+            rotated = [[signs[d] * v[(d + k) % dim] for d in range(dim)]
+                       for v in vecs]
             ei = t.schema.get_field_index("embedding")
             t = t.set_column(ei, t.schema.field("embedding"),
-                             pa.array(nudged, type=t.schema.field("embedding").type))
+                             pa.array(rotated, type=t.schema.field("embedding").type))
         parts.append(t)
     return pa.concat_tables(parts)
 
