@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.Exact
+import graft.functions.{Exact, PolyHash}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,5 +145,92 @@ object Retrieval {
             | FROM fm LEFT JOIN ex ON fm.vec_id = ex.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qHybridRrf, qSemDedup)
+  /** Max candidate-group size for q137's bounded pass — the knob that
+    * holds the self-join linear: candidate volume ≈ N·SemGroup/2
+    * regardless of how cluster sizes grow. 16 keeps the sf0.01 gate
+    * corpus exercising the split (n_c ≈ 25 there → m = 2 subgroups).
+    */
+  private[graft] val SemGroup = 16
+
+  /** q137 — BOUNDED semantic dedup, the deployment form of q134. With
+    * the cluster count K fixed, q134's within-cluster candidate volume
+    * Σ_c C(n_c, 2) grows quadratically in corpus size (measured: the
+    * sf1 probe's one super-linear exponent). SemDeDup's own remedy is
+    * K ∝ N; when the shared layout's K is pinned by other consumers
+    * (q26b/q26c), this operator applies the engine's standing cap
+    * discipline (MaxSpanDf, band caps) INSIDE each cluster instead:
+    * members hash-split into m = ⌈n_c/[[SemGroup]]⌉ subgroups and only
+    * same-(cid, sub) pairs are compared — candidate volume collapses
+    * to ≈ N·SemGroup/2, linear at any corpus size, at the cost of
+    * missing cross-subgroup near-dups (recall ≈ 1/m within a cluster —
+    * the same trade q23's banding makes against all-pairs, and the
+    * deterministic hash makes it reproducible and oracle-exact).
+    * Output adds the subgroup id; kept=1 is the deduplicated corpus.
+    *
+    * Scale shape: one ≤K-row size aggregate broadcast back, a map-side
+    * subgroup assignment (codegen'd PolyHash), and the same equi-join →
+    * integer-cosine verify → map-side MIN exemplar reduction as q134 —
+    * now keyed on (cid, sub). RetrievalFusionSpec pins the volume
+    * bound and the q134-consistency of untouched (m = 1) clusters.
+    */
+  /** The q137 pipeline with an explicit group bound — the spec drives
+    * it at `group` above the max cluster size to prove the m = 1 case
+    * degenerates to q134 bit-for-bit.
+    */
+  private[graft] def semDedupBounded(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      group: Int): org.apache.spark.sql.DataFrame = {
+      Similarity.ensureTrained(s, dir)
+      val v = s.table(Similarity.ensureClustered(s, dir))
+      val m = v.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_c"))
+        .select(col("cid"),
+          expr(s"(n_c + ${group - 1}) div $group").as("m"))
+      val g = v.join(broadcast(m), Seq("cid"))
+        .select(col("vec_id"), col("cid"), col("qe"),
+          pmod(PolyHash(
+            concat(lit("sem|"), col("vec_id").cast("string"))), col("m"))
+            .as("sub"))
+      val ex = g.alias("a")
+        .join(g.alias("b"),
+          col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub")
+            && col("a.vec_id") < col("b.vec_id"))
+        .filter(
+          Exact.cosineFromQuantized(col("a.qe"), col("b.qe")) >= SemTau)
+        .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
+        .groupBy(col("vec_id")).agg(min(col("nbr")).as("exemplar_lo"))
+      g.select(col("vec_id"), col("cid").cast("long").as("cid"), col("sub"))
+        .join(ex, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("sub"),
+          coalesce(col("exemplar_lo"), col("vec_id")).as("exemplar_id"),
+          when(col("exemplar_lo").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  val qSemDedupBounded: QuerySpec = QuerySpec(
+    "q137_semdedup_bounded",
+    (s, dir) => semDedupBounded(s, dir, SemGroup),
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | mm AS (SELECT cid,
+            |   CAST((COUNT(*) + ${SemGroup - 1}) // $SemGroup AS BIGINT) AS m
+            |  FROM fm GROUP BY cid),
+            | gg AS (SELECT fm.vec_id, fm.cid, fm.qe,
+            |   ${PolyHash.oracleSql("'sem|' || CAST(fm.vec_id AS VARCHAR)")}
+            |    % mm.m AS sub
+            |  FROM fm JOIN mm ON fm.cid = mm.cid),
+            | pr AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+            |  FROM gg a JOIN gg b ON a.cid = b.cid AND a.sub = b.sub
+            |   AND a.vec_id < b.vec_id
+            |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+            | ex AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+            |  FROM pr GROUP BY vec_id)
+            | SELECT gg.vec_id, CAST(gg.cid AS BIGINT) AS cid,
+            |  CAST(gg.sub AS BIGINT) AS sub,
+            |  COALESCE(ex.exemplar_lo, gg.vec_id) AS exemplar_id,
+            |  CASE WHEN ex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |   ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM gg LEFT JOIN ex ON gg.vec_id = ex.vec_id""".stripMargin
+      .replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] = Seq(qHybridRrf, qSemDedup, qSemDedupBounded)
 }

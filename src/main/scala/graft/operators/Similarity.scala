@@ -308,7 +308,13 @@ object Similarity {
         cents = next
         iter += 1
       }
-      require(!moved, s"k-means did not converge within $TrainIters iterations")
+      // No convergence requirement: the oracle unrolls ALL TrainIters
+      // steps, so engine-at-fixpoint (converged steps are no-ops) and
+      // engine-at-cap (exactly TrainIters steps, the loop guard) are
+      // BOTH bit-equal to the oracle's c$TrainIters. Real corpora (the
+      // decorrelated sf0.5+/sf1 tilings: T× distinct cluster structure
+      // under a fixed K) routinely exhaust the cap — fixed-iteration
+      // k-means is the standard practice there, not a failure.
       cents
     } finally cached.unpersist()
   }

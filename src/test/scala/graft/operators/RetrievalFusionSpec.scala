@@ -69,6 +69,56 @@ class RetrievalFusionSpec extends AnyFunSuite with SparkTestSession {
       s"candidate volume $candVolume != Σ C(n_c,2) = $expected")
   }
 
+  test("q137 bounds candidate volume and matches q134 on unsplit clusters") {
+    // sf0.01: n_c ≈ 25 > SemGroup, so the subgroup split is actually
+    // exercised (sf0.001's clusters are all below the group bound)
+    val d = "/root/testdata/sf0.01"
+    Similarity.ensureTrained(spark, d)
+    Similarity.ensureClustered(spark, d)
+    val out = Retrieval.qSemDedupBounded.build(spark, d)
+    val bad = out.queryExecution.executedPlan.collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"q137 plan contains a non-equi pair join:\n$bad")
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = rows.length.toLong
+    // every vector exactly once, and at least one cluster actually split
+    assert(rows.map(_._1).distinct.length.toLong == n)
+    assert(rows.exists(_._3 > 0L), "no cluster split — the bound is untested")
+    // candidate volume: Σ C(group, 2) over (cid, sub) stays within the
+    // linear envelope N·SemGroup (the hash split is uneven but bounded),
+    // and strictly below the unsplit Σ C(n_c, 2)
+    val groupVol = rows.groupBy(r => (r._2, r._3)).values
+      .map(g => { val k = g.size.toLong; k * (k - 1) / 2 }).sum
+    val clusterVol = rows.groupBy(_._2).values
+      .map(g => { val k = g.size.toLong; k * (k - 1) / 2 }).sum
+    assert(groupVol <= n * Retrieval.SemGroup,
+      s"bounded candidate volume $groupVol exceeds N·SemGroup = ${n * Retrieval.SemGroup}")
+    assert(groupVol < clusterVol,
+      "split produced no candidate reduction — bound is vacuous")
+    // every removal is a same-(cid, sub) lower-id exemplar
+    val meta = rows.map(r => (r._1, (r._2, r._3))).toMap
+    rows.filter(_._5 == 0L).foreach { case (id, cid, sub, ex, _) =>
+      assert(ex < id && meta(ex) == ((cid, sub)),
+        s"exemplar $ex of $id crosses a subgroup")
+    }
+    // with the bound above every cluster size (m = 1 everywhere) the
+    // pipeline must DEGENERATE to q134 bit-for-bit — the bound only
+    // changes semantics where it actually fires
+    val identity = Retrieval.semDedupBounded(spark, d, group = 1 << 20)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(identity.forall(_._2._1 == 0L),
+      "an unfired bound must leave every vector in subgroup 0")
+    val q134full = Retrieval.qSemDedup.build(spark, d).collect()
+      .map(r => (r.getLong(0), (0L, r.getLong(2), r.getLong(3))))
+    assert(identity.sortBy(_._1).toSeq == q134full.sortBy(_._1).toSeq,
+      "q137 with m = 1 everywhere must be identical to q134")
+  }
+
   test("q134 keep-first-by-index rule is internally consistent") {
     Similarity.ensureTrained(spark, dir)
     val table = Similarity.ensureClustered(spark, dir)
