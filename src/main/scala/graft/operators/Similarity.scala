@@ -155,6 +155,72 @@ object Similarity {
             |   AND a.vec_id < c.vec_id
             | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin.replaceAll("\n", "")))
 
+  /** Bucket-occupancy cap for q138: buckets holding more members than
+    * this are dropped from candidate generation. The 16-plane band
+    * hashes fragment even clustered corpora finely (sf0.01's top
+    * occupancy is 14, sf0.1's 28), so the gate value sits at 8 to
+    * exercise both kept and dropped buckets on the gate corpus; a
+    * production deployment sets it orders of magnitude higher — the
+    * guard exists for the DEGENERATE bucket (template embeddings, zero
+    * vectors, a dead model head), not the healthy tail.
+    */
+  private[graft] val MaxBucketOcc = 8L
+
+  /** q138 — q25 with a HOT-BUCKET guard: band buckets whose occupancy
+    * exceeds [[MaxBucketOcc]] are excluded from candidate generation
+    * (both sides — a capped bucket contributes NO pairs). This is the
+    * engine's standing cap discipline (MaxSpanDf on spans, BoilerDf on
+    * shingles, q137's subgroups on clusters) applied to the embedding-
+    * LSH path, answering the hazard q91 monitors on the MinHash side:
+    * one degenerate direction (template embeddings, zero vectors, a
+    * dead model head) floods a bucket and turns the band self-join
+    * quadratic. The sf1 probe measured the uncapped pair set itself
+    * growing quadratically at τ = 0.3 on clustered data; under the cap,
+    * per-bucket work is ≤ C(cap, 2) and total candidate volume is
+    * ≤ N·NumBands·cap/2 — linear in N at any scale. The price is
+    * recall inside hot buckets only (members of a >cap bucket can
+    * still pair through their OTHER bands — the multi-band safety net).
+    *
+    * Scale shape: occupancy is a window count over the SAME (band, bh)
+    * shuffle the pair join needs (no second aggregate input), the
+    * filter is map-side after it, and the join/verify/distinct chain is
+    * exactly q25's.
+    */
+  val qEmbedNearDupCapped: QuerySpec = QuerySpec(
+    "q138_neardup_capped",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh"))
+      val b = withBandRows(Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe")))
+        .withColumn("occ", count(lit(1)).over(w))
+        .filter(col("occ") <= MaxBucketOcc)
+      val a = b.select(col("vec_id").as("vec_id_1"), col("qe").as("qe1"),
+        col("band"), col("bh"))
+      val c = b.select(col("vec_id").as("vec_id_2"), col("qe").as("qe2"),
+        col("band").as("band2"), col("bh").as("bh2"))
+      a.join(c, col("band") === col("band2") && col("bh") === col("bh2")
+          && col("vec_id_1") < col("vec_id_2"))
+        .select(col("vec_id_1"), col("vec_id_2"),
+          Exact.cosineFromQuantized(col("qe1"), col("qe2")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .distinct()
+    },
+    Some(s"""WITH b AS (SELECT vec_id, ${Exact.quantizeSql("embedding")} AS qe
+            | FROM embeddings),
+            | bb AS (SELECT vec_id, qe, t.band AS band,
+            |   ${bandHashSql("qe", "t.band")} AS bh
+            |  FROM b, range(0, $NumBands) t(band)),
+            | k AS (SELECT * FROM (SELECT vec_id, qe, band, bh,
+            |   COUNT(*) OVER (PARTITION BY band, bh) AS occ FROM bb)
+            |  WHERE occ <= $MaxBucketOcc)
+            | SELECT DISTINCT a.vec_id AS vec_id_1, c.vec_id AS vec_id_2,
+            | ${Exact.cosineSql("a.qe", "c.qe")} AS cos_sim
+            | FROM k a JOIN k c ON a.band = c.band AND a.bh = c.bh
+            |   AND a.vec_id < c.vec_id
+            | WHERE ${Exact.cosineSql("a.qe", "c.qe")} >= 0.3""".stripMargin
+      .replaceAll("\n", "")))
+
   /** IVF-style ANN: K=8 fixed centroids (vec_id < 8), every vector is
     * assigned to its nearest centroid in one map-side pass, the query
     * probes its 2 best clusters, brute-force only inside them. This is
@@ -934,8 +1000,8 @@ object Similarity {
     })
 
   val specs: Seq[QuerySpec] = Seq(
-    q19CosineTopK, qEmbedNearDup, qAnnIvf, qKmeansStep, qAnnTrained,
-    qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
+    q19CosineTopK, qEmbedNearDup, qEmbedNearDupCapped, qAnnIvf, qKmeansStep,
+    qAnnTrained, qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
     qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect,
     qPrincipalComponent)
 }
