@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *  - `clean_ingest_capped_rows_per_sec`: the same leg with the
   *    hot-hash tombstone guard on (`maxStoredDf = 25`) — the
   *    throughput delta the bound buys/costs per trigger.
+  *  - `graph_ingest_rows_per_sec`: the incremental connected-components
+  *    front door ([[graft.streaming.GraphStream]]) ingesting the
+  *    sf0.001 verified-pair stream in micro-batches — pairs/s through
+  *    anti-join → label-star merge → bounded CC → label append, with
+  *    the streamed label count checked against the batch CC.
   *
   * Numbers carry the same ±20% host-variance caveat as the batch table;
   * they are trend indicators, not gates.
@@ -158,6 +163,40 @@ object StreamBench {
     // the delta is what the maxStoredDf bound buys/costs per trigger
     cleanIngestLeg("clean_ingest", Long.MaxValue)
     cleanIngestLeg("clean_ingest_capped", 25L)
+
+    leg("graph_ingest") {
+      import graft.streaming.{GraphStream, Sources}
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      // verified near-dup pairs, fed in micro-batches — incremental CC
+      // (label-star merge per trigger) is the per-trigger cost measured
+      val pairs = operators.DupGraph.pairs(spark, srcDir)
+        .select(col("doc_id_1"), col("doc_id_2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(p => (p._1, p._2))
+      val store = GraphStream.build(spark, s"sbench_$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, Long)](spark)
+      val t0 = System.nanoTime()
+      val query = GraphStream.startIncremental(
+        spark, src.toDS().toDF("doc_id_1", "doc_id_2"), store, ckpt)
+      try {
+        pairs.grouped(math.max(1, pairs.size / 8)).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: streamed labels must cover exactly the batch CC nodes
+      val streamed = GraphStream.labels(spark, store).count()
+      val batch = operators.DupGraph.labels(spark, srcDir).count()
+      graft.sources.Bucketed.dropStale(spark, store.edgeTable)
+      graft.sources.Bucketed.dropStale(spark, store.labelTable)
+      require(streamed == batch,
+        s"graph_ingest leg labeled $streamed of $batch nodes")
+      (pairs.length.toLong, sec)
+    }
 
     (metrics.toMap, errors.toMap)
   }
