@@ -506,7 +506,73 @@ object Profiling {
             |  ${Exact.davgSql("sr")} AS avg_stop_ratio
             | FROM b GROUP BY bucket""".stripMargin.replaceAll("\n", "")))
 
+  /** q139 — the one-row DATASET CARD: the corpus-level summary a data
+    * drop ships with (doc/token/char volume, language and source
+    * cardinality, exact-duplicate ratio, classifier keep rate, Gopher
+    * rule pass rate). q44 profiles a relational table's columns; this
+    * is its corpus twin, rolling the certified per-document signals up
+    * to ONE row — the number block at the top of every dataset card.
+    * The Gopher rate comes from the gated q135 frame itself (one
+    * definition; its oracle nests q135's oracle verbatim, the q33
+    * composition pattern), the keep rate from the q80 kernel.
+    *
+    * Scale shape: two map-side corpus scans (signals + rules — both
+    * pure map, partial-agg to one row each) cross-joined as single-row
+    * frames; countDistinct on lang/source/text-hash partial-aggregates
+    * map-side. All ratios are single IEEE divisions of exact counts.
+    */
+  val qDatasetCard: QuerySpec = QuerySpec(
+    "q139_dataset_card",
+    (s, dir) => {
+      val f = graft.functions.HashedLinearScore(col("text"),
+        TextAnalysis.ClassifierModulus)
+      val base = Tables.load(s, dir, "documents")
+        .select(col("n_chars"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          graft.functions.PolyHash(col("text")).as("h"),
+          element_at(f, 1).as("score"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("h")).as("n_distinct_texts"),
+          sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_keep"))
+      val gp = Curation.qGopherRules.build(s, dir)
+        .agg(sum(col("pass")).as("n_gopher_pass"))
+      base.crossJoin(gp) // both single-row by construction
+        .select(col("n_docs"), col("total_tokens"), col("total_chars"),
+          col("n_langs"), col("n_sources"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs").cast("double")).as("exact_dup_ratio"),
+          (col("n_keep").cast("double") / col("n_docs").cast("double"))
+            .as("keep_rate"),
+          (col("n_gopher_pass").cast("double") / col("n_docs").cast("double"))
+            .as("gopher_pass_rate"))
+    },
+    Some(s"""WITH ${TextAnalysis.classifierScoreCtes},
+            | base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+            |   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+            |   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+            |   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+            |   CAST(COUNT(DISTINCT ${graft.functions.PolyHash.oracleSql("text")})
+            |     AS BIGINT) AS n_distinct_texts
+            |  FROM documents),
+            | kr AS (SELECT CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END)
+            |   AS BIGINT) AS n_keep FROM sc),
+            | gp AS (SELECT CAST(SUM(pass) AS BIGINT) AS n_gopher_pass
+            |  FROM (${Curation.qGopherRules.oracle.get}))
+            | SELECT n_docs, total_tokens, total_chars, n_langs, n_sources,
+            |  CAST(n_docs - n_distinct_texts AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            |   AS exact_dup_ratio,
+            |  CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) AS keep_rate,
+            |  CAST(n_gopher_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+            |   AS gopher_pass_rate
+            | FROM base, kr, gp""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
-      qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift)
+      qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
+      qDatasetCard)
 }
