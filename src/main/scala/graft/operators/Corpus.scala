@@ -1337,6 +1337,55 @@ object Corpus {
            |  CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE) AS token_coverage
            | FROM c""".stripMargin.replaceAll("\n", "")))
 
+  /** q140 — pack manifest: the MATERIALIZATION step after q56's offset
+    * assignment — for every packed training sequence, which document
+    * slices compose it. A document straddling a cut appears in every
+    * sequence it overlaps, with its in-sequence offset and slice
+    * length; `GROUP BY seq_id` of `len_in_seq` tiles each non-final
+    * sequence to exactly the 4096 budget. This is the manifest a
+    * training loader actually reads (doc provenance per sequence — the
+    * piece q56 leaves implicit in arithmetic).
+    *
+    * Scale shape: q56's two-level plan plus one bounded explode — a
+    * document emits ⌈n_tok/budget⌉+1 rows at most, so manifest volume
+    * is ≤ corpus tokens / budget + docs, linear; every offset is exact
+    * integer arithmetic on both engines (nonneg `div`, `greatest/least`
+    * clamps — no floor/truncate divergence).
+    */
+  val qPackManifest: QuerySpec = QuerySpec(
+    "q140_pack_manifest",
+    (s, dir) => {
+      val budget = 4096L
+      sequencePack(Tables.load(s, dir, "documents"), budget)
+        .filter(col("n_tok") > 0)
+        .withColumn("last_seq",
+          expr(s"(start_tok + n_tok - 1) div ${budget}L"))
+        .select(col("source"), col("doc_id"), col("start_tok"), col("n_tok"),
+          explode(sequence(col("seq_id"), col("last_seq"))).as("sq"))
+        .select(col("source"), col("sq").as("seq_id"), col("doc_id"),
+          greatest(col("start_tok") - col("sq") * budget, lit(0L))
+            .as("off_in_seq"),
+          (least((col("sq") + 1) * budget, col("start_tok") + col("n_tok"))
+            - greatest(col("sq") * budget, col("start_tok"))).as("len_in_seq"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           |  FROM documents),
+           | c AS (SELECT *, CAST(COALESCE(SUM(n_tok) OVER (
+           |   PARTITION BY source ORDER BY doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |   AS start_tok
+           |  FROM t WHERE n_tok > 0),
+           | x AS (SELECT source, doc_id, start_tok, n_tok,
+           |   CAST(UNNEST(range(start_tok // 4096,
+           |     (start_tok + n_tok - 1) // 4096 + 1)) AS BIGINT) AS sq
+           |  FROM c)
+           | SELECT source, sq AS seq_id, doc_id,
+           |  GREATEST(start_tok - sq * 4096, 0) AS off_in_seq,
+           |  LEAST((sq + 1) * 4096, start_tok + n_tok)
+           |   - GREATEST(sq * 4096, start_tok) AS len_in_seq
+           | FROM x""".stripMargin.replaceAll("\n", "")))
+
   /** Candidate sequence budgets for q136 — declared before the query so
     * the oracle interpolation sees them (object-init-order rule).
     */
@@ -1396,5 +1445,5 @@ object Corpus {
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram,
-    qPackingEfficiency)
+    qPackingEfficiency, qPackManifest)
 }
