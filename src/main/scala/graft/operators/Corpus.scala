@@ -1439,11 +1439,189 @@ object Corpus {
             |   AS efficiency
             | FROM x GROUP BY budget""".stripMargin.replaceAll("\n", "")))
 
+  /** q141 parameters — declared before the query so the oracle
+    * interpolation sees them (object-init-order rule). `AllocCapPct`
+    * is the repeat cap in 1/100ths of an epoch: a source may
+    * contribute at most `src_tok·51/100` tokens to the mixture (0.51
+    * epochs — chosen so the cap genuinely binds against q132's
+    * τ=1/2 targets on near-uniform sources and forces a
+    * redistribution cascade). `AllocRounds` unrolls the waterfall:
+    * measured fixpoint is ≤4 rounds at sf0.001/0.01/0.1, so 6 is
+    * slack — extra rounds are no-ops (no new source caps ⇒ identical
+    * remainder and weights), the k-means iteration-cap discipline.
+    */
+  private[operators] val AllocCapPct = 51L
+  private[operators] val AllocRounds = 6
+
+  /** One waterfall round of q141's oracle: a source joins the capped
+    * set when its proportional share of the REMAINING budget (after
+    * subtracting already-capped sources' caps, weighted by the
+    * still-uncapped wq mass) exceeds its own cap. Each round reads the
+    * previous round three times (two scalar aggregates + the row
+    * stream) — MATERIALIZED per the unrolled-fixpoint CTE rule.
+    */
+  private def allocRoundSql(k: Int): String = {
+    val p = s"ar${k - 1}"
+    s""", ar$k AS MATERIALIZED (SELECT source, src_tok, wq, cap_tok,
+       |  capped OR ((
+       |    (SELECT (SELECT budget FROM ab)
+       |      - COALESCE(CAST(SUM(cap_tok) FILTER (WHERE capped) AS BIGINT), 0)
+       |     FROM $p) * wq)
+       |   // (SELECT CAST(SUM(wq) FILTER (WHERE NOT capped) AS BIGINT) FROM $p)
+       |   > cap_tok) AS capped
+       | FROM $p)""".stripMargin
+  }
+
+  /** q141 — data-constrained epoch ALLOCATOR (public technique:
+    * Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    * Models" — repeat small sources only up to a bounded epoch count).
+    * q132 sets temperature targets with no repeat bound, so a
+    * low-resource source can be asked for many epochs of itself; this
+    * operator adds the cap and re-distributes the displaced budget by
+    * waterfall: fix every source whose proportional share of the
+    * remaining budget exceeds its cap AT its cap, re-divide the
+    * remainder over the still-uncapped sources by the same √-token
+    * weights, repeat to fixpoint. Output per source: size, cap,
+    * allocated target, whether the cap bound, and the resulting epoch
+    * count. All integer arithmetic (q132's quantized √ weights,
+    * truncating `div` ≡ DuckDB BIGINT `//`); the one IEEE step is the
+    * final epochs division.
+    *
+    * Scale shape: ONE map-side token-count aggregation to ≤|sources|
+    * rows; the waterfall then runs driver-side over that
+    * catalog-sized frame (the q75 argmax / q120 moment-matrix
+    * discipline — |sources| is a vocabulary, not a data scale) and
+    * returns as a literal frame. Invariant: the uncapped weight mass
+    * never empties (Σ caps of capped sources stays < budget because a
+    * source caps only when offered MORE than its cap), so the integer
+    * divisions are total. Headroom: rem·wq ~ tot_tok^1.5·10³ — the
+    * q132/q63 bound; past ~10¹² tokens the products graduate to
+    * DECIMAL(38).
+    */
+  val qEpochAlloc: QuerySpec = QuerySpec(
+    "q141_epoch_alloc",
+    (s, dir) => {
+      val perSrc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source")).agg(sum(col("n_tok")).as("src_tok"))
+        .withColumn("wq",
+          floor(sqrt(col("src_tok").cast("double")) * lit(1000.0d)).cast("long"))
+        .withColumn("cap_tok", expr(s"(src_tok * $AllocCapPct) div 100"))
+      val rows = perSrc.select("source", "src_tok", "wq", "cap_tok")
+        .collect() // ≤ |sources| rows — catalog-sized, never data-sized
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val budget = rows.map(_._2).sum / 2
+      var capped = Set.empty[String]
+      def rem = budget - rows.filter(r => capped(r._1)).map(_._4).sum
+      def wqr = rows.filterNot(r => capped(r._1)).map(_._3).sum
+      for (_ <- 1 to AllocRounds) {
+        val (rm, wr) = (rem, wqr)
+        capped ++= rows.filterNot(r => capped(r._1))
+          .filter(r => rm * r._3 / wr > r._4).map(_._1)
+      }
+      val (rmF, wrF) = (rem, wqr)
+      val out = rows.map { case (src, tok, wq, cap) =>
+        val tgt = if (capped(src)) cap else rmF * wq / wrF
+        (src, tok, cap, tgt, if (capped(src)) 1L else 0L,
+          tgt.toDouble / tok.toDouble)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(out.toSeq, 1))
+        .toDF("source", "src_tok", "cap_tok", "target_tok", "capped", "epochs")
+    },
+    Some((s"""WITH t AS (SELECT source,
+             |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             | ps AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tok
+             |  FROM t GROUP BY source),
+             | ar0 AS MATERIALIZED (SELECT source, src_tok,
+             |   CAST(floor(sqrt(CAST(src_tok AS DOUBLE)) * 1000.0) AS BIGINT)
+             |    AS wq,
+             |   (src_tok * $AllocCapPct) // 100 AS cap_tok, FALSE AS capped
+             |  FROM ps),
+             | ab AS MATERIALIZED (SELECT CAST(SUM(src_tok) AS BIGINT) // 2
+             |   AS budget FROM ar0)""" +
+      (1 to AllocRounds).map(allocRoundSql).mkString +
+      s""", fin AS (SELECT source, src_tok, cap_tok,
+         |  CASE WHEN capped THEN cap_tok ELSE ((
+         |    (SELECT (SELECT budget FROM ab)
+         |      - COALESCE(CAST(SUM(cap_tok) FILTER (WHERE capped) AS BIGINT), 0)
+         |     FROM ar$AllocRounds) * wq)
+         |   // (SELECT CAST(SUM(wq) FILTER (WHERE NOT capped) AS BIGINT)
+         |       FROM ar$AllocRounds)) END AS target_tok,
+         |  CAST(CASE WHEN capped THEN 1 ELSE 0 END AS BIGINT) AS capped
+         | FROM ar$AllocRounds)
+         | SELECT source, src_tok, cap_tok, target_tok, capped,
+         |  CAST(target_tok AS DOUBLE) / CAST(src_tok AS DOUBLE) AS epochs
+         | FROM fin""").stripMargin.replaceAll("\n", "")))
+
+  /** Batch size (sequences per batch) for q142 — declared before the
+    * query (object-init-order rule).
+    */
+  private[operators] val PadBatch = 32L
+
+  /** q142 — length-bucketed BATCHING plan: the padding-waste report for
+    * the non-packed (one document = one padded sequence) training
+    * regimes — SFT / reward-model batches — where q56's concat-packing
+    * is off the table and the standard mitigation is bucketing by
+    * length so each batch pads only to its bucket's max. Per
+    * power-of-two length bucket (q127's libm-free binary-length
+    * bucket): doc count, batch count at `PadBatch` sequences/batch,
+    * the bucket's observed max length (the pad target, an upper bound
+    * on per-batch max), pad tokens under bucketed padding, tokens
+    * SAVED vs the naive pad-everything-to-global-max baseline, and the
+    * pad fraction. Integer-exact except the one IEEE pad_frac
+    * division.
+    *
+    * Scale shape: token count and bucket are one map-side pass; the
+    * plan aggregates to ≤64 bucket rows with map-side combine; the
+    * global max rides one window over that bounded summary (the q127
+    * discipline). Nothing after the first aggregation is corpus-sized.
+    */
+  val qPadPlan: QuerySpec = QuerySpec(
+    "q142_pad_plan",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.load(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("t"))
+        .select(length(conv(col("t"), 10, 2)).cast("long").as("bucket"),
+          col("t"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tok"),
+          max(col("t")).as("bucket_max"))
+      val whole = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("gmax", max(col("bucket_max")).over(whole))
+        .select(col("bucket"), col("n_docs"),
+          expr(s"(n_docs + ${PadBatch - 1}) div $PadBatch").as("n_batches"),
+          col("bucket_max"),
+          (col("n_docs") * col("bucket_max") - col("sum_tok")).as("pad_tok"),
+          (col("n_docs") * (col("gmax") - col("bucket_max"))).as("saved_tok"),
+          ((col("n_docs") * col("bucket_max") - col("sum_tok")).cast("double") /
+            (col("n_docs") * col("bucket_max")).cast("double")).as("pad_frac"))
+    },
+    Some(s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+            |  FROM documents),
+            | h AS (SELECT CAST(length(bin(t)) AS BIGINT) AS bucket,
+            |   COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS sum_tok,
+            |   MAX(t) AS bucket_max
+            |  FROM t GROUP BY 1),
+            | c AS (SELECT h.*, MAX(bucket_max) OVER () AS gmax FROM h)
+            | SELECT bucket, n_docs,
+            |  (n_docs + ${PadBatch - 1}) // $PadBatch AS n_batches, bucket_max,
+            |  n_docs * bucket_max - sum_tok AS pad_tok,
+            |  n_docs * (gmax - bucket_max) AS saved_tok,
+            |  CAST(n_docs * bucket_max - sum_tok AS DOUBLE) /
+            |   CAST(n_docs * bucket_max AS DOUBLE) AS pad_frac
+            | FROM c""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qMixturePlanner, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram,
-    qPackingEfficiency, qPackManifest)
+    qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan)
 }
