@@ -144,6 +144,40 @@ object VectorOps {
     }
     java.lang.Integer.valueOf(bestIdx)
   }
+
+  /** The first `nprobe` centroid indices ranked by (cosine desc, index
+    * asc) — the multi-query generalization of [[nearestCentroid]]
+    * (nprobe = 1 prefix ≡ its argmax) and the engine-side twin of the
+    * oracle's `ROW_NUMBER() OVER (ORDER BY cosine DESC, cid)` probe
+    * ranking. Same arithmetic: integer dots cast to double, one
+    * multiply of the two sqrt norms, one divide — bit-equal on both
+    * engines (IEEE multiplication commutes, so the driver's
+    * sqrt(cc)·qn and this selfNorm·norms(j) agree exactly).
+    */
+  def probeCentroids(qe: ArrayData, cents: Array[Array[Long]],
+      norms: Array[Double], nprobe: Int): ArrayData = {
+    val n = qe.numElements()
+    if (hasNullElement(qe)) return null // null slot → NULL probe set
+    var selfDot = 0L
+    var i = 0
+    while (i < n) { val v = qe.getLong(i); selfDot += v * v; i += 1 }
+    if (selfDot == 0L)
+      throw new ArithmeticException(
+        "probe ranking of a zero vector is undefined (cosine is NaN)")
+    val selfNorm = math.sqrt(selfDot.toDouble)
+    val cos = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0L
+      i = 0
+      while (i < n) { dot += qe.getLong(i) * c(i); i += 1 }
+      cos(j) = dot.toDouble / (selfNorm * norms(j))
+      j += 1
+    }
+    val ranked = Array.range(0, cents.length).sortBy(j => (-cos(j), j))
+    new GenericArrayData(ranked.take(math.min(nprobe, cents.length)))
+  }
 }
 
 /** Fixed-point quantization of ARRAY<FLOAT> / ARRAY<DOUBLE> to
@@ -280,4 +314,55 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Long]])
 object NearestCentroid {
   def apply(qe: Column, centroids: Seq[Seq[Long]]): Column =
     GraftShims.column(NearestCentroid(GraftShims.expression(qe), centroids))
+}
+
+/** The query's first-`nprobe` IVF probe set as ARRAY<INT> of centroid
+  * indices, ranked (cosine desc, index asc) — [[NearestCentroid]]'s
+  * multi-probe form, for serving BATCHES of queries map-side (the
+  * driver-side ranking q26b/q26c use is per-single-query).
+  */
+case class ProbeCentroids(child: Expression, centroids: Seq[Seq[Long]],
+    nprobe: Int) extends UnaryExpression {
+
+  @transient private lazy val cents: Array[Array[Long]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val norms: Array[Double] =
+    cents.map(c => math.sqrt(c.map(v => v * v).sum.toDouble))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.sql}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // null array element → NULL probe set
+  override def prettyName: String = "graft_probe_centroids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.probeCentroids(input.asInstanceOf[ArrayData], cents, norms, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "long[][]")
+    val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+      |  graft.functions.VectorOps.probeCentroids($c, $centsRef, $normsRef, $nprobe);
+      |if (${ev.value}_r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_r;
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCentroids =
+    copy(child = newChild)
+}
+
+object ProbeCentroids {
+  def apply(qe: Column, centroids: Seq[Seq[Long]], nprobe: Int): Column =
+    GraftShims.column(
+      ProbeCentroids(GraftShims.expression(qe), centroids, nprobe))
 }

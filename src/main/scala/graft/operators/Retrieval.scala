@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.{Exact, PolyHash}
+import graft.functions.{Exact, PolyHash, ProbeCentroids}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -232,5 +233,78 @@ object Retrieval {
             | FROM gg LEFT JOIN ex ON gg.vec_id = ex.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
-  val specs: Seq[QuerySpec] = Seq(qHybridRrf, qSemDedup, qSemDedupBounded)
+  /** Multi-query ANN serving against the clustered-at-rest IVF layout —
+    * the request-batch form of q26c's single-query probe, and the ONE
+    * definition [[graft.streaming.RetrievalStream]]'s per-trigger
+    * serving runs. Per query in `queries` (query_id, embedding): the
+    * top-`k` corpus vectors by exact quantized cosine among the
+    * query's `nprobe` nearest clusters, with the in-query rank.
+    *
+    * Scale shape: the probe-set assignment is ONE map-side pass over
+    * the query batch (codegen'd [[ProbeCentroids]] against the literal
+    * codebook — no query×centroid join); the layout scan is
+    * partition-pruned to the UNION of probed cids via a driver-collected
+    * literal `isin` (bounded by the codebook size K, never by batch or
+    * corpus size — the q26c static-pruning discipline, which a join
+    * could only approximate with runtime filters); the (query, cid)
+    * probe frame is broadcast (requests are admission-bounded, corpus
+    * is not); the per-query top-k is a window partitioned by query_id
+    * over ≤ nprobe/K of the corpus per query.
+    */
+  private[graft] def serveTopK(s: SparkSession, dir: String,
+      queries: DataFrame, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val cents = Similarity.ensureTrained(s, dir)
+    val layout = s.table(Similarity.ensureClustered(s, dir))
+    val pq = queries
+      .select(col("query_id"), Exact.quantize(col("embedding")).as("qqe"))
+      .withColumn("cid", explode(ProbeCentroids(col("qqe"), cents, nprobe)))
+    // ≤ K distinct values by construction — catalog-sized, never
+    // batch-sized; a literal set is what makes the scan prune statically
+    val cids = pq.select(col("cid")).distinct().collect().map(_.getInt(0)).toSeq
+    layout.filter(col("cid").isin(cids: _*))
+      .join(broadcast(pq), Seq("cid"))
+      .select(col("query_id"), col("vec_id"),
+        Exact.cosineFromQuantized(col("qe"), col("qqe")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** q143 — batched ANN serving: the gated twin of the serving path —
+    * 5 query vectors (vec_id < 5) answered in one plan, each with its
+    * nprobe=2 / top-10 result list and ranks. q26b/q26c serve ONE query
+    * with a driver-ranked probe set; this is the shape a retrieval
+    * endpoint actually executes per request batch, and the oracle pins
+    * the per-query probe selection AND the per-query ranking in one
+    * statement.
+    */
+  val qAnnServe: QuerySpec = QuerySpec(
+    "q143_ann_serve",
+    (s, dir) => {
+      val queries = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      serveTopK(s, dir, queries, nprobe = 2, k = 10)
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
+            |  WHERE vec_id < 5),
+            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY qs.query_id
+            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
+            |   AS prk
+            |  FROM c${Similarity.TrainIters} c, qs),
+            | cand AS (SELECT pr.query_id, fm.vec_id,
+            |   ${Exact.cosineSql("fm.qe", "pr.qqe")} AS cos_sim
+            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
+            | SELECT query_id, vec_id, cos_sim, rnk FROM (
+            |  SELECT query_id, vec_id, cos_sim, CAST(ROW_NUMBER() OVER (
+            |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
+            |    AS BIGINT) AS rnk FROM cand)
+            | WHERE rnk <= 10""".stripMargin.replaceAll("\n", "")))
+
+  val specs: Seq[QuerySpec] =
+    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe)
 }

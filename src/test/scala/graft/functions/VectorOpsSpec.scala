@@ -110,6 +110,55 @@ class VectorOpsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).getInt(0) == 0)
   }
 
+  test("ProbeCentroids: nprobe=1 prefix ≡ NearestCentroid; full ranking ≡ driver sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val K = 8
+    val dim = 6
+    val cents: Seq[Seq[Long]] =
+      Seq.fill(K)(Seq.fill(dim)(rnd.nextLong() % 1000000L))
+    val vecs = (1 to 300).map(_ => Seq.fill(dim)(rnd.nextLong() % 1000000L))
+      .filter(_.exists(_ != 0L))
+    // the ONE probe-order definition, driver-side (Similarity's
+    // rankedCentroids arithmetic restated)
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def ranked(q: Seq[Long]): Seq[Int] = {
+      val qn = math.sqrt(dot(q, q).toDouble)
+      cents.zipWithIndex.map { case (c, i) =>
+        (i, dot(c, q).toDouble / (math.sqrt(dot(c, c).toDouble) * qn))
+      }.sortBy { case (i, c) => (-c, i) }.map(_._1)
+    }
+    val rows = vecs.toDF("q").select(
+        ProbeCentroids(col("q"), cents, K).as("full"),
+        ProbeCentroids(col("q"), cents, 2).as("p2"),
+        NearestCentroid(col("q"), cents).as("nc"),
+        col("q"))
+      .as[(Seq[Int], Seq[Int], Int, Seq[Long])].collect()
+    rows.foreach { case (full, p2, nc, q) =>
+      val expect = ranked(q)
+      assert(full == expect, s"full ranking diverges for $q")
+      assert(p2 == expect.take(2), "nprobe=2 must be the ranking prefix")
+      assert(full.head == nc, "rank-1 must equal the NearestCentroid argmax")
+    }
+  }
+
+  test("ProbeCentroids null/zero handling matches NearestCentroid") {
+    import spark.implicits._
+    val cents = Seq(Seq(1000000L, 0L), Seq(0L, 1000000L))
+    val rows = Seq(Seq[Option[Long]](Some(900000L), None)).toDF("q")
+      .select(ProbeCentroids(col("q"), cents, 2)).collect()
+    assert(rows(0).isNullAt(0), "null slot must yield NULL probe set")
+    val e = intercept[Exception] {
+      Seq(Seq(0L, 0L)).toDF("q")
+        .select(ProbeCentroids(col("q"), cents, 2)).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).toSeq
+    assert(messages.exists(_.contains("zero vector")),
+      s"expected a zero-vector diagnostic, got: $messages")
+  }
+
   test("NearestCentroid of a zero vector fails fast (cosine undefined)") {
     import spark.implicits._
     // every cosine against a zero vector is NaN: a silent -1 assignment
