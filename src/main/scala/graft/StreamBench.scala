@@ -37,6 +37,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    sf0.001 verified-pair stream in micro-batches — pairs/s through
   *    anti-join → label-star merge → bounded CC → label append, with
   *    the streamed label count checked against the batch CC.
+  *  - `retrieval_serve_rows_per_sec`: the ANN serving front door
+  *    ([[graft.streaming.RetrievalStream]]) answering 64 query vectors
+  *    in 8 request batches against the sf0.001 clustered layout —
+  *    queries/s through probe-assign → pruned scan → top-10 window
+  *    (layout build is untimed; the 64×10 result-row count is the
+  *    loss check).
   *
   * Numbers carry the same ±20% host-variance caveat as the batch table;
   * they are trend indicators, not gates.
@@ -196,6 +202,39 @@ object StreamBench {
       require(streamed == batch,
         s"graph_ingest leg labeled $streamed of $batch nodes")
       (pairs.length.toLong, sec)
+    }
+
+    leg("retrieval_serve") {
+      import graft.streaming.{RetrievalStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      // the codebook + clustered layout are LAYOUTS (Bench-warmup
+      // class) — build them untimed; the leg times SERVING
+      operators.Similarity.ensureTrained(spark, srcDir)
+      operators.Similarity.ensureClustered(spark, srcDir)
+      val queries = Tables.load(spark, srcDir, "embeddings")
+        .filter(col("vec_id") < 64)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, Seq[Float])](spark)
+      val served = new java.util.concurrent.atomic.AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val query = RetrievalStream.start(spark,
+        src.toDS().toDF("query_id", "embedding"), srcDir, ckpt,
+        onResults = r => served.addAndGet(r.count()))
+      try {
+        queries.grouped(8).foreach { g => // 8 request batches of 8
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: every query answered with a full top-10
+      require(served.get() == queries.size * 10L,
+        s"retrieval_serve leg returned ${served.get()} of ${queries.size * 10} rows")
+      (queries.size.toLong, sec)
     }
 
     (metrics.toMap, errors.toMap)
