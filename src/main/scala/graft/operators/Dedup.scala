@@ -1435,10 +1435,70 @@ object Dedup {
             | SELECT n AS cluster_size, COUNT(*) AS n_clusters
             | FROM cs GROUP BY n""".stripMargin.replaceAll("\n", "")))
 
+  /** q144 — per-source MinHash UNION sketch + pairwise similarity
+    * estimate: each source's 16-permutation MinHash over the union of
+    * its documents' shingle sets (min is associative, so the source
+    * sketch IS the merge of its doc sketches — the mergeable-sketch
+    * family's set-similarity member, next to HLL/CMS/Bloom/quantile),
+    * then the estimated shingle-Jaccard between every agreeing source
+    * pair as matching-permutation fraction. This is the corpus-diff a
+    * 100 TB ingest runs between feeds: q125 measures EXACT span
+    * overlap (a corpus-scale join); the sketch answers the same
+    * "which feeds mirror each other" question from |sources|×16
+    * integers.
+    *
+    * Scale shape: one map-side-combinable MIN aggregation over the
+    * shingle explosion to ≤|sources|·16 rows; agreement pairs come
+    * ONLY from the (j, mh) self-equi-join of that sketch frame (two
+    * sources meet exactly where their mins collide — never a
+    * source×source nested loop), then a pair-keyed count. Pairs with
+    * zero agreement (estimate 0) don't emit — the report lists
+    * suspect pairs, not the full matrix.
+    */
+  val qSourceSketch: QuerySpec = QuerySpec(
+    "q144_source_sketch",
+    (s, dir) => {
+      val rows = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(WordShingleHashes(col("text"), 3)).as("h"))
+      val mins = (0 until NumHashes).map { j =>
+        min((lit(permA(j)) * col("h") + lit(permB(j))) % P).as(s"mh$j")
+      }
+      val sk = rows.groupBy(col("source")).agg(mins.head, mins.tail: _*)
+        .select(col("source"),
+          posexplode(array((0 until NumHashes).map(j => col(s"mh$j")): _*)))
+        .select(col("source"), col("pos").as("j"), col("col").as("mh"))
+      sk.alias("a")
+        .join(sk.alias("b"),
+          col("a.j") === col("b.j") && col("a.mh") === col("b.mh")
+            && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("agree"))
+        .select(col("source_a"), col("source_b"), col("agree"),
+          (col("agree").cast("double") / lit(NumHashes.toDouble))
+            .as("est_jaccard"))
+    },
+    Some(s"""WITH dt AS (SELECT source, string_split(text, ' ') AS tk
+            |  FROM documents),
+            | dh AS (SELECT source, unnest(list_distinct(list_transform(
+            |   list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+            |     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]),
+            |   s -> ${PolyHash.oracleSql("s")}))) AS h FROM dt),
+            | sk AS (SELECT source, t.j AS j,
+            |   MIN((((1103515245 * (j + 1)) % $P) * h
+            |     + ((12345 * (j + 1) + 7) % $P)) % $P) AS mh
+            |  FROM dh, range(0, $NumHashes) t(j) GROUP BY source, t.j)
+            | SELECT a.source AS source_a, b.source AS source_b,
+            |  COUNT(*) AS agree,
+            |  CAST(COUNT(*) AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+            | FROM sk a JOIN sk b ON a.j = b.j AND a.mh = b.mh
+            |  AND a.source < b.source
+            | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
-    qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse)
+    qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
+    qSourceSketch)
 }
