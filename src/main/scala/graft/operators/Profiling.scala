@@ -571,8 +571,86 @@ object Profiling {
             |   AS gopher_pass_rate
             | FROM base, kr, gp""".stripMargin.replaceAll("\n", "")))
 
+  /** q145 — vocabulary-growth (Heaps-law) curve: cumulative distinct
+    * vocabulary vs cumulative token volume over 10 ingestion-order
+    * checkpoints (q128's id-range buckets), with the per-checkpoint
+    * new-term count and type/token ratio. THE profile read before
+    * sizing a tokenizer vocabulary or diagnosing a feed of templated
+    * text (a flat curve = the corpus stopped contributing new language;
+    * a jump = a new domain landed mid-ingest). Heaps' law itself is a
+    * power fit — log-free here by REPORTING the curve, not fitting it:
+    * every column is exact integer except the one IEEE ttr division.
+    *
+    * Scale shape: bucket assignment is the q128 map (one-row max-id
+    * broadcast); token volume map-side-combines to ≤10 rows; the
+    * vocabulary pass is ONE min-aggregate per distinct word hash
+    * (first-seen bucket, map-side combinable) collapsed to a ≤10-row
+    * histogram — the q122 novelty shape without the per-doc join back;
+    * cumulative sums ride windows over the bounded summary (the q123
+    * discipline).
+    */
+  val qVocabGrowth: QuerySpec = QuerySpec(
+    "q145_vocab_growth",
+    (s, dir) => {
+      import graft.functions.WordShingleHashes
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id")).as("mx"))
+      val based = docs.crossJoin(broadcast(maxId)) // one-row frame
+        .select(least(expr("(doc_id * 10) div (mx + 1)"), lit(9L)).as("bucket"),
+          col("text"))
+      val toks = based
+        .select(col("bucket"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_tok")).as("b_tok"), count(lit(1)).as("b_docs"))
+      val news = based
+        .select(col("bucket"), explode(WordShingleHashes(col("text"), 1)).as("h"))
+        .groupBy(col("h")).agg(min(col("bucket")).as("fb"))
+        .groupBy(col("fb").as("bucket")).agg(count(lit(1)).as("b_new"))
+      val upTo = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      toks.join(news, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("b_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("b_tok"), lit(0L)).as("b_tok"),
+          coalesce(col("b_new"), lit(0L)).as("new_terms"))
+        .withColumn("cum_tokens", sum(col("b_tok")).over(upTo))
+        .withColumn("cum_vocab", sum(col("new_terms")).over(upTo))
+        .select(col("bucket"), col("n_docs"), col("cum_tokens"),
+          col("new_terms"), col("cum_vocab"),
+          (col("cum_vocab").cast("double") / col("cum_tokens").cast("double"))
+            .as("ttr"))
+    },
+    Some(s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+            | b AS (SELECT least((doc_id * 10) // (mx.mx + 1), 9) AS bucket,
+            |   text FROM documents, mx),
+            | tk AS (SELECT bucket,
+            |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS b_tok,
+            |   COUNT(*) AS b_docs FROM b GROUP BY bucket),
+            | dh AS (SELECT bucket, unnest(list_distinct(list_transform(
+            |   string_split(text, ' '),
+            |   s -> ${graft.functions.PolyHash.oracleSql("s")}))) AS h FROM b),
+            | fs AS (SELECT h, MIN(bucket) AS fb FROM dh GROUP BY h),
+            | nw AS (SELECT fb AS bucket, COUNT(*) AS b_new FROM fs GROUP BY fb),
+            | j AS (SELECT COALESCE(tk.bucket, nw.bucket) AS bucket,
+            |   COALESCE(b_docs, 0) AS n_docs, COALESCE(b_tok, 0) AS b_tok,
+            |   COALESCE(b_new, 0) AS new_terms
+            |  FROM tk FULL JOIN nw ON tk.bucket = nw.bucket),
+            | c AS (SELECT bucket, n_docs, new_terms,
+            |   CAST(SUM(b_tok) OVER (ORDER BY bucket
+            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            |    AS cum_tokens,
+            |   CAST(SUM(new_terms) OVER (ORDER BY bucket
+            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            |    AS cum_vocab
+            |  FROM j)
+            | SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs, cum_tokens,
+            |  CAST(new_terms AS BIGINT) AS new_terms, cum_vocab,
+            |  CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
+            | FROM c""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
       qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
-      qDatasetCard)
+      qDatasetCard, qVocabGrowth)
 }
