@@ -118,4 +118,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("q144_source_sketch agreement pairs come only from the (j, mh) equi-join") {
+    withStaticPlans {
+      val plan = Dedup.qSourceSketch.build(spark, dir).queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bad.isEmpty,
+        s"source-pair generation must never be a source×source nested loop:\n$plan")
+    }
+  }
+
+  test("q143_ann_serve broadcasts the probe frame and never nested-loops") {
+    withStaticPlans {
+      val plan = Retrieval.qAnnServe.build(spark, dir).queryExecution.executedPlan
+      val bad = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bad.isEmpty, s"serving must never nested-loop:\n$plan")
+      val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bcast.nonEmpty,
+        "the (query, cid) probe frame must reach the layout via broadcast hash join")
+    }
+  }
 }
