@@ -1494,11 +1494,61 @@ object Dedup {
             |  AND a.source < b.source
             | GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** q146 — removal/rewrite PROVENANCE: one (doc_id, reason) row per
+    * document-level dedup verdict — `exact_dup` (not the keeper of its
+    * text-hash group), `near_dup` (q131's quality collapse dropped
+    * it), `substring_spliced` (q130 rewrote it). THE audit frame a
+    * curation pass ships alongside the cleaned corpus: "why is my
+    * document gone/changed" answered by the exact gated operators
+    * that made each decision (the q139 composition discipline — the
+    * oracle nests q130's and q131's oracles verbatim, so the
+    * provenance can never drift from the verdicts). A doc under
+    * several verdicts appears once per reason.
+    *
+    * Scale shape: the exact branch is one hash-keyed agg + a join
+    * back on the same key; the other branches ARE the gated q130/q131
+    * plans plus a filter; the union adds nothing. (q134's semantic
+    * verdict is deliberately absent: it keys vec_id — the embedding
+    * id space, not the document one.)
+    */
+  val qRemovalProvenance: QuerySpec = QuerySpec(
+    "q146_removal_provenance",
+    (s, dir) => {
+      val hashes = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), PolyHash(col("text")).as("text_hash"))
+      val exact = hashes
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .join(hashes, "text_hash")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit("exact_dup").as("reason"))
+      val near = qQualityCollapse.build(s, dir)
+        .filter(col("kept") === 0)
+        .select(col("doc_id"), lit("near_dup").as("reason"))
+      val spliced = qSubstringRemove.build(s, dir)
+        .filter(col("n_removed") > 0)
+        .select(col("doc_id"), lit("substring_spliced").as("reason"))
+      exact.unionByName(near).unionByName(spliced)
+    },
+    Some(s"""WITH ex AS (SELECT doc_id, 'exact_dup' AS reason FROM (
+            |   SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS keep_id,
+            |     COUNT(*) OVER (PARTITION BY h) AS c
+            |   FROM (SELECT doc_id, ${PolyHash.oracleSql("text")} AS h
+            |     FROM documents))
+            |  WHERE c > 1 AND doc_id != keep_id),
+            | nr AS (SELECT doc_id, 'near_dup' AS reason
+            |  FROM (${qQualityCollapse.oracle.get}) WHERE kept = 0),
+            | sp AS (SELECT doc_id, 'substring_spliced' AS reason
+            |  FROM (${qSubstringRemove.oracle.get}) WHERE n_removed > 0)
+            | SELECT * FROM ex UNION ALL SELECT * FROM nr
+            | UNION ALL SELECT * FROM sp""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
-    qSourceSketch)
+    qSourceSketch, qRemovalProvenance)
 }

@@ -87,7 +87,14 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qSpanExtents, Corpus.qFertility, Dedup.qDupMass,
       // all-integer moment matrix + driver-side max-abs power iteration
       // (q120)
-      Similarity.qPrincipalComponent)) {
+      Similarity.qPrincipalComponent,
+      // round-14 additions: driver-side integer waterfall over the
+      // collected per-source frame (q141), multi-query pruned probe +
+      // per-query rank windows (q143), union-min sketch + (j, mh)
+      // agreement equi-join (q144), first-seen-bucket vocabulary
+      // histogram + cumulative windows (q145)
+      Corpus.qEpochAlloc, Retrieval.qAnnServe,
+      Dedup.qSourceSketch, Profiling.qVocabGrowth)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
