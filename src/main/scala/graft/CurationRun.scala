@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *   3. `mixture/`   — q132 temperature-weighted mixture plan over the
   *                     surviving documents;
   *   4. `shards/`    — q56 two-level sequence packing of the survivors;
-  *   5. `scorecard/` — q87 per-source scorecard of the shipped corpus,
+  *   5. `provenance/` — the q146 audit frame for THIS run's decisions:
+  *                     one (doc_id, reason) row per exact_dup /
+  *                     near_dup / substring_spliced verdict, derived
+  *                     from the run's own clean/collapse outputs (the
+  *                     "why is my document gone/changed" answer);
+  *   6. `scorecard/` — q87 per-source scorecard of the shipped corpus,
   *                     written LAST (the run's health report).
   *
   * Every stage is the SAME code path its gated query runs
@@ -39,7 +44,8 @@ import org.apache.spark.sql.functions._
 object CurationRun {
 
   final case class Summary(
-      nDocs: Long, tokensRemoved: Long, nKept: Long, nSources: Long)
+      nDocs: Long, tokensRemoved: Long, nKept: Long, nSources: Long,
+      nFlagged: Long)
 
   // per-JVM run nonce: CC scratch generations flush under this tag, and
   // two runs in one JVM (spec + reuse) must never share one
@@ -78,7 +84,27 @@ object CurationRun {
     write(Corpus.mixturePlan(kept), s"$outDir/mixture")
     write(Corpus.sequencePack(kept), s"$outDir/shards")
 
-    // 5. the health report of what actually shipped, last
+    // 5. provenance — the q146 audit frame over THIS run's decisions
+    // (the gated q146 runs the same union over the raw corpus; here the
+    // exact-hash branch runs on the CLEANED text, which is what collapse
+    // actually compared)
+    val hashes = cleaned
+      .select(col("doc_id"), graft.functions.PolyHash(col("text")).as("h"))
+    val exact = hashes.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .join(hashes, "h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit("exact_dup").as("reason"))
+    val near = spark.read.parquet(s"$outDir/collapse")
+      .filter(col("kept") === 0L)
+      .select(col("doc_id"), lit("near_dup").as("reason"))
+    val spliced = spark.read.parquet(s"$outDir/clean")
+      .filter(col("n_removed") > 0)
+      .select(col("doc_id"), lit("substring_spliced").as("reason"))
+    write(exact.unionByName(near).unionByName(spliced), s"$outDir/provenance")
+
+    // 6. the health report of what actually shipped, last
     write(Curation.sourceScorecard(kept), s"$outDir/scorecard")
 
     val acct = spark.read.parquet(s"$outDir/clean")
@@ -87,7 +113,8 @@ object CurationRun {
       nDocs = acct.getLong(0),
       tokensRemoved = acct.getLong(1),
       nKept = spark.read.parquet(s"$outDir/shards").count(),
-      nSources = spark.read.parquet(s"$outDir/scorecard").count())
+      nSources = spark.read.parquet(s"$outDir/scorecard").count(),
+      nFlagged = spark.read.parquet(s"$outDir/provenance").count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -106,6 +133,7 @@ object CurationRun {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"n_docs":${sm.nDocs},"tokens_removed":${sm.tokensRemoved},""" +
       s""""n_kept":${sm.nKept},"n_sources":${sm.nSources},""" +
+      s""""n_flagged":${sm.nFlagged},""" +
       f""""sec":$sec%.3f}""")
     spark.stop()
   }

@@ -64,6 +64,38 @@ class CurationRunSpec extends AnyFunSuite with SparkTestSession {
     assert(math.abs(natural - 1.0) < 1e-9)
   }
 
+  test("the provenance audit matches each stage's own verdicts") {
+    val (o, sm) = out
+    val prov = spark.read.parquet(s"$o/provenance")
+    val byReason = prov.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val spliced = spark.read.parquet(s"$o/clean").filter(col("n_removed") > 0)
+    assert(byReason.getOrElse("substring_spliced", 0L) == spliced.count())
+    val dropped = spark.read.parquet(s"$o/collapse").filter(col("kept") === 0L)
+    assert(byReason.getOrElse("near_dup", 0L) == dropped.count())
+    assert(dropped.count() > 0, "sf0.001 collapse drops docs to audit")
+    // row sets, not just counts
+    val provNear = prov.filter(col("reason") === "near_dup").select("doc_id")
+    assert(provNear.except(dropped.select("doc_id")).count() == 0)
+    // an exact-dup non-keeper that is LONG enough to shingle (≥3 words)
+    // always has an identical lower-id equal-score twin in its near-dup
+    // cluster and can never be the (score desc, id asc) argmax — so it
+    // is also near_dup-dropped. Identical SHORT docs (< 3 words after
+    // cleaning) are invisible to shingle LSH: the exact branch is
+    // exactly what catches them, so they appear ONLY under exact_dup
+    val provExact = prov.filter(col("reason") === "exact_dup").select("doc_id")
+    val words = spark.read.parquet(s"$o/clean")
+      .select(col("doc_id"), size(split(col("clean_text"), " ")).as("w"))
+    val longExact = provExact.join(words.filter(col("w") >= 3), Seq("doc_id"))
+      .select("doc_id")
+    assert(longExact.except(provNear).count() == 0,
+      "a shingle-able exact dup escaped the near-dup collapse")
+    val shortExact = provExact.join(words.filter(col("w") < 3), Seq("doc_id"))
+    assert(shortExact.count() > 0,
+      "sf0.001 contains sub-shingle exact dups — the exact branch's unique catch")
+    assert(sm.nFlagged == prov.count())
+  }
+
   test("the shard layout packs every survivor with exact per-source prefix sums") {
     val (o, sm) = out
     val shards = spark.read.parquet(s"$o/shards")
