@@ -305,6 +305,76 @@ object Retrieval {
             |    AS BIGINT) AS rnk FROM cand)
             | WHERE rnk <= 10""".stripMargin.replaceAll("\n", "")))
 
+  /** q147 — serving recall@10: per served query, |exact top-10 ∩
+    * q143's nprobe=2 top-10| / 10 — the q60 recall discipline applied
+    * to the BATCHED serving path, so the serving endpoint ships with
+    * its own quality metric (per-query, not corpus-averaged: one cold
+    * query in a badly-probed cluster shows up as ITS row, not diluted).
+    * Self-retrieval guarantees hits ≥ 1 (the query is a corpus member
+    * and its own cluster is the top probe).
+    *
+    * Scale shape: the exact side is ONE corpus scan with the 5 query
+    * vectors as literals (the q103 anchors-as-literals pattern — no
+    * query×corpus join) exploded map-side, per-query window top-10;
+    * the served side is the gated q143 plan; the intersection is a
+    * join of two ≤50-row frames. The one division is by 10 — exact on
+    * both engines.
+    */
+  val qServeRecall: QuerySpec = QuerySpec(
+    "q147_serve_recall",
+    (s, dir) => {
+      val served = qAnnServe.build(s, dir)
+        .select(col("query_id"), col("vec_id"))
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qqe"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      val qVecs = array(qs.map { case (_, v) => typedlit(v) }: _*)
+      val qIds = typedlit(qs.map(_._1))
+      val exactTop = e
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), col("qe"), posexplode(qVecs))
+        .select(element_at(qIds, col("pos") + 1).as("query_id"), col("vec_id"),
+          Exact.cosineFromQuantized(col("qe"), col("col")).as("cos_sim"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      exactTop.join(served, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / lit(10.0d)).as("recall"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
+            |  WHERE vec_id < 5),
+            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY qs.query_id
+            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
+            |   AS prk
+            |  FROM c${Similarity.TrainIters} c, qs),
+            | srv AS (SELECT query_id, vec_id FROM (
+            |  SELECT pr.query_id, fm.vec_id, ROW_NUMBER() OVER (
+            |    PARTITION BY pr.query_id
+            |    ORDER BY ${Exact.cosineSql("fm.qe", "pr.qqe")} DESC, fm.vec_id)
+            |    AS rnk
+            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
+            |  WHERE rnk <= 10),
+            | ex AS (SELECT query_id, vec_id FROM (
+            |  SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER (
+            |    PARTITION BY qs.query_id
+            |    ORDER BY ${Exact.cosineSql("e.qe", "qs.qqe")} DESC, e.vec_id)
+            |    AS rk
+            |  FROM e, qs) WHERE rk <= 10)
+            | SELECT ex.query_id, COUNT(*) AS hits,
+            |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall
+            | FROM ex JOIN srv ON ex.query_id = srv.query_id
+            |  AND ex.vec_id = srv.vec_id
+            | GROUP BY ex.query_id""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe)
+    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall)
 }
