@@ -506,6 +506,41 @@ object Similarity {
       table
     })
 
+  /** An EMPTY clustered-layout table (the [[ensureClustered]] schema,
+    * cid-partitioned) for incremental builds — the
+    * [[graft.streaming.AnnStream]] seam, mirroring
+    * [[graft.sources.EmbeddingIndex.build]] over an empty frame.
+    */
+  def buildClusteredEmpty(s: SparkSession, tag: String): String = {
+    val table = s"graft_annclu_$tag"
+    graft.sources.Bucketed.dropStale(s, table)
+    import s.implicits._
+    s.emptyDataset[(Long, Seq[Long], Int)].toDF("vec_id", "qe", "cid")
+      .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
+    table
+  }
+
+  /** Idempotent append of new vectors to a clustered layout under a
+    * FROZEN codebook (the [[graft.streaming.PqStream]] freezing
+    * discipline: cids are only comparable under the codebook that
+    * assigned them, so ingest never retrains — drift is a periodic
+    * retrain + re-cluster swap). One map-side quantize/assign pass, a
+    * vec_id anti-join against the table (replay appends nothing), a
+    * cid-partitioned append, then a catalog refresh on the COORDINATING
+    * session — in a streaming foreachBatch the write runs on the
+    * micro-batch session clone and a partitioned table's relation cache
+    * is per-session (the [[graft.operators.ProductQuant.appendFresh]] /
+    * Bucketed.compact cross-session trap).
+    */
+  def appendClustered(s: SparkSession, table: String, emb: DataFrame,
+      cents: Seq[Seq[Long]]): Unit = {
+    emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      .withColumn("cid", NearestCentroid(col("qe"), cents))
+      .join(s.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .write.partitionBy("cid").mode("append").saveAsTable(table)
+    s.catalog.refreshTable(table)
+  }
+
   /** q26c — q26b's probe through the PARTITIONED layout: identical
     * result (same trained codebook, same 2-cluster probe set, same
     * cosine ordering — oracled against q26b's SQL), but the plan reads
