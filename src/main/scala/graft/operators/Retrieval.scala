@@ -251,10 +251,16 @@ object Retrieval {
     * is not); the per-query top-k is a window partitioned by query_id
     * over ≤ nprobe/K of the corpus per query.
     */
+  /** `table` overrides the layout to serve from (an [[graft.streaming.AnnStream]]
+    * incrementally-built table); None = the dir's batch-built layout.
+    * The codebook is always the dir's trained one — the frozen-codebook
+    * discipline means an incremental table carries the SAME assignments.
+    */
   private[graft] def serveTopK(s: SparkSession, dir: String,
-      queries: DataFrame, nprobe: Int = 2, k: Int = 10): DataFrame = {
+      queries: DataFrame, nprobe: Int = 2, k: Int = 10,
+      table: Option[String] = None): DataFrame = {
     val cents = Similarity.ensureTrained(s, dir)
-    val layout = s.table(Similarity.ensureClustered(s, dir))
+    val layout = s.table(table.getOrElse(Similarity.ensureClustered(s, dir)))
     val pq = queries
       .select(col("query_id"), Exact.quantize(col("embedding")).as("qqe"))
       .withColumn("cid", explode(ProbeCentroids(col("qqe"), cents, nprobe)))

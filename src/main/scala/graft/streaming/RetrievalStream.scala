@@ -36,15 +36,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object RetrievalStream {
 
+  /** @param table serve from this layout table instead of the dir's
+    *               batch build — the [[AnnStream]] composition: one
+    *               incrementally-growing table ingested by AnnStream
+    *               and served by this stream, so vectors appended in
+    *               trigger N answer queries from trigger N+1 on.
+    */
   def start(spark: SparkSession, queries: DataFrame, dir: String,
       checkpointDir: String,
       onResults: DataFrame => Unit,
-      nprobe: Int = 2, k: Int = 10): StreamingQuery = {
+      nprobe: Int = 2, k: Int = 10,
+      table: Option[String] = None): StreamingQuery = {
     // build the layouts BEFORE the first trigger, not inside it — a
     // first-request train/cluster would stall the stream for the whole
     // corpus pass
     graft.operators.Similarity.ensureTrained(spark, dir)
-    graft.operators.Similarity.ensureClustered(spark, dir)
+    if (table.isEmpty) graft.operators.Similarity.ensureClustered(spark, dir)
     queries
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -52,7 +59,8 @@ object RetrievalStream {
         val b = batch.select("query_id", "embedding").persist()
         try {
           if (b.limit(1).count() > 0) {
-            val res = Retrieval.serveTopK(spark, dir, b, nprobe, k).persist()
+            val res = Retrieval.serveTopK(spark, dir, b, nprobe, k, table)
+              .persist()
             try onResults(res) finally res.unpersist()
           }
         } finally b.unpersist()

@@ -94,6 +94,51 @@ class RetrievalStreamSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("serving composes with AnnStream ingest: trigger-N vectors answer trigger-N+1 queries") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Similarity.ensureTrained(spark, dir)
+    val table = Similarity.buildClusteredEmpty(spark,
+      s"servecompose${System.nanoTime()}")
+    val all = {
+      graft.Tables.load(spark, dir, "embeddings")
+        .select("vec_id", "embedding").as[(Long, Seq[Float])]
+        .collect().toSeq.sortBy(_._1)
+    }
+    val (first, second) = all.splitAt(250)
+    val vin = MemoryStream[(Long, Seq[Float])]
+    val ingest = AnnStream.startIncremental(spark,
+      vin.toDS().toDF("vec_id", "embedding"), table,
+      java.nio.file.Files.createTempDirectory("graft-compose-i-").toString,
+      cents)
+    val qin = MemoryStream[(Long, Seq[Float])]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Double, Long)]
+    val serve = RetrievalStream.start(spark,
+      qin.toDS().toDF("query_id", "embedding"), dir,
+      java.nio.file.Files.createTempDirectory("graft-compose-s-").toString,
+      onResults = r => buf.synchronized { buf ++= rowsOf(r) },
+      table = Some(table))
+    try {
+      // phase 1: half the corpus ingested — answers draw ONLY from it
+      vin.addData(first); ingest.processAllAvailable()
+      qin.addData(queryVectors(2)); serve.processAllAvailable()
+      val firstIds = first.map(_._1).toSet
+      val phase1 = buf.synchronized { val s0 = buf.toSeq; buf.clear(); s0 }
+      assert(phase1.nonEmpty)
+      assert(phase1.forall(r => firstIds(r._2)),
+        "phase-1 answers must only contain ingested vectors")
+      // phase 2: rest ingested — serving now equals the batch answer
+      vin.addData(second); ingest.processAllAvailable()
+      qin.addData(queryVectors(2)); serve.processAllAvailable()
+      val phase2 = buf.synchronized(buf.toSeq)
+      val expect = rowsOf(Retrieval.serveTopK(spark, dir,
+        queryVectors(2).toDF("query_id", "embedding")))
+      assert(phase2.sorted.toSeq == expect.sorted.toSeq,
+        "fully-ingested streamed layout must serve the batch answer")
+    } finally { ingest.stop(); serve.stop() }
+  }
+
   test("re-serving a batch is deterministic; an empty batch serves nothing") {
     import spark.implicits._
     val b = queryVectors(3).toDF("query_id", "embedding")
