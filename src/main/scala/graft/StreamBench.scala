@@ -43,6 +43,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    queries/s through probe-assign → pruned scan → top-10 window
   *    (layout build is untimed; the 64×10 result-row count is the
   *    loss check).
+  *  - `ann_ingest_rows_per_sec`: the serving-layout ingest front door
+  *    ([[graft.streaming.AnnStream]]) building the sf0.001 clustered
+  *    layout from micro-batches under the frozen codebook — vectors/s
+  *    through quantize/assign → anti-join → partitioned append (the
+  *    codebook training is untimed; the full-corpus row count is the
+  *    loss check).
   *
   * Numbers carry the same ±20% host-variance caveat as the batch table;
   * they are trend indicators, not gates.
@@ -235,6 +241,36 @@ object StreamBench {
       require(served.get() == queries.size * 10L,
         s"retrieval_serve leg returned ${served.get()} of ${queries.size * 10} rows")
       (queries.size.toLong, sec)
+    }
+
+    leg("ann_ingest") {
+      import graft.streaming.{AnnStream, Sources}
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val cents = operators.Similarity.ensureTrained(spark, srcDir) // untimed
+      val vecs = Tables.load(spark, srcDir, "embeddings")
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val table = operators.Similarity.buildClusteredEmpty(spark, s"sbench_$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, Seq[Float])](spark)
+      val t0 = System.nanoTime()
+      val query = AnnStream.startIncremental(spark,
+        src.toDS().toDF("vec_id", "embedding"), table, ckpt, cents)
+      try {
+        vecs.grouped(100).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rows = spark.table(table).count()
+      graft.sources.Bucketed.dropStale(spark, table)
+      require(rows == vecs.size.toLong,
+        s"ann_ingest leg appended $rows of ${vecs.size} vectors")
+      (rows, sec)
     }
 
     (metrics.toMap, errors.toMap)
