@@ -1544,11 +1544,66 @@ object Dedup {
             | SELECT * FROM ex UNION ALL SELECT * FROM nr
             | UNION ALL SELECT * FROM sp""".stripMargin.replaceAll("\n", "")))
 
+  /** q148 — curation-impact report: the ONE-ROW before/after summary a
+    * data team reads after the dedup stages run — corpus volume,
+    * tokens the q130 splice removed, documents/tokens surviving the
+    * q131 quality collapse, and the two survival ratios. The q139
+    * dataset card describes the corpus AS SHIPPED; this is the DELTA
+    * the curation pass caused (the number that decides whether a
+    * threshold change is a data win or a data loss). Oracle nests the
+    * q130/q131 oracles verbatim (the q146 discipline), so the impact
+    * numbers can never drift from the verdicts.
+    *
+    * Scale shape: two single-row aggregates over the corpus scan, the
+    * gated q130/q131 plans reduced to single-row aggregates, and
+    * single-row crossJoins to assemble the report; ratios are single
+    * IEEE divisions of exact integers.
+    */
+  val qCurationImpact: QuerySpec = QuerySpec(
+    "q148_curation_impact",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val base = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      val spliced = qSubstringRemove.build(s, dir)
+        .agg(sum(col("n_removed")).as("tokens_spliced"))
+      val kept = docs.join(
+          qQualityCollapse.build(s, dir)
+            .filter(col("kept") === 1L).select(col("doc_id")),
+          Seq("doc_id"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
+      base.crossJoin(spliced).crossJoin(kept) // all single-row frames
+        .select(col("n_docs"), col("n_tokens"), col("tokens_spliced"),
+          col("n_kept"), col("tokens_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("doc_survival"),
+          (col("tokens_kept").cast("double") / col("n_tokens").cast("double"))
+            .as("token_survival"))
+    },
+    Some(s"""WITH base AS (SELECT COUNT(*) AS n_docs,
+            |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            | sp AS (SELECT CAST(SUM(n_removed) AS BIGINT) AS tokens_spliced
+            |  FROM (${qSubstringRemove.oracle.get})),
+            | kd AS (SELECT doc_id FROM (${qQualityCollapse.oracle.get})
+            |  WHERE kept = 1),
+            | kp AS (SELECT COUNT(*) AS n_kept,
+            |   CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+            |    AS tokens_kept
+            |  FROM documents d JOIN kd ON d.doc_id = kd.doc_id)
+            | SELECT n_docs, n_tokens, tokens_spliced, n_kept, tokens_kept,
+            |  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS doc_survival,
+            |  CAST(tokens_kept AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            |   AS token_survival
+            | FROM base, sp, kp""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
-    qSourceSketch, qRemovalProvenance)
+    qSourceSketch, qRemovalProvenance, qCurationImpact)
 }
