@@ -69,9 +69,20 @@ object Bucketed {
     val tmp = s"${table}_compact"
     if (!s.catalog.tableExists(table) && s.catalog.tableExists(tmp)) {
       s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      syncPartitions(s, table)
       s.catalog.refreshTable(table)
     }
   }
+
+  /** RENAME moves a managed table's files but leaves PARTITION entries
+    * pointing at the pre-rename paths (probed: a renamed cid-partitioned
+    * table reads ZERO rows while SHOW PARTITIONS still lists entries
+    * under the old `_compact` location) — re-sync them after any swap of
+    * a partition-tracked table. No-op for unpartitioned/bucketed tables.
+    */
+  private def syncPartitions(s: SparkSession, table: String): Unit =
+    if (s.catalog.listColumns(table).collect().exists(_.isPartition))
+      s.sql(s"MSCK REPAIR TABLE $table")
 
   /** Compact a bucketed table's small files: per-batch appends leave one
     * file set per bucket per batch, eroding the exchange-free read the
@@ -96,6 +107,33 @@ object Bucketed {
   def compact(s0: SparkSession, table: String, buckets: Int, key: String,
       moreKeys: String*): Unit =
     compactImpl(s0, table, buckets, key, moreKeys, dedupe = false)
+
+  /** Crash-safe small-file compaction for a PARTITIONED layout (the
+    * [[graft.streaming.AnnStream]] serving layout, the
+    * [[graft.streaming.PqStream]] codes table): per-trigger appends add
+    * one file set per partition per batch, eroding the pruned read the
+    * partitioning buys. Rewrites through the same fully-materialized
+    * `_compact` twin + rename swap as [[compact]] (every crash point
+    * heals via [[recover]]), preserving the partition columns; input
+    * splits are per-partition files, so the rewrite emits a
+    * near-minimal file set per partition with no shuffle. Same
+    * log-structured cadence: appends per trigger, compaction per
+    * hour/day.
+    */
+  def compactPartitioned(s0: SparkSession, table: String,
+      partitionCols: String*): Unit = {
+    val s = s0.newSession()
+    recover(s, table) // a previous compact may have died mid-swap
+    val tmp = s"${table}_compact"
+    dropStale(s, tmp)
+    s.table(table).write.partitionBy(partitionCols: _*)
+      .mode("overwrite").saveAsTable(tmp)
+    dropStale(s, table)
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    syncPartitions(s, table)
+    s.catalog.refreshTable(table)
+    s0.catalog.refreshTable(table)
+  }
 
   /** [[compact]] that also DROPS DUPLICATE ROWS in the rewrite — for
     * stores whose replay contract can double-append (SpanStream's

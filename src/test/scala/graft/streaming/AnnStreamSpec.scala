@@ -38,7 +38,8 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-annstream-").toString
     val input = MemoryStream[(Long, Seq[Float])]
     val query = AnnStream.startIncremental(spark,
-      input.toDS().toDF("vec_id", "embedding"), table, ckpt, cents)
+      input.toDS().toDF("vec_id", "embedding"), table, ckpt, cents,
+      compactEvery = 2) // exercise in-stream compaction too
     try {
       corpus().grouped(180).foreach { b =>
         input.addData(b)
@@ -70,6 +71,53 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     }
     assert(probe(table) == probe(batchTable))
+  }
+
+  test("compaction shrinks the file set, preserves rows, and heals a crashed swap") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Similarity.ensureTrained(spark, dir)
+    val table = Similarity.buildClusteredEmpty(spark,
+      s"anncompact${System.nanoTime()}")
+    val (first, second) = corpus().splitAt(250)
+    // several appends → one file set per partition per append
+    first.grouped(50).foreach(g =>
+      Similarity.appendClustered(spark, table, g.toDF("vec_id", "embedding"),
+        cents))
+    def parquetFiles(): Int = {
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(new java.io.File(wh.getPath), table))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles()
+    val rowsBefore = rowsOf(table)
+    graft.sources.Bucketed.compactPartitioned(spark, table, "cid")
+    assert(parquetFiles() < before,
+      s"compaction must shrink the file set ($before files before)")
+    assert(rowsOf(table) == rowsBefore, "compaction must preserve rows")
+
+    // crash window: twin fully materialized, canonical dropped — the
+    // next startIncremental must adopt the twin before its first append
+    spark.table(table).write.partitionBy("cid").mode("overwrite")
+      .saveAsTable(s"${table}_compact")
+    graft.sources.Bucketed.dropStale(spark, table)
+    assert(!spark.catalog.tableExists(table), "crash state: canonical gone")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val query = AnnStream.startIncremental(spark,
+      input.toDS().toDF("vec_id", "embedding"), table,
+      java.nio.file.Files.createTempDirectory("graft-annheal-").toString,
+      cents)
+    try {
+      input.addData(second)
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(spark.catalog.tableExists(table), "open path adopted the twin")
+    assert(!spark.catalog.tableExists(s"${table}_compact"))
+    assert(spark.table(table).count() ==
+      (first.size + second.size).toLong,
+      "healed table must carry the pre-crash rows plus the new batch")
   }
 
   test("a replayed micro-batch appends nothing") {
