@@ -38,7 +38,8 @@ class PqStreamSpec extends AnyFunSuite with SparkTestSession {
 
     val input = MemoryStream[(Long, Seq[Float])]
     val query = PqStream.startIncremental(spark,
-      input.toDS().toDF("vec_id", "embedding"), empty, ckpt, cents, cb)
+      input.toDS().toDF("vec_id", "embedding"), empty, ckpt, cents, cb,
+      compactEvery = 2) // in-stream compaction must not perturb contents
     try {
       corpus().grouped(180).foreach { b =>
         input.addData(b)
