@@ -499,6 +499,92 @@ object TextAnalysis {
            | FROM t JOIN ns USING (source), tot""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q149 — per-source Wasserstein-1 (earth-mover) drift over the
+    * document word-count axis: W₁(source ‖ corpus) = Σ_k |F_s(k) − F(k)|
+    * over the integer support, in WORD units. The complement to q115:
+    * TVD sees only probability-mass overlap (a source whose docs are all
+    * 10 words longer than the corpus norm has TVD ≈ 1 with no notion of
+    * "by how much"), while W₁ is the magnitude-aware distance a length
+    * / seqlen drift monitor actually wants (it prices HOW FAR the mass
+    * moved — the quantity behind repacking/curriculum decisions when a
+    * feed's length profile shifts). Log-free by nature, so it clears the
+    * libm-divergence rule KL/JS fail.
+    *
+    * Exactness: for 1-D integer support, W₁ = Σ_i |F_s(k_i) − F(k_i)| ·
+    * (k_{i+1} − k_i) over the sorted corpus support (source support ⊆
+    * corpus support, so no union step). Everything rides the common
+    * denominator n_s·N as exact BIGINT — |N·cum_s − n_s·cum| · gap sums,
+    * one fixed-point `div` at the end (truncating in both engines).
+    * Headroom: 10⁴ · n_s · N · max_w < 2⁶³ holds to ~10⁷ docs/source ·
+    * 10⁷ corpus · 10⁴-word docs; past that the moments graduate to
+    * DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: one map-side word count, one map-side-combinable
+    * (source, w) histogram — every later frame is bounded by
+    * |sources| × |distinct w|, not corpus size. The CDF windows run over
+    * those bounded summaries (the q123 documented exception), and the
+    * support×sources grid the per-source CDF carry needs is the repo's
+    * one multi-row crossJoin: bounded-summary × bounded-summary
+    * (≤ |support| · |sources| rows, corpus-size-independent, broadcast).
+    */
+  val qWassersteinDrift: QuerySpec = QuerySpec(
+    "q149_wasserstein_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          TextMetrics.wordCount(col("text")).cast("long").as("w"))
+      val st = wc.groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("o"))
+      val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_docs"))
+      val wAxis = Window.orderBy(col("w"))
+      val supp = st.groupBy(col("w")).agg(sum(col("o")).as("c"))
+        .withColumn("cum", sum(col("c")).over(
+          wAxis.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("gap",
+          coalesce(lead(col("w"), 1).over(wAxis) - col("w"), lit(0L)))
+      val tot = st.agg(sum(col("o")).as("N"))
+      supp.crossJoin(broadcast(ns)) // bounded-summary grid (see scaladoc)
+        .join(st, Seq("source", "w"), "left")
+        .na.fill(0L, Seq("o"))
+        .withColumn("cum_s", sum(col("o")).over(
+          Window.partitionBy(col("source")).orderBy(col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot)) // single row
+        .groupBy(col("source"), col("n_docs"), col("N"))
+        .agg(sum(abs(col("N") * col("cum_s") - col("n_docs") * col("cum"))
+          * col("gap")).as("a"))
+        .select(col("source"), col("n_docs"),
+          expr("(10000 * a) div (n_docs * N)").as("w1_words_e4"))
+    },
+    Some(s"""WITH wc AS (SELECT source,
+            |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS w
+            |  FROM documents),
+            | st AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS o
+            |  FROM wc GROUP BY 1, 2),
+            | ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_docs
+            |  FROM st GROUP BY 1),
+            | ch AS (SELECT w, CAST(SUM(o) AS BIGINT) AS c FROM st GROUP BY 1),
+            | supp AS (SELECT w,
+            |   CAST(SUM(c) OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING
+            |     AND CURRENT ROW) AS BIGINT) AS cum,
+            |   CAST(COALESCE(LEAD(w) OVER (ORDER BY w) - w, 0) AS BIGINT)
+            |    AS gap FROM ch),
+            | tot AS (SELECT CAST(SUM(o) AS BIGINT) AS N FROM st),
+            | grid AS (SELECT ns.source, ns.n_docs, supp.w, supp.cum,
+            |   supp.gap, CAST(COALESCE(st.o, 0) AS BIGINT) AS o
+            |  FROM supp CROSS JOIN ns
+            |  LEFT JOIN st ON st.source = ns.source AND st.w = supp.w),
+            | cs AS (SELECT source, n_docs, w, cum, gap,
+            |   CAST(SUM(o) OVER (PARTITION BY source ORDER BY w
+            |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS BIGINT) AS cum_s FROM grid)
+            | SELECT source, n_docs,
+            |  CAST((10000 * CAST(SUM(ABS(N * cum_s - n_docs * cum) * gap)
+            |     AS BIGINT)) // (n_docs * N) AS BIGINT) AS w1_words_e4
+            | FROM cs, tot GROUP BY source, n_docs, N"""
+      .stripMargin.replaceAll("\n", "")))
+
   /** q126 — chunk-level dedup savings: the storage/compute a
     * content-defined-chunking dedup pass would reclaim, as one
     * corpus-level KPI row. Chunks come from the SAME rolling-hash
@@ -570,5 +656,5 @@ object TextAnalysis {
 
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
-    qDiversity, qSourceDrift, qChunkDedup)
+    qDiversity, qSourceDrift, qWassersteinDrift, qChunkDedup)
 }

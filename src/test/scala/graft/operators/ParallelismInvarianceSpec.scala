@@ -94,7 +94,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // agreement equi-join (q144), first-seen-bucket vocabulary
       // histogram + cumulative windows (q145)
       Corpus.qEpochAlloc, Retrieval.qAnnServe,
-      Dedup.qSourceSketch, Profiling.qVocabGrowth)) {
+      Dedup.qSourceSketch, Profiling.qVocabGrowth,
+      // bounded-grid CDF carry + common-denominator |cumdiff| sums
+      // (q149)
+      TextAnalysis.qWassersteinDrift)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
