@@ -3,7 +3,7 @@ package graft
 import graft.streaming.{OrderedProcessor, Payloads, RepublishPipeline}
 import graft.streaming.broker.{BrokerTopic, InMemoryBroker}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Streaming throughput measurement for the per-round bench artifact:
@@ -32,6 +32,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *  - `clean_ingest_capped_rows_per_sec`: the same leg with the
   *    hot-hash tombstone guard on (`maxStoredDf = 25`) — the
   *    throughput delta the bound buys/costs per trigger.
+  *  - `drift_ingest_rows_per_sec`: the online drift monitor
+  *    ([[graft.streaming.DriftStream]]) ingesting the sf0.001 documents
+  *    with a per-batch W₁ report (the histogram-mass count doubles as a
+  *    loss check)
   *  - `graph_ingest_rows_per_sec`: the incremental connected-components
   *    front door ([[graft.streaming.GraphStream]]) ingesting the
   *    sf0.001 verified-pair stream in micro-batches — pairs/s through
@@ -175,6 +179,37 @@ object StreamBench {
     // the delta is what the maxStoredDf bound buys/costs per trigger
     cleanIngestLeg("clean_ingest", Long.MaxValue)
     cleanIngestLeg("clean_ingest_capped", 25L)
+
+    leg("drift_ingest") {
+      import graft.streaming.{DriftStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      val store = DriftStream.build(spark, "sbench")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String, String)](spark)
+      val t0 = System.nanoTime()
+      val query = DriftStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "source", "text"), store, ckpt,
+        onBatch = _ => (), compactEvery = 2)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: every doc lands in exactly one histogram cell
+      val massed = DriftStream.histogram(spark, store)
+        .agg(coalesce(sum(col("o")), lit(0L))).collect().head.getLong(0)
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(massed == docs.length.toLong,
+        s"drift_ingest leg folded $massed of ${docs.length} docs")
+      (docs.length.toLong, sec)
+    }
 
     leg("graph_ingest") {
       import graft.streaming.{GraphStream, Sources}

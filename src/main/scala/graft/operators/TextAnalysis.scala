@@ -527,15 +527,22 @@ object TextAnalysis {
     * one multi-row crossJoin: bounded-summary × bounded-summary
     * (≤ |support| · |sources| rows, corpus-size-independent, broadcast).
     */
-  val qWassersteinDrift: QuerySpec = QuerySpec(
-    "q149_wasserstein_drift",
-    (s, dir) => {
+  /** Per-(source, word-count) histogram — the ONE definition shared by
+    * q149 and [[graft.streaming.DriftStream]]'s persisted state, so the
+    * online monitor can never fork from the gated metric.
+    */
+  private[graft] def lengthHist(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        TextMetrics.wordCount(col("text")).cast("long").as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("o"))
+
+  /** The W₁ computation over a (source, w, o) histogram frame — shared
+    * by the gated query and the streaming monitor's per-batch report.
+    */
+  private[graft] def wassersteinBySource(st0: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val wc = Tables.load(s, dir, "documents")
-        .select(col("source"),
-          TextMetrics.wordCount(col("text")).cast("long").as("w"))
-      val st = wc.groupBy(col("source"), col("w"))
-        .agg(count(lit(1)).as("o"))
+      val st = st0
       val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_docs"))
       val wAxis = Window.orderBy(col("w"))
       val supp = st.groupBy(col("w")).agg(sum(col("o")).as("c"))
@@ -556,7 +563,11 @@ object TextAnalysis {
           * col("gap")).as("a"))
         .select(col("source"), col("n_docs"),
           expr("(10000 * a) div (n_docs * N)").as("w1_words_e4"))
-    },
+  }
+
+  val qWassersteinDrift: QuerySpec = QuerySpec(
+    "q149_wasserstein_drift",
+    (s, dir) => wassersteinBySource(lengthHist(Tables.load(s, dir, "documents"))),
     Some(s"""WITH wc AS (SELECT source,
             |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS w
             |  FROM documents),

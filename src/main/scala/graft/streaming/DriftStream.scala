@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.operators.TextAnalysis
+import graft.sources.Bucketed
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming form of q149's length-drift monitor: documents arrive
+  * continuously, each micro-batch's per-(source, word-count) histogram
+  * (the SAME definition as the gated metric —
+  * [[TextAnalysis.lengthHist]]) is folded into a persisted histogram
+  * store, and every batch emits the per-source Wasserstein-1 report
+  * over everything ingested so far — online feed monitoring DURING
+  * ingest instead of a post-hoc audit (an extension beyond the
+  * reference surface, in the spirit of its per-workload metrics tick:
+  * continuous observability re-expressed over the data plane).
+  *
+  * Scale shape: the per-batch histogram is one map-side-combinable agg
+  * over the admission-bounded batch; the STORE is histogram-sized —
+  * |sources| × |distinct word counts| × batches rows, corpus-size-
+  * independent — so the per-trigger fold and the W₁ report run over
+  * bounded summaries no matter how much volume the stream has seen
+  * (the report's windows are the q123 bounded-summary exception, same
+  * as the batch query). Nothing in the trigger path scales with
+  * ingested volume: this monitor is O(histogram) per batch, forever.
+  *
+  * Failure/replay contract: foreachBatch is at-least-once and the
+  * histogram fold is ADDITIVE, so idempotence must come from batch
+  * accounting, not content anti-joins: rows carry `batch_id`, and the
+  * append anti-joins the store's distinct batch_ids (a bounded frame).
+  * A replayed batch therefore appends nothing, and its re-emitted
+  * report — computed AFTER the guard against the unchanged store — is
+  * bit-identical to the original delivery.
+  */
+object DriftStream {
+
+  val Buckets = 8
+
+  final case class Store(table: String)
+
+  /** Create (or overwrite) an empty histogram store. */
+  def build(s: SparkSession, tag: String): Store = {
+    import s.implicits._
+    val t = Store(s"graft_drift_$tag")
+    Bucketed.dropStale(s, t.table)
+    Bucketed.write(Seq.empty[(Long, String, Long, Long)]
+      .toDF("batch_id", "source", "w", "o"), t.table, Buckets, "source")
+    t
+  }
+
+  /** The store collapsed to the (source, w, o) histogram of everything
+    * ingested — the exact frame the gated q149 computes from raw docs.
+    */
+  def histogram(s: SparkSession, t: Store): DataFrame =
+    s.table(t.table).groupBy(col("source"), col("w"))
+      .agg(sum(col("o")).as("o"))
+
+  /** The per-source W₁ report over the ingested corpus so far —
+    * bit-identical to running q149's math on the union of all batches.
+    */
+  def report(s: SparkSession, t: Store): DataFrame =
+    TextAnalysis.wassersteinBySource(histogram(s, t))
+
+  /** Guarded additive fold: append a batch's histogram rows unless the
+    * store has already seen this `batch_id` (replay delivers the same
+    * id). The guard frame — the store's distinct batch_ids — is bounded
+    * by batch count, never data volume.
+    */
+  def append(s: SparkSession, t: Store, hist: DataFrame): Unit = {
+    hist.join(s.table(t.table).select(col("batch_id")).distinct(),
+        Seq("batch_id"), "left_anti")
+      .write.bucketBy(Buckets, "source").sortBy("source")
+      .mode("append").saveAsTable(t.table)
+    // the write may execute through a micro-batch session clone —
+    // refresh the coordinating session's relation cache before reading
+    // the store back (the ChunkStream/ProductQuant rule)
+    s.catalog.refreshTable(t.table)
+  }
+
+  /** The incremental front door: per micro-batch, histogram + guarded
+    * fold + report. `onBatch` receives the per-source W₁ frame with a
+    * leading `batch_id` column, computed over the post-fold store (the
+    * monitor reads "as of now", including this batch).
+    *
+    * @param compactEvery run [[Bucketed.compact]] on the store after
+    *   every Nth batch (0 = never) — per-trigger appends add one file
+    *   set per bucket per batch; the store is tiny but a long-lived
+    *   monitor still wants its file count bounded
+    */
+  def startIncremental(spark: SparkSession, docs: DataFrame, store: Store,
+      checkpointDir: String, onBatch: DataFrame => Unit,
+      compactEvery: Int = 0): StreamingQuery = {
+    Bucketed.recover(spark, store.table)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          Bucketed.compact(spark, store.table, Buckets, "source")
+        val hist = TextAnalysis.lengthHist(batch)
+          .select(lit(batchId).as("batch_id"), col("source"), col("w"),
+            col("o"))
+        if (hist.limit(1).count() > 0) {
+          // additive state ⇒ replay guard on batch accounting, not a
+          // content anti-join (see append)
+          append(spark, store, hist)
+          // report AFTER the guarded fold: first delivery and replay
+          // both read the same post-batch store, so re-emission is
+          // bit-identical; materialize before returning (a lazy frame
+          // consumed after the next batch would see a mutated store)
+          val rep = report(spark, store)
+            .select(lit(batchId).as("batch_id"), col("source"),
+              col("n_docs"), col("w1_words_e4"))
+          onBatch(spark.createDataFrame(
+            java.util.Arrays.asList(rep.collect(): _*), rep.schema))
+        }
+      }
+      .start()
+  }
+}
