@@ -541,7 +541,100 @@ object Curation {
          | FROM m""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q150's reference source — declared BEFORE the query val (the q82
+    * object-init-order trap: the oracle string interpolates it eagerly).
+    */
+  private[graft] val LengthMatchRef = "src0"
+
+  /** q150 — length-matched control sampling: for every source, the
+    * LARGEST deterministic subsample whose word-count histogram (over
+    * width-10 length buckets — exact-length strata degenerate to
+    * singletons and pin K_s to 0 whenever one value is missing) matches
+    * the reference source's shape (scaled stratum-by-stratum) — the
+    * distribution-matching step behind length-matched eval/control sets
+    * (ablations comparing sources must first remove the length confound;
+    * the same op builds a length-matched heldout from a new feed).
+    * Differs from q47 (fixed per-source rates, no target shape) and
+    * q61/q132 (token-budget mixtures): here the TARGET is a shape, and
+    * the sample size K_s = min_w ⌊o_s(w)·n_ref / refc(w)⌋ is the exact
+    * largest K whose scaled allocation t_s(w) = ⌊K_s·refc(w)/n_ref⌋
+    * fits every stratum (t ≤ o_s(w) by construction). Selection within
+    * a stratum is rank-by-salted-hash with doc_id tiebreak — the q62
+    * deterministic-PRNG discipline, reproducible on any cluster layout.
+    *
+    * All-integer allocation (products ≤ o·n_ref stay in BIGINT to ~10⁹
+    * docs/stratum · 10⁹ ref docs; past that DECIMAL(38), the q63 rule);
+    * only ref-supported strata constrain K_s, and sources missing a
+    * ref-supported stratum get K_s = 0 via the grid's o = 0 row.
+    *
+    * Scale shape: one map-side word count; histogram + allocation
+    * frames are bounded (|sources| × |support| — the q149 grid
+    * discipline, broadcast back onto the corpus); the per-(source, w)
+    * rank windows partition on sources×support keys, each partition a
+    * stratum, never a global sort.
+    */
+  val qLengthMatchedSample: QuerySpec = QuerySpec(
+    "q150_length_matched_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextMetrics.wordCount(col("text")).cast("long").as("w"))
+        .select(col("doc_id"), col("source"), expr("w div 10").as("wb"))
+      val hist = docs.groupBy(col("source"), col("wb"))
+        .agg(count(lit(1)).as("o"))
+      val ref = hist.filter(col("source") === LengthMatchRef)
+        .select(col("wb"), col("o").as("refc"))
+      val nRef = ref.agg(sum(col("refc")).as("n_ref"))
+      val sources = hist.select(col("source")).distinct()
+      val ks = ref.crossJoin(broadcast(sources)) // bounded grid (q149 rule)
+        .join(hist, Seq("source", "wb"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(nRef)) // single row
+        .groupBy(col("source"))
+        .agg(min(expr("(o * n_ref) div refc")).as("k_s"))
+      val alloc = ref.crossJoin(broadcast(ks))
+        .crossJoin(broadcast(nRef))
+        .select(col("source"), col("wb"),
+          expr("(k_s * refc) div n_ref").as("take_n"))
+      val h = PolyHash(concat(lit("lenmatch|"), col("doc_id").cast("string")))
+      val rk = Window.partitionBy(col("source"), col("wb"))
+        .orderBy(col("h"), col("doc_id"))
+      docs.withColumn("h", h)
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .join(broadcast(alloc), Seq("source", "wb"))
+        .filter(col("rk") <= col("take_n"))
+        .select(col("doc_id"), col("source"), col("wb"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, source,
+            |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) // 10 AS wb
+            |  FROM documents),
+            | hist AS (SELECT source, wb, CAST(COUNT(*) AS BIGINT) AS o
+            |  FROM d GROUP BY 1, 2),
+            | ref AS (SELECT wb, o AS refc FROM hist
+            |  WHERE source = '$LengthMatchRef'),
+            | nr AS (SELECT CAST(SUM(refc) AS BIGINT) AS n_ref FROM ref),
+            | srcs AS (SELECT DISTINCT source FROM hist),
+            | grid AS (SELECT s.source, r.wb, r.refc,
+            |   CAST(COALESCE(h.o, 0) AS BIGINT) AS o
+            |  FROM ref r CROSS JOIN srcs s
+            |  LEFT JOIN hist h ON h.source = s.source AND h.wb = r.wb),
+            | ks AS (SELECT source,
+            |   CAST(MIN((o * n_ref) // refc) AS BIGINT) AS k_s
+            |  FROM grid, nr GROUP BY source),
+            | alloc AS (SELECT k.source, r.wb,
+            |   CAST((k.k_s * r.refc) // n_ref AS BIGINT) AS take_n
+            |  FROM ref r CROSS JOIN ks k, nr),
+            | ranked AS (SELECT doc_id, source, wb,
+            |   CAST(ROW_NUMBER() OVER (PARTITION BY source, wb ORDER BY
+            |     ${PolyHash.oracleSql("'lenmatch|' || CAST(doc_id AS VARCHAR)")},
+            |     doc_id) AS BIGINT) AS rk
+            |  FROM d)
+            | SELECT r.doc_id, r.source, r.wb
+            | FROM ranked r JOIN alloc a ON r.source = a.source AND r.wb = a.wb
+            | WHERE r.rk <= a.take_n""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
-    qGopherRules)
+    qGopherRules, qLengthMatchedSample)
 }

@@ -96,8 +96,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Corpus.qEpochAlloc, Retrieval.qAnnServe,
       Dedup.qSourceSketch, Profiling.qVocabGrowth,
       // bounded-grid CDF carry + common-denominator |cumdiff| sums
-      // (q149)
-      TextAnalysis.qWassersteinDrift)) {
+      // (q149), min-over-strata allocation + salted-rank stratum
+      // selection (q150)
+      TextAnalysis.qWassersteinDrift, Curation.qLengthMatchedSample)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
