@@ -1268,6 +1268,63 @@ object Corpus {
             | FROM g JOIN f ON g.h = f.h
             | GROUP BY g.doc_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q151's model size — declared BEFORE the query val (the q82
+    * object-init-order trap: the oracle string interpolates it eagerly).
+    */
+  private[operators] val LmTopK = 500
+
+  /** q151 — n-gram LM hit-rate scoring: build a reference "model" — the
+    * top-[[LmTopK]] word-bigram hashes of the TRAINING split by document
+    * frequency (`doc_id % 10 ≠ 0`, the q46 split convention) — and score
+    * every HELD-OUT document by the fraction of its distinct bigrams the
+    * model contains. The log-free stand-in for the n-gram-LM perplexity
+    * filter every public curation stack runs (CCNet/fastText-era
+    * pipelines): high hit-rate ≈ in-distribution text, low ≈ outlier /
+    * noise. Differs from q80 (hash-derived weights, no trained
+    * artifact), q122 (ingestion-order novelty, no model), and q46
+    * (shared-gram FLAGGING, not rate scoring): here a bounded trained
+    * artifact scores unseen text — swap in a real LM's top-K table and
+    * the plumbing is unchanged. Docs with < 2 words have no bigrams and
+    * drop out (no unnest rows — identical on both engines).
+    *
+    * Scale shape: one shingle explosion feeding both splits; the model
+    * is a distributed partial-agg → TakeOrdered(K) (the q15 discipline —
+    * full (c DESC, h) tiebreak, never a global window over the type
+    * space) and rides as a K-row broadcast; the eval side is explode →
+    * broadcast-hash-join → per-doc agg — scan-shaped at 100 TB. The
+    * hit rate is one IEEE division of exact counts.
+    */
+  val qLmHitrate: QuerySpec = QuerySpec(
+    "q151_lm_hitrate",
+    (s, dir) => {
+      val sh2 = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(WordShingleHashes(col("text"), 2)).as("h"))
+      val model = sh2.filter(col("doc_id") % 10 =!= 0)
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("h")).limit(LmTopK)
+        .select(col("h"), lit(1L).as("hit"))
+      sh2.filter(col("doc_id") % 10 === 0)
+        .join(broadcast(model), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+            .as("hit_rate"))
+    },
+    Some(s"""WITH ${shingleCtes(2)},
+            | sh AS (SELECT doc_id, unnest(H) AS h FROM ds),
+            | model AS (SELECT h FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+            |    FROM sh WHERE doc_id % 10 <> 0 GROUP BY h)
+            |   ORDER BY c DESC, h LIMIT $LmTopK),
+            | ev AS (SELECT s.doc_id, CASE WHEN m.h IS NULL THEN 0 ELSE 1 END
+            |    AS hit
+            |   FROM sh s LEFT JOIN model m ON s.h = m.h WHERE s.doc_id % 10 = 0)
+            | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+            |  CAST(SUM(hit) AS BIGINT) AS n_hits,
+            |  CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+            | FROM ev GROUP BY doc_id""".stripMargin.replaceAll("\n", "")))
+
   /** q127 — sequence-length histogram: documents and tokens per
     * power-of-two token-count bucket, with cumulative coverage
     * fractions — THE report read before fixing a packing length
@@ -1622,6 +1679,6 @@ object Corpus {
     qGroupedTopK, qSequencePack, qMixtureSample, qMixturePlanner, qShardShuffle,
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
-    qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qSeqlenHistogram,
-    qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan)
+    qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
+    qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan)
 }

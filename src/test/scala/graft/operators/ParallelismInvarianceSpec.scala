@@ -98,7 +98,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // bounded-grid CDF carry + common-denominator |cumdiff| sums
       // (q149), min-over-strata allocation + salted-rank stratum
       // selection (q150)
-      TextAnalysis.qWassersteinDrift, Curation.qLengthMatchedSample)) {
+      TextAnalysis.qWassersteinDrift, Curation.qLengthMatchedSample,
+      // tie-broken distributed TakeOrdered model + broadcast hit join
+      // (q151)
+      Corpus.qLmHitrate)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
