@@ -25,7 +25,7 @@ object Corpus {
   /** DuckDB CTEs `dt` (tokens) and `ds` (doc_id, distinct k-shingle
     * hashes) — the k-parameterized twin of [[Dedup]]'s 3-gram CTE.
     */
-  private def shingleCtes(k: Int): String = {
+  private[operators] def shingleCtes(k: Int): String = {
     val concat = (0 until k).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
     s"""dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        | ds AS (SELECT doc_id, list_distinct(list_transform(
@@ -1294,15 +1294,37 @@ object Corpus {
     * broadcast-hash-join → per-doc agg — scan-shaped at 100 TB. The
     * hit rate is one IEEE division of exact counts.
     */
+  /** Per-doc distinct-bigram hash rows — the frame both the model build
+    * and the scoring side consume (shared with q152's agreement report).
+    */
+  private[operators] def bigramRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(WordShingleHashes(col("text"), 2)).as("h"))
+
+  /** The q151 reference model: top-[[LmTopK]] training-split bigram
+    * hashes by document frequency, fully tie-broken (c DESC, h) — a
+    * K-row frame meant to ride as a broadcast.
+    */
+  private[operators] def lmModel(sh2: DataFrame): DataFrame =
+    sh2.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("h")).limit(LmTopK)
+      .select(col("h"), lit(1L).as("hit"))
+
+  /** DuckDB CTEs `sh` (per-doc distinct bigram hash rows) and `model`
+    * (the q151 top-K table) — requires [[shingleCtes]](2) upstream.
+    */
+  private[operators] def lmModelCtes: String =
+    s"""sh AS (SELECT doc_id, unnest(H) AS h FROM ds),
+       | model AS (SELECT h FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS c
+       |    FROM sh WHERE doc_id % 10 <> 0 GROUP BY h)
+       |   ORDER BY c DESC, h LIMIT $LmTopK)""".stripMargin
+      .replaceAll("\n", "")
+
   val qLmHitrate: QuerySpec = QuerySpec(
     "q151_lm_hitrate",
     (s, dir) => {
-      val sh2 = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), explode(WordShingleHashes(col("text"), 2)).as("h"))
-      val model = sh2.filter(col("doc_id") % 10 =!= 0)
-        .groupBy(col("h")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("h")).limit(LmTopK)
-        .select(col("h"), lit(1L).as("hit"))
+      val sh2 = bigramRows(Tables.load(s, dir, "documents"))
+      val model = lmModel(sh2)
       sh2.filter(col("doc_id") % 10 === 0)
         .join(broadcast(model), Seq("h"), "left")
         .groupBy(col("doc_id"))
@@ -1313,10 +1335,7 @@ object Corpus {
             .as("hit_rate"))
     },
     Some(s"""WITH ${shingleCtes(2)},
-            | sh AS (SELECT doc_id, unnest(H) AS h FROM ds),
-            | model AS (SELECT h FROM (SELECT h, CAST(COUNT(*) AS BIGINT) AS c
-            |    FROM sh WHERE doc_id % 10 <> 0 GROUP BY h)
-            |   ORDER BY c DESC, h LIMIT $LmTopK),
+            | $lmModelCtes,
             | ev AS (SELECT s.doc_id, CASE WHEN m.h IS NULL THEN 0 ELSE 1 END
             |    AS hit
             |   FROM sh s LEFT JOIN model m ON s.h = m.h WHERE s.doc_id % 10 = 0)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
-import graft.functions.PolyHash
+import graft.functions.{HashedLinearScore, PolyHash}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -480,14 +480,15 @@ object Curation {
     * Scale shape: pure map over the corpus — no shuffle, no join; the
     * same embarrassingly-parallel shape as q28/q30/q80 at 100 TB.
     */
-  val qGopherRules: QuerySpec = QuerySpec(
-    "q135_gopher_rules",
-    (s, dir) => {
+  /** The q135 rule battery over an arbitrary documents frame — the ONE
+    * definition shared by the gated query and q152's agreement report.
+    */
+  private[graft] def gopherFrame(docs: DataFrame): DataFrame = {
       val tk = split(col("text"), " ")
       val stopHits = GopherStops
         .map(w => array_contains(tk, w).cast("long"))
         .reduce(_ + _)
-      Tables.load(s, dir, "documents")
+      docs
         .select(col("doc_id"),
           size(tk).cast("long").as("n_words"),
           length(translate(col("text"), " ", "")).cast("long").as("cw"),
@@ -509,18 +510,37 @@ object Curation {
           when(col("n_stop_distinct") >= 2L, 1L).otherwise(0L).as("stop_ok"))
         .withColumn("pass",
           col("words_ok") * col("mwl_ok") * col("alpha_ok") * col("stop_ok"))
-    },
-    Some {
+  }
+
+  /** DuckDB CTEs `t`/`m` carrying the q135 raw signals — shared by the
+    * gated oracle and q152's, so the rule battery has one SQL source.
+    */
+  private[operators] val gopherCtesSql: String = {
       val stopSql = GopherStops
         .map(w => s"CAST(list_contains(tk, '$w') AS BIGINT)").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+      s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk,
          |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS cw
          |  FROM documents),
          | m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words, cw,
          |   CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]')))
          |     AS BIGINT) AS aw,
          |   $stopSql AS n_stop_distinct
-         |  FROM t)
+         |  FROM t)""".stripMargin.replaceAll("\n", "")
+  }
+
+  /** The q135 overall-pass product over `m`'s columns (DuckDB SQL). */
+  private[operators] val gopherPassSql: String =
+    """(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
+      | * CASE WHEN cw >= 3 * n_words AND cw <= 10 * n_words THEN 1 ELSE 0 END
+      | * CASE WHEN 5 * aw >= 4 * n_words THEN 1 ELSE 0 END
+      | * CASE WHEN n_stop_distinct >= 2 THEN CAST(1 AS BIGINT) ELSE 0 END)"""
+      .stripMargin.replaceAll("\n", "")
+
+  val qGopherRules: QuerySpec = QuerySpec(
+    "q135_gopher_rules",
+    (s, dir) => gopherFrame(Tables.load(s, dir, "documents")),
+    Some {
+      s"""WITH $gopherCtesSql
          | SELECT doc_id, n_words,
          |  CAST(cw AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
          |  CAST(aw AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
@@ -533,11 +553,7 @@ object Curation {
          |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alpha_ok,
          |  CASE WHEN n_stop_distinct >= 2
          |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS stop_ok,
-         |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END
-         |   * CASE WHEN cw >= 3 * n_words AND cw <= 10 * n_words THEN 1 ELSE 0 END
-         |   * CASE WHEN 5 * aw >= 4 * n_words THEN 1 ELSE 0 END
-         |   * CASE WHEN n_stop_distinct >= 2 THEN CAST(1 AS BIGINT) ELSE 0 END)
-         |   AS pass
+         |  $gopherPassSql AS pass
          | FROM m""".stripMargin.replaceAll("\n", "")
     })
 
@@ -634,7 +650,133 @@ object Curation {
             | FROM ranked r JOIN alloc a ON r.source = a.source AND r.wb = a.wb
             | WHERE r.rk <= a.take_n""".stripMargin.replaceAll("\n", "")))
 
+  /** q152 — quality-filter agreement: pairwise raw agreement and
+    * Cohen's κ between the repo's four document-quality gates — the
+    * rule battery (q135 pass), the hashed linear classifier (q80
+    * keep = score ≥ 0), the n-gram LM hit-rate gate (q151 model,
+    * keep = hit_rate ≥ ½), and the production curation gate (q33's
+    * length + stop-ratio filter) — the report a curation team reads
+    * before STACKING filters: κ ≈ 1 means a filter is redundant, κ ≈ 0
+    * means it prunes an independent failure mode (worth the extra
+    * pass), the n10/n01 cells say which side is stricter, and a
+    * constant gate (every n11 = n10 = 0 row) is the mis-configured-
+    * threshold smell made visible (on this synthetic corpus the Gopher
+    * stop rule IS that row — a finding, not a bug). Every gate is the
+    * SHARED definition ([[gopherFrame]], [[HashedLinearScore]],
+    * [[Corpus.lmModel]], [[TextMetrics]]) — the report can never drift
+    * from the gates it audits.
+    *
+    * κ = (n·(n11+n00) − chance) / (n² − chance) with chance =
+    * (n11+n10)(n11+n01) + (n01+n00)(n10+n00): all-integer numerators
+    * and denominators, one truncating fixed-point `div` (toward zero on
+    * BOTH engines for the possibly-negative κ — the q110 rule); the
+    * degenerate pe = 1 case (both gates constant) is NULL on both.
+    * 10⁴·n² < 2⁶³ holds to ~10⁷ docs; past that DECIMAL(38), the q63
+    * rule.
+    *
+    * Scale shape: three map-side scorers (the LM gate adds one
+    * broadcast-hash-join over the K-row model) joined on doc_id; the
+    * per-doc flags frame is scratch-flushed once so the three pair
+    * aggregates scan the tiny flushed table instead of re-executing the
+    * scoring pipeline per union branch (the q60b re-execution trap);
+    * each aggregate is one map-side-combinable single-row pass.
+    */
+  val qFilterAgreement: QuerySpec = QuerySpec(
+    "q152_filter_agreement",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val g = gopherFrame(docs).select(col("doc_id"), col("pass").as("g"))
+      val sc = HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus)
+      val c = docs.select(col("doc_id"),
+        when(element_at(sc, 1) >= 0, 1L).otherwise(0L).as("c"))
+      val sh2 = Corpus.bigramRows(docs)
+      val lm = sh2.join(broadcast(Corpus.lmModel(sh2)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"),
+          coalesce(sum(col("hit")), lit(0L)).as("nh"))
+        .select(col("doc_id"),
+          when(lit(2L) * col("nh") >= col("nb"), 1L).otherwise(0L).as("lmk"))
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      val cu = docs.select(col("doc_id"),
+        when(col("n_chars") >= 50 && col("n_chars") <= 10000
+          && TextMetrics.stopRatio(words, stops) < 0.5, 1L)
+          .otherwise(0L).as("u"))
+      val flags = Scratch.flush(s, "q152-flags",
+        g.join(c, Seq("doc_id")).join(cu, Seq("doc_id"))
+          .join(lm, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("lmk")))
+      val chance =
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+      def pair(name: String, a: String, b: String) =
+        flags.agg(
+            count(lit(1)).as("n"),
+            sum(col(a) * col(b)).as("n11"),
+            sum(col(a) * (lit(1L) - col(b))).as("n10"),
+            sum((lit(1L) - col(a)) * col(b)).as("n01"),
+            sum((lit(1L) - col(a)) * (lit(1L) - col(b))).as("n00"))
+          .select(lit(name).as("pair"),
+            col("n11"), col("n10"), col("n01"), col("n00"),
+            expr("(10000 * (n11 + n00)) div n").as("agree_e4"),
+            expr(s"""CASE WHEN n * n - $chance = 0 THEN NULL
+                    | ELSE (10000 * (n * (n11 + n00) - $chance))
+                    |  div (n * n - $chance) END""".stripMargin
+              .replaceAll("\n", "")).as("kappa_e4"))
+      pair("gopher|classifier", "g", "c")
+        .union(pair("gopher|lm", "g", "lmk"))
+        .union(pair("gopher|curation", "g", "u"))
+        .union(pair("classifier|lm", "c", "lmk"))
+        .union(pair("classifier|curation", "c", "u"))
+        .union(pair("lm|curation", "lmk", "u"))
+    },
+    Some {
+      val chance =
+        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
+      def pairSql(name: String, a: String, b: String) =
+        s"""SELECT '$name' AS pair, n11, n10, n01, n00,
+           | CAST((10000 * (n11 + n00)) // n AS BIGINT) AS agree_e4,
+           | CAST(CASE WHEN n * n - $chance = 0 THEN NULL
+           |  ELSE (10000 * (n * (n11 + n00) - $chance))
+           |   // (n * n - $chance) END AS BIGINT) AS kappa_e4
+           | FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |   CAST(SUM($a * $b) AS BIGINT) AS n11,
+           |   CAST(SUM($a * (1 - $b)) AS BIGINT) AS n10,
+           |   CAST(SUM((1 - $a) * $b) AS BIGINT) AS n01,
+           |   CAST(SUM((1 - $a) * (1 - $b)) AS BIGINT) AS n00
+           |  FROM flags)""".stripMargin.replaceAll("\n", "")
+      s"""WITH $gopherCtesSql,
+         | ${TextAnalysis.classifierScoreCtes},
+         | ${Corpus.shingleCtes(2).replace("dt AS", "cdt AS")
+              .replace("FROM dt", "FROM cdt")},
+         | ${Corpus.lmModelCtes},
+         | gp AS (SELECT doc_id, $gopherPassSql AS g FROM m),
+         | cf AS (SELECT doc_id, CASE WHEN score >= 0
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS c
+         |   FROM sc),
+         | lmf AS (SELECT sh.doc_id,
+         |   CASE WHEN 2 * CAST(SUM(CASE WHEN model.h IS NULL THEN 0 ELSE 1
+         |      END) AS BIGINT) >= CAST(COUNT(*) AS BIGINT)
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS lmk
+         |  FROM sh LEFT JOIN model ON sh.h = model.h GROUP BY sh.doc_id),
+         | cu AS (SELECT doc_id, CASE WHEN n_chars >= 50
+         |    AND n_chars <= 10000
+         |    AND ${TextMetrics.stopRatioSql("text")} < 0.5
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS u
+         |   FROM documents),
+         | flags AS MATERIALIZED (SELECT gp.doc_id, gp.g, cf.c, cu.u,
+         |   COALESCE(lmf.lmk, 0) AS lmk
+         |  FROM gp JOIN cf USING (doc_id) JOIN cu USING (doc_id)
+         |  LEFT JOIN lmf USING (doc_id))
+         | ${pairSql("gopher|classifier", "g", "c")}
+         | UNION ALL ${pairSql("gopher|lm", "g", "lmk")}
+         | UNION ALL ${pairSql("gopher|curation", "g", "u")}
+         | UNION ALL ${pairSql("classifier|lm", "c", "lmk")}
+         | UNION ALL ${pairSql("classifier|curation", "c", "u")}
+         | UNION ALL ${pairSql("lm|curation", "lmk", "u")}"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
-    qGopherRules, qLengthMatchedSample)
+    qGopherRules, qLengthMatchedSample, qFilterAgreement)
 }

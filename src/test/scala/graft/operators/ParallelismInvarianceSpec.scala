@@ -100,8 +100,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // selection (q150)
       TextAnalysis.qWassersteinDrift, Curation.qLengthMatchedSample,
       // tie-broken distributed TakeOrdered model + broadcast hit join
-      // (q151)
-      Corpus.qLmHitrate)) {
+      // (q151), four-scorer flag join + flushed single-row pair aggs
+      // (q152)
+      Corpus.qLmHitrate, Curation.qFilterAgreement)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
