@@ -488,26 +488,31 @@ object Curation {
       val stopHits = GopherStops
         .map(w => array_contains(tk, w).cast("long"))
         .reduce(_ + _)
+      // column-preserving (withColumn, not select) so a composite
+      // scorer (q152) can stack more gates onto the SAME corpus scan
       docs
-        .select(col("doc_id"),
-          size(tk).cast("long").as("n_words"),
-          length(translate(col("text"), " ", "")).cast("long").as("cw"),
-          size(filter(tk, w => w.rlike("[a-z]"))).cast("long").as("aw"),
-          stopHits.as("n_stop_distinct"))
-        .select(col("doc_id"), col("n_words"),
-          (col("cw").cast("double") / col("n_words").cast("double"))
-            .as("mean_word_len"),
-          (col("aw").cast("double") / col("n_words").cast("double"))
-            .as("alpha_frac"),
-          col("n_stop_distinct"),
+        .withColumn("n_words", size(tk).cast("long"))
+        .withColumn("cw",
+          length(translate(col("text"), " ", "")).cast("long"))
+        .withColumn("aw",
+          size(filter(tk, w => w.rlike("[a-z]"))).cast("long"))
+        .withColumn("n_stop_distinct", stopHits)
+        .withColumn("mean_word_len",
+          col("cw").cast("double") / col("n_words").cast("double"))
+        .withColumn("alpha_frac",
+          col("aw").cast("double") / col("n_words").cast("double"))
+        .withColumn("words_ok",
           when(col("n_words") >= 50 && col("n_words") <= 100000, 1L)
-            .otherwise(0L).as("words_ok"),
+            .otherwise(0L))
+        .withColumn("mwl_ok",
           when(col("cw") >= lit(3L) * col("n_words")
             && col("cw") <= lit(10L) * col("n_words"), 1L)
-            .otherwise(0L).as("mwl_ok"),
+            .otherwise(0L))
+        .withColumn("alpha_ok",
           when(lit(5L) * col("aw") >= lit(4L) * col("n_words"), 1L)
-            .otherwise(0L).as("alpha_ok"),
-          when(col("n_stop_distinct") >= 2L, 1L).otherwise(0L).as("stop_ok"))
+            .otherwise(0L))
+        .withColumn("stop_ok",
+          when(col("n_stop_distinct") >= 2L, 1L).otherwise(0L))
         .withColumn("pass",
           col("words_ok") * col("mwl_ok") * col("alpha_ok") * col("stop_ok"))
   }
@@ -538,7 +543,10 @@ object Curation {
 
   val qGopherRules: QuerySpec = QuerySpec(
     "q135_gopher_rules",
-    (s, dir) => gopherFrame(Tables.load(s, dir, "documents")),
+    (s, dir) => gopherFrame(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stop_distinct"), col("words_ok"),
+        col("mwl_ok"), col("alpha_ok"), col("stop_ok"), col("pass")),
     Some {
       s"""WITH $gopherCtesSql
          | SELECT doc_id, n_words,
@@ -597,8 +605,11 @@ object Curation {
         .select(col("doc_id"), col("source"),
           TextMetrics.wordCount(col("text")).cast("long").as("w"))
         .select(col("doc_id"), col("source"), expr("w div 10").as("wb"))
-      val hist = docs.groupBy(col("source"), col("wb"))
-        .agg(count(lit(1)).as("o"))
+      // flushed: referenced by ref/sources/grid — unflushed, each
+      // reference re-runs the corpus scan (the q115 rule; plan-audited)
+      val hist = Scratch.flush(s, "q150-hist",
+        docs.groupBy(col("source"), col("wb"))
+          .agg(count(lit(1)).as("o")))
       val ref = hist.filter(col("source") === LengthMatchRef)
         .select(col("wb"), col("o").as("refc"))
       val nRef = ref.agg(sum(col("refc")).as("n_ref"))
@@ -674,21 +685,31 @@ object Curation {
     * 10⁴·n² < 2⁶³ holds to ~10⁷ docs; past that DECIMAL(38), the q63
     * rule.
     *
-    * Scale shape: three map-side scorers (the LM gate adds one
-    * broadcast-hash-join over the K-row model) joined on doc_id; the
-    * per-doc flags frame is scratch-flushed once so the three pair
-    * aggregates scan the tiny flushed table instead of re-executing the
-    * scoring pipeline per union branch (the q60b re-execution trap);
-    * each aggregate is one map-side-combinable single-row pass.
+    * Scale shape: the three map-side gates stack on ONE corpus scan
+    * (gopherFrame is column-preserving for exactly this composition);
+    * the LM gate adds its train + score scans with a broadcast-hash-
+    * join over the K-row model; the per-doc flags frame is
+    * scratch-flushed once so the six pair aggregates scan the tiny
+    * flushed table instead of re-executing the scoring pipeline per
+    * union branch (the q60b re-execution trap); each aggregate is one
+    * map-side-combinable single-row pass.
     */
   val qFilterAgreement: QuerySpec = QuerySpec(
     "q152_filter_agreement",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val g = gopherFrame(docs).select(col("doc_id"), col("pass").as("g"))
+      // three map-side gates stacked on ONE corpus scan (gopherFrame is
+      // column-preserving for exactly this composition)
       val sc = HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus)
-      val c = docs.select(col("doc_id"),
-        when(element_at(sc, 1) >= 0, 1L).otherwise(0L).as("c"))
+      val words = TextMetrics.wordCount(col("text"))
+      val stops = TextMetrics.stopCount(col("text"))
+      val base = gopherFrame(docs)
+        .withColumn("g", col("pass"))
+        .withColumn("c", when(element_at(sc, 1) >= 0, 1L).otherwise(0L))
+        .withColumn("u", when(col("n_chars") >= 50 && col("n_chars") <= 10000
+          && TextMetrics.stopRatio(words, stops) < 0.5, 1L)
+          .otherwise(0L))
+        .select(col("doc_id"), col("g"), col("c"), col("u"))
       val sh2 = Corpus.bigramRows(docs)
       val lm = sh2.join(broadcast(Corpus.lmModel(sh2)), Seq("h"), "left")
         .groupBy(col("doc_id"))
@@ -696,15 +717,8 @@ object Curation {
           coalesce(sum(col("hit")), lit(0L)).as("nh"))
         .select(col("doc_id"),
           when(lit(2L) * col("nh") >= col("nb"), 1L).otherwise(0L).as("lmk"))
-      val words = TextMetrics.wordCount(col("text"))
-      val stops = TextMetrics.stopCount(col("text"))
-      val cu = docs.select(col("doc_id"),
-        when(col("n_chars") >= 50 && col("n_chars") <= 10000
-          && TextMetrics.stopRatio(words, stops) < 0.5, 1L)
-          .otherwise(0L).as("u"))
       val flags = Scratch.flush(s, "q152-flags",
-        g.join(c, Seq("doc_id")).join(cu, Seq("doc_id"))
-          .join(lm, Seq("doc_id"), "left")
+        base.join(lm, Seq("doc_id"), "left")
           .na.fill(0L, Seq("lmk")))
       val chance =
         "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"

@@ -567,7 +567,11 @@ object TextAnalysis {
 
   val qWassersteinDrift: QuerySpec = QuerySpec(
     "q149_wasserstein_drift",
-    (s, dir) => wassersteinBySource(lengthHist(Tables.load(s, dir, "documents"))),
+    // the histogram is scratch-flushed: wassersteinBySource references
+    // its input 4× (ns/supp/tot/grid-join) and an unflushed frame would
+    // re-run the corpus scan per reference (the q115 rule; plan-audited)
+    (s, dir) => wassersteinBySource(Scratch.flush(s, "q149-st",
+      lengthHist(Tables.load(s, dir, "documents")))),
     Some(s"""WITH wc AS (SELECT source,
             |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS w
             |  FROM documents),
