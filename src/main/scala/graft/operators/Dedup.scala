@@ -1599,11 +1599,93 @@ object Dedup {
             |   AS token_survival
             | FROM base, sp, kp""".stripMargin.replaceAll("\n", "")))
 
+  /** q153 — contamination taint propagation through near-dup clusters:
+    * a training document is DIRECTLY contaminated if it shares a 5-gram
+    * with the held-out benchmark (q46's rule), but contamination also
+    * travels through near-duplicates — if doc A is clean-by-grams while
+    * its near-dup twin B hits the benchmark (or IS an eval doc), keeping
+    * A leaks roughly the same text into training (the
+    * contamination-through-duplicates failure mode the q33c cluster
+    * collapse can otherwise hide: the kept exemplar may be the
+    * contaminated twin's surviving copy). Per train doc: its q50
+    * cluster, the direct-hit flag, and the propagated taint verdict
+    * (cluster contains a direct hit or an eval member). The
+    * decontamination step a production pipeline runs AFTER dedup keeper
+    * selection, on exactly the cluster labels it already maintains.
+    *
+    * Scale shape: direct hits are the q46 plan (explode → broadcast
+    * 5-gram semi-join → distinct); labels come from the memoized
+    * [[DupGraph]] store, never recomputed; the per-doc flags frame is
+    * scratch-flushed once (its two consumers — the cluster-taint agg
+    * and the final join — would otherwise re-run the gram explosion,
+    * the q115 rule); the taint rollup shuffles only cluster-space-sized
+    * frames. All flags integer, no FP anywhere.
+    */
+  val qTaintPropagation: QuerySpec = QuerySpec(
+    "q153_taint_propagation",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        explode(WordShingleHashes(col("text"), 5)).as("h"))
+      val bench = sh.filter(col("doc_id") % 10 === 0)
+        .select(col("h")).distinct()
+      val direct = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("direct_hit", lit(1L))
+      val lbl = DupGraph.labels(s, dir)
+        .select(col("u").as("doc_id"), col("cluster_id"))
+      val flags = Scratch.flush(s, "q153-flags",
+        docs.select(col("doc_id"))
+          .join(lbl, Seq("doc_id"), "left")
+          .withColumn("cluster_id",
+            coalesce(col("cluster_id"), col("doc_id")))
+          .join(direct, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("direct_hit"))
+          .withColumn("is_eval",
+            when(col("doc_id") % 10 === 0, 1L).otherwise(0L)))
+      val taint = flags.groupBy(col("cluster_id"))
+        .agg(max(when(col("is_eval") === 0L, col("direct_hit"))
+            .otherwise(lit(0L))).as("has_direct"),
+          max(col("is_eval")).as("has_eval"))
+      flags.filter(col("is_eval") === 0L)
+        .join(taint, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("direct_hit"),
+          greatest(col("direct_hit"), col("has_direct"), col("has_eval"))
+            .as("tainted"))
+    },
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | labels AS (SELECT u AS doc_id, MIN(r) AS cluster_id
+            |   FROM reach GROUP BY u),
+            | ${Corpus.shingleCtes(5)},
+            | sh5 AS (SELECT doc_id, unnest(H) AS h FROM ds),
+            | bench AS (SELECT DISTINCT h FROM sh5 WHERE doc_id % 10 = 0),
+            | direct AS (SELECT DISTINCT s.doc_id FROM sh5 s
+            |   JOIN bench b ON s.h = b.h WHERE s.doc_id % 10 <> 0),
+            | flags AS MATERIALIZED (SELECT d.doc_id,
+            |   COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+            |   CASE WHEN dr.doc_id IS NULL THEN CAST(0 AS BIGINT)
+            |    ELSE CAST(1 AS BIGINT) END AS direct_hit,
+            |   CASE WHEN d.doc_id % 10 = 0 THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS is_eval
+            |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+            |  LEFT JOIN direct dr ON d.doc_id = dr.doc_id),
+            | taint AS (SELECT cluster_id,
+            |   CAST(MAX(CASE WHEN is_eval = 0 THEN direct_hit ELSE 0 END)
+            |    AS BIGINT) AS has_direct,
+            |   CAST(MAX(is_eval) AS BIGINT) AS has_eval
+            |  FROM flags GROUP BY cluster_id)
+            | SELECT f.doc_id, f.cluster_id, f.direct_hit,
+            |  CAST(GREATEST(f.direct_hit, t.has_direct, t.has_eval)
+            |    AS BIGINT) AS tainted
+            | FROM flags f JOIN taint t USING (cluster_id)
+            | WHERE f.is_eval = 0""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
-    qSourceSketch, qRemovalProvenance, qCurationImpact)
+    qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation)
 }

@@ -102,7 +102,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // tie-broken distributed TakeOrdered model + broadcast hit join
       // (q151), four-scorer flag join + flushed single-row pair aggs
       // (q152)
-      Corpus.qLmHitrate, Curation.qFilterAgreement)) {
+      Corpus.qLmHitrate, Curation.qFilterAgreement,
+      // memoized-label + flushed-flag taint rollup (q153; the DupGraph
+      // memo is parallelism-keyed, so the full pipeline re-executes per
+      // partitioning)
+      Dedup.qTaintPropagation)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
