@@ -137,8 +137,14 @@ object Bench {
 
     // streaming throughput legs AFTER the timed batch region (their
     // micro-batch churn must not interleave with batch reps); failures
-    // surface in the errors map, never kill the artifact
-    val (streamMetrics, streamErrors) = StreamBench.run(spark)
+    // surface in the errors map, never kill the artifact. A focused
+    // probe (growth-table legs, single-query re-measurement) can skip
+    // them via SPARK_GRAFT_SKIP_STREAMING=1 — the driver's full-artifact
+    // invocation leaves it unset.
+    val (streamMetrics, streamErrors) =
+      if (sys.env.get("SPARK_GRAFT_SKIP_STREAMING").contains("1"))
+        (Map.empty[String, Double], Map.empty[String, String])
+      else StreamBench.run(spark)
     streamErrors.foreach { case (k, v) => errors(s"stream_$k") = v }
 
     val ok = timings.filter(_._2 >= 0)
