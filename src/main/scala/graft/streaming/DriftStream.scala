@@ -27,11 +27,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Failure/replay contract: foreachBatch is at-least-once and the
   * histogram fold is ADDITIVE, so idempotence must come from batch
-  * accounting, not content anti-joins: rows carry `batch_id`, and the
-  * append anti-joins the store's distinct batch_ids (a bounded frame).
-  * A replayed batch therefore appends nothing, and its re-emitted
-  * report — computed AFTER the guard against the unchanged store — is
-  * bit-identical to the original delivery.
+  * accounting, not content anti-joins: rows carry the CHECKPOINT
+  * LINEAGE + `batch_id`, and the append anti-joins the store's
+  * distinct (ckpt, batch_id) pairs (a bounded frame). A replayed batch
+  * re-delivers under the same checkpoint with the same batch_id, so it
+  * appends nothing, and its re-emitted report — computed AFTER the
+  * guard against the unchanged store — is bit-identical to the
+  * original delivery. The guard is ckpt-SCOPED because bare batch_ids
+  * are not unique across stream lifetimes: a stream restarted against
+  * an existing store with a FRESH checkpoint directory re-issues ids
+  * 0..N that collide with stored ones, and a bare-id guard would
+  * silently drop every new batch (the GraphStream fresh-checkpoint
+  * lesson, additive-state form — pinned by DriftStreamSpec's restart
+  * test).
   */
 object DriftStream {
 
@@ -44,8 +52,8 @@ object DriftStream {
     import s.implicits._
     val t = Store(s"graft_drift_$tag")
     Bucketed.dropStale(s, t.table)
-    Bucketed.write(Seq.empty[(Long, String, Long, Long)]
-      .toDF("batch_id", "source", "w", "o"), t.table, Buckets, "source")
+    Bucketed.write(Seq.empty[(String, Long, String, Long, Long)]
+      .toDF("ckpt", "batch_id", "source", "w", "o"), t.table, Buckets, "source")
     t
   }
 
@@ -63,13 +71,15 @@ object DriftStream {
     TextAnalysis.wassersteinBySource(histogram(s, t))
 
   /** Guarded additive fold: append a batch's histogram rows unless the
-    * store has already seen this `batch_id` (replay delivers the same
-    * id). The guard frame — the store's distinct batch_ids — is bounded
-    * by batch count, never data volume.
+    * store has already seen this (ckpt, batch_id) pair (replay delivers
+    * the same id under the same checkpoint; a fresh-checkpoint restart
+    * re-issues ids under a DIFFERENT ckpt, so its batches fold). The
+    * guard frame — the store's distinct (ckpt, batch_id) pairs — is
+    * bounded by batch count, never data volume.
     */
   def append(s: SparkSession, t: Store, hist: DataFrame): Unit = {
-    hist.join(s.table(t.table).select(col("batch_id")).distinct(),
-        Seq("batch_id"), "left_anti")
+    hist.join(s.table(t.table).select(col("ckpt"), col("batch_id")).distinct(),
+        Seq("ckpt", "batch_id"), "left_anti")
       .write.bucketBy(Buckets, "source").sortBy("source")
       .mode("append").saveAsTable(t.table)
     // the write may execute through a micro-batch session clone —
@@ -98,8 +108,8 @@ object DriftStream {
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
           Bucketed.compact(spark, store.table, Buckets, "source")
         val hist = TextAnalysis.lengthHist(batch)
-          .select(lit(batchId).as("batch_id"), col("source"), col("w"),
-            col("o"))
+          .select(lit(checkpointDir).as("ckpt"), lit(batchId).as("batch_id"),
+            col("source"), col("w"), col("o"))
         if (hist.limit(1).count() > 0) {
           // additive state ⇒ replay guard on batch accounting, not a
           // content anti-join (see append)

@@ -71,13 +71,35 @@ class DriftStreamSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(fin == w1Of(docs.toSeq))
 
-    // replay idempotency: re-folding an already-seen batch_id changes
-    // nothing (additive state guarded by batch accounting)
+    // replay idempotency: re-folding an already-seen (ckpt, batch_id)
+    // changes nothing (additive state guarded by batch accounting)
     DriftStream.append(spark, store,
       TextAnalysis.lengthHist(batches.head.toSeq.toDF("doc_id", "source", "text"))
-        .select(lit(0L).as("batch_id"), col("source"), col("w"), col("o")))
+        .select(lit(ckpt).as("ckpt"), lit(0L).as("batch_id"),
+          col("source"), col("w"), col("o")))
     val stored2 = DriftStream.histogram(spark, store).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(stored2 == batchHist, "replayed batch must fold nothing")
+
+    // fresh-checkpoint restart: a NEW stream on the SAME store re-issues
+    // batch_id 0 — the ckpt-scoped guard must fold it, not drop it (the
+    // GraphStream fresh-checkpoint lesson, additive-state form)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ds-ckpt2-").toString
+    val src2 = Sources.queue[(Long, String, String)](spark)
+    val extra = Seq((100000L, "srcX", "brand new words arriving after restart"))
+    val q2 = DriftStream.startIncremental(
+      spark, src2.toDS().toDF("doc_id", "source", "text"), store, ckpt2,
+      onBatch = _ => ())
+    try {
+      src2.addData(extra)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val stored3 = DriftStream.histogram(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stored3 == TextAnalysis.lengthHist(
+        (docs.toSeq ++ extra).toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq,
+      "a fresh-checkpoint restart must fold its batches, not drop them")
   }
 }
