@@ -88,15 +88,50 @@ object DriftStream {
     s.catalog.refreshTable(t.table)
   }
 
+  /** Row-collapsing compaction: the store accrues one row-set per batch
+    * forever (~|sources|·|support| rows per trigger — tiny, but a
+    * long-lived monitor's store and its per-trigger guard scan would
+    * grow linearly with batch count without bound). Everything except
+    * the ACTIVE checkpoint's LATEST fold can never replay — Structured
+    * Streaming's serial-batch model replays only the last uncommitted
+    * batch, and other checkpoint lineages are ckpt-scope-guarded — so
+    * all of it collapses into one baseline histogram tagged
+    * (ckpt = "", batch_id = -1), bounding the store at
+    * |histogram| + |latest batch histogram| rows regardless of stream
+    * lifetime. Crash-safe via the [[Bucketed]] twin + rename swap
+    * (every crash point heals through the open-path recover).
+    */
+  def compactRows(s0: SparkSession, t: Store, activeCkpt: String): Unit = {
+    val s = s0.newSession()
+    Bucketed.recover(s, t.table)
+    val tmp = s"${t.table}_compact"
+    Bucketed.dropStale(s, tmp)
+    val cur = s.table(t.table)
+    val maxBid = cur.filter(col("ckpt") === activeCkpt)
+      .agg(coalesce(max(col("batch_id")), lit(-1L)))
+      .collect().head.getLong(0)
+    val keep = col("ckpt") === activeCkpt && col("batch_id") === maxBid
+    val baseline = cur.filter(!keep)
+      .groupBy(col("source"), col("w")).agg(sum(col("o")).as("o"))
+      .select(lit("").as("ckpt"), lit(-1L).as("batch_id"),
+        col("source"), col("w"), col("o"))
+    baseline.unionByName(cur.filter(keep))
+      .write.bucketBy(Buckets, "source").sortBy("source")
+      .mode("overwrite").saveAsTable(tmp)
+    Bucketed.dropStale(s, t.table)
+    s.sql(s"ALTER TABLE $tmp RENAME TO ${t.table}")
+    s0.catalog.refreshTable(t.table)
+  }
+
   /** The incremental front door: per micro-batch, histogram + guarded
     * fold + report. `onBatch` receives the per-source W₁ frame with a
     * leading `batch_id` column, computed over the post-fold store (the
     * monitor reads "as of now", including this batch).
     *
-    * @param compactEvery run [[Bucketed.compact]] on the store after
-    *   every Nth batch (0 = never) — per-trigger appends add one file
-    *   set per bucket per batch; the store is tiny but a long-lived
-    *   monitor still wants its file count bounded
+    * @param compactEvery run [[compactRows]] on the store after every
+    *   Nth batch (0 = never) — bounds both the store's ROW count (one
+    *   row-set accrues per trigger forever otherwise) and its file
+    *   count over a long ingest
     */
   def startIncremental(spark: SparkSession, docs: DataFrame, store: Store,
       checkpointDir: String, onBatch: DataFrame => Unit,
@@ -106,7 +141,7 @@ object DriftStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-          Bucketed.compact(spark, store.table, Buckets, "source")
+          compactRows(spark, store, checkpointDir)
         val hist = TextAnalysis.lengthHist(batch)
           .select(lit(checkpointDir).as("ckpt"), lit(batchId).as("batch_id"),
             col("source"), col("w"), col("o"))

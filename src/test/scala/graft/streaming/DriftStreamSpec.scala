@@ -71,15 +71,41 @@ class DriftStreamSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(fin == w1Of(docs.toSeq))
 
-    // replay idempotency: re-folding an already-seen (ckpt, batch_id)
-    // changes nothing (additive state guarded by batch accounting)
+    // in-stream compactRows (compactEvery = 2) collapsed all but the
+    // latest fold: store rows are bounded by |hist| + |latest batch|
+    // bound: baseline (≤ |hist|) + the two row-sets folded since the
+    // batch-2 compaction hook (each ≤ its batch's cell count ≤ |hist|)
+    val storeRows = spark.table(store.table).count()
+    assert(storeRows <= 3L * batchHist.size,
+      s"row-collapsing compaction must bound the store ($storeRows rows)")
+
+    // replay idempotency: re-folding the LATEST (ckpt, batch_id) — the
+    // only batch Structured Streaming can ever re-deliver — changes
+    // nothing (additive state guarded by batch accounting; earlier
+    // batch ids are committed and unreplayable, which is what licenses
+    // compactRows collapsing them)
+    val lastBid = (batches.size - 1).toLong
     DriftStream.append(spark, store,
-      TextAnalysis.lengthHist(batches.head.toSeq.toDF("doc_id", "source", "text"))
-        .select(lit(ckpt).as("ckpt"), lit(0L).as("batch_id"),
+      TextAnalysis.lengthHist(batches.last.toSeq.toDF("doc_id", "source", "text"))
+        .select(lit(ckpt).as("ckpt"), lit(lastBid).as("batch_id"),
           col("source"), col("w"), col("o")))
     val stored2 = DriftStream.histogram(spark, store).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(stored2 == batchHist, "replayed batch must fold nothing")
+
+    // explicit compactRows: histogram identical before/after, and a
+    // replay of the latest batch STILL folds nothing afterwards
+    DriftStream.compactRows(spark, store, ckpt)
+    assert(DriftStream.histogram(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == batchHist, "compaction must preserve the histogram")
+    DriftStream.append(spark, store,
+      TextAnalysis.lengthHist(batches.last.toSeq.toDF("doc_id", "source", "text"))
+        .select(lit(ckpt).as("ckpt"), lit(lastBid).as("batch_id"),
+          col("source"), col("w"), col("o")))
+    assert(DriftStream.histogram(spark, store).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      == batchHist, "replay after compaction must fold nothing")
 
     // fresh-checkpoint restart: a NEW stream on the SAME store re-issues
     // batch_id 0 — the ckpt-scoped guard must fold it, not drop it (the
