@@ -74,6 +74,7 @@ object Bench {
     graft.operators.DupGraph.ensure(spark, sfDir)
     graft.operators.SpanStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
+    graft.sources.IndexStore.ensure(spark, sfDir)
     graft.operators.Similarity.ensureTrained(spark, sfDir)
     graft.operators.Similarity.ensureClustered(spark, sfDir)
     graft.operators.ProductQuant.ensureTrained(spark, sfDir)

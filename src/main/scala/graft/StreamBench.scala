@@ -36,6 +36,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    ([[graft.streaming.DriftStream]]) ingesting the sf0.001 documents
   *    with a per-batch W₁ report (the histogram-mass count doubles as a
   *    loss check)
+  *  - `index_ingest_rows_per_sec`: the inverted-index ingest front door
+  *    ([[graft.streaming.IndexStream]]) indexing the sf0.001 documents
+  *    (the manifest count doubles as a loss check)
   *  - `graph_ingest_rows_per_sec`: the incremental connected-components
   *    front door ([[graft.streaming.GraphStream]]) ingesting the
   *    sf0.001 verified-pair stream in micro-batches — pairs/s through
@@ -208,6 +211,39 @@ object StreamBench {
       graft.sources.Bucketed.dropStale(spark, store.table)
       require(massed == docs.length.toLong,
         s"drift_ingest leg folded $massed of ${docs.length} docs")
+      (docs.length.toLong, sec)
+    }
+
+    leg("index_ingest") {
+      import graft.streaming.{IndexStream, Sources}
+      import graft.sources.IndexStore
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val store = IndexStore.build(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "sbench")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String)](spark)
+      val t0 = System.nanoTime()
+      val query = IndexStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "text"), store, ckpt,
+        compactEvery = 2)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: every doc manifested exactly once
+      val manifested = spark.table(store.manifest).count()
+      graft.sources.Bucketed.dropStale(spark, store.postings)
+      graft.sources.Bucketed.dropStale(spark, store.manifest)
+      require(manifested == docs.length.toLong,
+        s"index_ingest leg manifested $manifested of ${docs.length} docs")
       (docs.length.toLong, sec)
     }
 

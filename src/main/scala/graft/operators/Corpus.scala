@@ -1051,7 +1051,7 @@ object Corpus {
     * Declared before the spec (the q82 object-init-order rule: the
     * oracle string interpolates them eagerly).
     */
-  private val Bm25Terms = Seq("hash", "join", "vector", "scan")
+  private[operators] val Bm25Terms = Seq("hash", "join", "vector", "scan")
 
   /** q93 — lexical top-k retrieval: rank documents against a literal
     * term query by saturated-TF × rational-IDF — BM25's shape with the

@@ -381,6 +381,65 @@ object Retrieval {
             |  AND ex.vec_id = srv.vec_id
             | GROUP BY ex.query_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q154 — BM25 served FROM the persisted inverted index
+    * ([[graft.sources.IndexStore]]): the same literal-term request as
+    * q93, answered from the posting-list layout instead of a corpus
+    * text scan — the incremental 100 TB pattern (index once at ingest,
+    * [[graft.streaming.IndexStream]] keeps it current; every query pays
+    * only its terms' postings), completing the lexical half of the
+    * serving stack the way q26c/q143 complete the dense half. The
+    * oracle is q93's UNCHANGED SQL (DuckDB recomputes from raw text):
+    * passing proves the store round-trip is bit-exact — the q33b
+    * store-equivalence discipline.
+    *
+    * Scale shape: the probe reads ONLY the request terms' postings
+    * (tok-bucketed, sorted — bucket pruning + rowgroup stats cut the
+    * scan to the matching term rows, never the corpus); df reduces
+    * per-term map-side; corpus stats (N, D) are one manifest agg; both
+    * ride a single broadcast row onto the ≤ Σ df matched postings; one
+    * per-doc pivot agg and a TakeOrdered(10). Exchange volume is
+    * request-sized regardless of corpus size.
+    */
+  /** The q154 serving plan over an arbitrary [[graft.sources.IndexStore]]
+    * — shared by the gated query and `IndexStreamSpec`, so the streamed
+    * store serves through the exact code path the oracle gates.
+    */
+  private[graft] def bm25ServeFromIndex(s: SparkSession,
+      store: graft.sources.IndexStore.Store): DataFrame = {
+      val terms = Corpus.Bm25Terms
+      val post = s.table(store.postings)
+        .filter(col("tok").isin(terms: _*))
+      val nd = s.table(store.manifest)
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("d"))
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        coalesce(max(when(col("tok") === t, col("df"))), lit(0L)).as(s"df$i")
+      }
+      val dfStats = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .agg(dfCols.head, dfCols.tail: _*)
+      val perDoc = post.groupBy(col("doc_id"))
+        .agg(max(col("dl")).as("dl"), terms.zipWithIndex.map { case (t, i) =>
+          coalesce(max(when(col("tok") === t, col("tf"))), lit(0L))
+            .as(s"tf$i")
+        }: _*)
+      val score = terms.indices.map { i =>
+        (col(s"tf$i") * (lit(2) * col("n") - lit(2) * col(s"df$i") + 1) *
+          col("d")).cast("double") /
+          ((col(s"tf$i") * col("d") + col("dl") * col("n")) *
+            (lit(2) * col(s"df$i") + 1)).cast("double")
+      }.reduce(_ + _)
+      perDoc.crossJoin(broadcast(nd)).crossJoin(broadcast(dfStats))
+        .select(col("doc_id"), score.as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+  }
+
+  val qBm25FromIndex: QuerySpec = QuerySpec(
+    "q154_bm25_index",
+    (s, dir) =>
+      bm25ServeFromIndex(s, graft.sources.IndexStore.ensure(s, dir)),
+    Corpus.qBm25TopK.oracle)
+
   val specs: Seq[QuerySpec] =
-    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall)
+    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
+      qBm25FromIndex)
 }

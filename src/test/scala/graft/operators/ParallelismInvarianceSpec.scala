@@ -105,8 +105,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Corpus.qLmHitrate, Curation.qFilterAgreement,
       // memoized-label + flushed-flag taint rollup (q153; the DupGraph
       // memo is parallelism-keyed, so the full pipeline re-executes per
-      // partitioning)
-      Dedup.qTaintPropagation)) {
+      // partitioning), bucket-pruned postings probe + per-doc pivot +
+      // tie-broken TakeOrdered over the persisted index (q154)
+      Dedup.qTaintPropagation, Retrieval.qBm25FromIndex)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
