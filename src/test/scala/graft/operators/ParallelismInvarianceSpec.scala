@@ -107,7 +107,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // memo is parallelism-keyed, so the full pipeline re-executes per
       // partitioning), bucket-pruned postings probe + per-doc pivot +
       // tie-broken TakeOrdered over the persisted index (q154)
-      Dedup.qTaintPropagation, Retrieval.qBm25FromIndex)) {
+      Dedup.qTaintPropagation, Retrieval.qBm25FromIndex,
+      // ragged-batch dsum scoring + per-query rank windows over the
+      // pruned postings probe (q155)
+      Retrieval.qBm25ServeBatch)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
