@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
-import graft.functions.{HashedLinearScore, PolyHash}
+import graft.functions.{Exact, HashedLinearScore, PolyHash}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -790,7 +790,184 @@ object Curation {
         .stripMargin.replaceAll("\n", "")
     })
 
+  /** q156's parameters — declared ABOVE the spec (the q82 object-init-order
+    * rule: the oracle string interpolates them eagerly).
+    */
+  private[graft] val ImportanceTargetSources: Seq[String] = Seq("src1", "src4")
+  private[graft] val ImportanceBuckets = 64
+  private[graft] val ImportanceTopK = 100
+
+  /** q156 — hashed-token importance weighting for domain-targeted data
+    * selection (the importance-resampling shape of Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * re-expressed log-free so both engines agree bit-exactly): token
+    * features hash into [[ImportanceBuckets]] buckets via [[PolyHash]];
+    * each bucket gets an add-one-smoothed target/raw likelihood ratio
+    *
+    *   w_b = ((T_b+1)/(T+B)) / ((R_b+1)/(R+B))
+    *
+    * where T_b/R_b are the bucket's token counts in the target sources
+    * ([[ImportanceTargetSources]], the "quality corpus") vs the raw rest,
+    * and a raw document's affinity is its length-normalized Σ count·w_b
+    * (a sum of per-token ratios, not the banned Σ log — a rank-equivalent
+    * rational-affinity variant; each w_b is ONE IEEE division of two
+    * exact-product doubles, identical in Spark and DuckDB). Output: the
+    * [[ImportanceTopK]] raw documents a target-domain-matched selection
+    * would keep, with a doc_id tiebreak.
+    *
+    * Scale shape: ONE token scan; the (doc_id, bucket) aggregate's
+    * map-side combine absorbs the explode before its only shuffle; bucket
+    * stats are a B-row aggregate; the weight table and corpus totals ride
+    * back as ≤B-row broadcasts; the final source lookup broadcasts the
+    * K-row top-k against the corpus scan. No exchange carries more than
+    * (docs × distinct-buckets-per-doc) rows at any corpus size.
+    */
+  val qImportanceWeights: QuerySpec = QuerySpec(
+    "q156_importance_weights",
+    (s, dir) => {
+      val B = ImportanceBuckets
+      val docs = Tables.load(s, dir, "documents")
+      // polyhash ∈ [0, P) so plain % equals pmod on both engines
+      val tok = docs
+        .select(col("doc_id"),
+          col("source").isin(ImportanceTargetSources: _*).as("tgt"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("tgt"),
+          (PolyHash(col("w")) % B).as("b"))
+      val db = tok.groupBy(col("doc_id"), col("tgt"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = db.groupBy(col("b")).agg(
+        sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tb"),
+        sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("rb"))
+      val tot = stats.agg(sum(col("tb")).as("ttot"), sum(col("rb")).as("rtot"))
+      val wtab = stats.crossJoin(broadcast(tot))
+        .select(col("b"),
+          (((col("tb") + 1).cast("double") * (col("rtot") + B).cast("double")) /
+            ((col("rb") + 1).cast("double") * (col("ttot") + B).cast("double")))
+            .as("wt"))
+      val scored = db.filter(!col("tgt"))
+        .join(broadcast(wtab), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(Exact.dsum(col("cnt").cast("double") * col("wt")).as("sw"),
+          sum(col("cnt")).as("dl"))
+        .select(col("doc_id"), col("dl"),
+          (col("sw") / col("dl").cast("double")).as("affinity"))
+      val top = scored.orderBy(col("affinity").desc, col("doc_id"))
+        .limit(ImportanceTopK)
+      broadcast(top)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("dl"), col("affinity"))
+    },
+    Some {
+      val B = ImportanceBuckets
+      val tgtList = ImportanceTargetSources.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (SELECT doc_id, (source IN ($tgtList)) AS tgt,
+         |   unnest(string_split(text, ' ')) AS w FROM documents),
+         | tk2 AS (SELECT doc_id, tgt,
+         |   ${PolyHash.oracleSql("w")} % $B AS b FROM tk
+         |  WHERE length(w) > 0),
+         | db AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tk2 GROUP BY 1, 2, 3),
+         | st AS (SELECT b,
+         |   CAST(SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS tb,
+         |   CAST(SUM(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS BIGINT) AS rb
+         |  FROM db GROUP BY b),
+         | tot AS (SELECT CAST(SUM(tb) AS BIGINT) AS ttot,
+         |   CAST(SUM(rb) AS BIGINT) AS rtot FROM st),
+         | wt AS (SELECT b,
+         |   (CAST(tb + 1 AS DOUBLE) * CAST(rtot + $B AS DOUBLE)) /
+         |   (CAST(rb + 1 AS DOUBLE) * CAST(ttot + $B AS DOUBLE)) AS wt
+         |  FROM st, tot),
+         | sc AS (SELECT d.doc_id,
+         |   ${Exact.dsumSql("CAST(d.cnt AS DOUBLE) * w.wt")} AS sw,
+         |   CAST(SUM(d.cnt) AS BIGINT) AS dl
+         |  FROM db d JOIN wt w ON d.b = w.b WHERE NOT d.tgt
+         |  GROUP BY d.doc_id),
+         | top AS (SELECT doc_id, dl, sw / CAST(dl AS DOUBLE) AS affinity
+         |  FROM sc ORDER BY affinity DESC, doc_id LIMIT $ImportanceTopK)
+         | SELECT t.doc_id, d.source, t.dl, t.affinity
+         | FROM top t JOIN documents d USING (doc_id)"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
+  /** q157 — per-document rejection attribution: the FIRST gate (in
+    * pipeline order) that drops each document, or `kept` — the drop
+    * funnel every curation-pipeline owner reads when a source's yield
+    * moves ("why did we lose 40% of src7?"). Order matches the q33/q152
+    * stage composition: exact dedup (non-minimum of a [[PolyHash]] text
+    * group), near-dup (the dropped side of a verified [[DupGraph]]
+    * pair), then the q135 Gopher battery rule by rule (words →
+    * mean-word-len → alpha-frac → stopwords), then the q80 learned
+    * classifier. Every flag is integer/equi-join-derived, so the label
+    * can never straddle an FP boundary between engines; a `GROUP BY
+    * source, reason` over this result is the funnel report.
+    *
+    * Scale shape: exact flags from the q21 text-hash aggregate joined
+    * back on the hash; near-dup membership from the shared memoized
+    * [[DupGraph]] store (computed once per corpus per JVM); Gopher +
+    * classifier signals stacked map-side on ONE corpus scan
+    * ([[gopherFrame]] is column-preserving); one doc_id-keyed join
+    * attaches the flags. No stage re-runs the LSH pipeline and nothing
+    * exceeds corpus-linear exchange at 100 TB.
+    */
+  val qRejectionReasons: QuerySpec = QuerySpec(
+    "q157_rejection_reasons",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val th = docs.select(col("doc_id"), PolyHash(col("text")).as("th"))
+      val km = th.groupBy(col("th")).agg(min(col("doc_id")).as("keep_id"))
+      val ex = th.join(km, Seq("th"))
+        .select(col("doc_id"), (col("doc_id") =!= col("keep_id")).as("f_exact"))
+      val nd = DupGraph.pairs(s, dir).select(col("doc_id_2").as("doc_id"))
+        .distinct().withColumn("f_near", lit(true))
+      val sc = HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus)
+      gopherFrame(docs)
+        .withColumn("cls_keep", element_at(sc, 1) >= 0)
+        .join(ex, Seq("doc_id"))
+        .join(nd, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("f_exact"), "exact_dup")
+            .when(coalesce(col("f_near"), lit(false)), "near_dup")
+            .when(col("words_ok") === 0, "gopher_words")
+            .when(col("mwl_ok") === 0, "gopher_word_len")
+            .when(col("alpha_ok") === 0, "gopher_alpha")
+            .when(col("stop_ok") === 0, "gopher_stopwords")
+            .when(!col("cls_keep"), "classifier")
+            .otherwise("kept").as("reason"))
+    },
+    Some {
+      val lsh = Dedup.qLshPairs.oracle.get
+      s"""WITH $gopherCtesSql,
+         | ${TextAnalysis.classifierScoreCtes},
+         | pairs AS ($lsh),
+         | th0 AS (SELECT doc_id, ${PolyHash.oracleSql("text")} AS th
+         |  FROM documents),
+         | km AS (SELECT th, MIN(doc_id) AS keep_id FROM th0 GROUP BY th),
+         | ex AS (SELECT th0.doc_id, (th0.doc_id <> km.keep_id) AS f_exact
+         |  FROM th0 JOIN km USING (th)),
+         | nd AS (SELECT DISTINCT doc_id_2 AS doc_id FROM pairs)
+         | SELECT d.doc_id, d.source,
+         |  CASE WHEN ex.f_exact THEN 'exact_dup'
+         |   WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+         |   WHEN NOT (m.n_words >= 50 AND m.n_words <= 100000)
+         |    THEN 'gopher_words'
+         |   WHEN NOT (m.cw >= 3 * m.n_words AND m.cw <= 10 * m.n_words)
+         |    THEN 'gopher_word_len'
+         |   WHEN NOT (5 * m.aw >= 4 * m.n_words) THEN 'gopher_alpha'
+         |   WHEN NOT (m.n_stop_distinct >= 2) THEN 'gopher_stopwords'
+         |   WHEN sc.score < 0 THEN 'classifier'
+         |   ELSE 'kept' END AS reason
+         | FROM documents d
+         |  JOIN m ON d.doc_id = m.doc_id
+         |  JOIN ex ON d.doc_id = ex.doc_id
+         |  JOIN sc ON d.doc_id = sc.doc_id
+         |  LEFT JOIN nd ON d.doc_id = nd.doc_id"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
-    qGopherRules, qLengthMatchedSample, qFilterAgreement)
+    qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
+    qRejectionReasons)
 }

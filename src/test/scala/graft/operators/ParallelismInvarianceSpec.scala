@@ -110,7 +110,13 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qTaintPropagation, Retrieval.qBm25FromIndex,
       // ragged-batch dsum scoring + per-query rank windows over the
       // pruned postings probe (q155)
-      Retrieval.qBm25ServeBatch)) {
+      Retrieval.qBm25ServeBatch,
+      // broadcast bucket-ratio weights + dsum affinity + tie-broken
+      // TakeOrdered selection (q156), hash-group exact flags + DupGraph
+      // membership + map-side rule battery first-fail label (q157; the
+      // DupGraph memo is parallelism-keyed, so the pair pipeline
+      // re-executes per partitioning)
+      Curation.qImportanceWeights, Curation.qRejectionReasons)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
