@@ -841,6 +841,90 @@ object Corpus {
          | GROUP BY tb.term""".stripMargin.replaceAll("\n", "")
     })
 
+  /** Misra-Gries summary of a token stream: at most `k` surviving
+    * (term, lower-bound-count) entries plus the stream length. The
+    * classic bounded-state frequent-items kernel (Misra & Gries 1982):
+    * a hit increments, a miss with a full table decrements EVERY entry
+    * (amortized O(1): each decrement event cancels k+1 arrivals, so
+    * total decrement work is ≤ n). Guarantees: survivors ≤ k; every
+    * item with count > n/k survives; each stored count c satisfies
+    * true − n/k ≤ c ≤ true. Pinned by `MgSummarySpec`.
+    */
+  private[graft] def mgSummary(
+      it: Iterator[String], k: Int): (Map[String, Long], Long) = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    while (it.hasNext) {
+      val t = it.next(); n += 1
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+    }
+    (m.toMap, n)
+  }
+
+  /** q158's summary size — declared above the spec (the q82 rule). */
+  private[graft] val MgK = 64
+
+  /** q158 — Misra-Gries heavy hitters: every token with frequency
+    * > n/[[MgK]] and its EXACT count, found without a vocabulary-sized
+    * shuffle. Pass 1 runs the bounded-state [[mgSummary]] kernel per
+    * partition (genuine `mapPartitions` territory — an imperative
+    * decrement loop with k-bounded output per task) and collects the
+    * per-partition survivor union; by pigeonhole an item with global
+    * count > n/k exceeds its partition's n_p/k somewhere, so the union
+    * is a SUPERSET of the true heavy hitters at ANY partitioning —
+    * which is what makes the final output deterministic (and
+    * parallelism-invariance pinnable): pass 2 exact-counts ONLY the
+    * candidates and the threshold filter discards every false
+    * candidate. Complements the sketch family (CMS q84 point
+    * frequency, Bloom q85 membership, HLL q96 cardinality, t-digest
+    * q39 quantiles) with the "find the frequent items" direction.
+    *
+    * Scale shape: the driver collect is ≤ partitions × (k+1) tiny rows
+    * (65k rows at 1000 tasks — bounded, never data-scale); pass 2's
+    * aggregate is candidate-sized after a pushed-down isin filter. The
+    * one-pass exact alternative (q49's shape) shuffles the vocabulary;
+    * at a 100 TB vocabulary this plan shuffles ≤ P·k rows instead.
+    */
+  val qHeavyHitters: QuerySpec = QuerySpec(
+    "q158_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      def toks = Tables.load(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      // ("" , n_p) sentinel rides alongside the survivors (the empty
+      // term cannot collide: zero-length tokens are filtered above)
+      val partials = toks.as[String]
+        .mapPartitions { it =>
+          val (m, np) = mgSummary(it, MgK)
+          m.iterator ++ Iterator(("", np))
+        }
+        .collect()
+      val n = partials.collect { case ("", c) => c }.sum
+      val cands = partials.collect { case (t, _) if t.nonEmpty => t }
+        .distinct.toSeq
+      toks.filter(col("term").isin(cands: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * MgK > n)
+        .select(col("term"), col("cnt"),
+          expr(s"(10000 * cnt) div $n").as("share_e4"))
+    },
+    Some(
+      s"""WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         | tk2 AS (SELECT term FROM tk WHERE length(term) > 0),
+         | n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk2),
+         | c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk2
+         |  GROUP BY term)
+         | SELECT term, cnt, CAST((10000 * cnt) // n AS BIGINT) AS share_e4
+         | FROM c, n WHERE cnt * $MgK > n""".stripMargin.replaceAll("\n", "")))
+
   /** q85 — Bloom-filter decontamination accuracy: the constant-size
     * alternative to q46's broadcast gram join. The eval set's 5-gram
     * hashes fold into a 64 Kbit / k=3 Bloom filter (positions from the
@@ -1699,5 +1783,6 @@ object Corpus {
     qShardBalance, qLangVocabOverlap, qBpeMerges, qBpeApply,
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
-    qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan)
+    qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
+    qHeavyHitters)
 }

@@ -822,70 +822,89 @@ object Curation {
     * K-row top-k against the corpus scan. No exchange carries more than
     * (docs × distinct-buckets-per-doc) rows at any corpus size.
     */
+  /** The q156 per-document affinity frame `(doc_id, dl, affinity)` over
+    * the RAW (non-target) documents — the ONE definition shared by the
+    * q156 top-k report and q160's budget-constrained selection.
+    */
+  private[graft] def importanceScored(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val B = ImportanceBuckets
+    val docs = Tables.load(s, dir, "documents")
+    // polyhash ∈ [0, P) so plain % equals pmod on both engines
+    val tok = docs
+      .select(col("doc_id"),
+        col("source").isin(ImportanceTargetSources: _*).as("tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), col("tgt"),
+        (PolyHash(col("w")) % B).as("b"))
+    val db = tok.groupBy(col("doc_id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = db.groupBy(col("b")).agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tb"),
+      sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("rb"))
+    val tot = stats.agg(sum(col("tb")).as("ttot"), sum(col("rb")).as("rtot"))
+    val wtab = stats.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (((col("tb") + 1).cast("double") * (col("rtot") + B).cast("double")) /
+          ((col("rb") + 1).cast("double") * (col("ttot") + B).cast("double")))
+          .as("wt"))
+    db.filter(!col("tgt"))
+      .join(broadcast(wtab), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(Exact.dsum(col("cnt").cast("double") * col("wt")).as("sw"),
+        sum(col("cnt")).as("dl"))
+      .select(col("doc_id"), col("dl"),
+        (col("sw") / col("dl").cast("double")).as("affinity"))
+  }
+
+  /** DuckDB CTE chain ending in `aff(doc_id, dl, affinity)` — the oracle
+    * twin of [[importanceScored]], shared by q156's and q160's oracles.
+    */
+  private[graft] val importanceCtesSql: String = {
+    val B = ImportanceBuckets
+    val tgtList = ImportanceTargetSources.map(t => s"'$t'").mkString(", ")
+    s"""itk AS (SELECT doc_id, (source IN ($tgtList)) AS tgt,
+       |   unnest(string_split(text, ' ')) AS w FROM documents),
+       | itk2 AS (SELECT doc_id, tgt,
+       |   ${PolyHash.oracleSql("w")} % $B AS b FROM itk
+       |  WHERE length(w) > 0),
+       | idb AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM itk2 GROUP BY 1, 2, 3),
+       | ist AS (SELECT b,
+       |   CAST(SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS tb,
+       |   CAST(SUM(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS BIGINT) AS rb
+       |  FROM idb GROUP BY b),
+       | itot AS (SELECT CAST(SUM(tb) AS BIGINT) AS ttot,
+       |   CAST(SUM(rb) AS BIGINT) AS rtot FROM ist),
+       | iwt AS (SELECT b,
+       |   (CAST(tb + 1 AS DOUBLE) * CAST(rtot + $B AS DOUBLE)) /
+       |   (CAST(rb + 1 AS DOUBLE) * CAST(ttot + $B AS DOUBLE)) AS wt
+       |  FROM ist, itot),
+       | isc AS (SELECT d.doc_id,
+       |   ${Exact.dsumSql("CAST(d.cnt AS DOUBLE) * w.wt")} AS sw,
+       |   CAST(SUM(d.cnt) AS BIGINT) AS dl
+       |  FROM idb d JOIN iwt w ON d.b = w.b WHERE NOT d.tgt
+       |  GROUP BY d.doc_id),
+       | aff AS (SELECT doc_id, dl, sw / CAST(dl AS DOUBLE) AS affinity
+       |  FROM isc)""".stripMargin.replaceAll("\n", "")
+  }
+
   val qImportanceWeights: QuerySpec = QuerySpec(
     "q156_importance_weights",
     (s, dir) => {
-      val B = ImportanceBuckets
       val docs = Tables.load(s, dir, "documents")
-      // polyhash ∈ [0, P) so plain % equals pmod on both engines
-      val tok = docs
-        .select(col("doc_id"),
-          col("source").isin(ImportanceTargetSources: _*).as("tgt"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .select(col("doc_id"), col("tgt"),
-          (PolyHash(col("w")) % B).as("b"))
-      val db = tok.groupBy(col("doc_id"), col("tgt"), col("b"))
-        .agg(count(lit(1)).as("cnt"))
-      val stats = db.groupBy(col("b")).agg(
-        sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tb"),
-        sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("rb"))
-      val tot = stats.agg(sum(col("tb")).as("ttot"), sum(col("rb")).as("rtot"))
-      val wtab = stats.crossJoin(broadcast(tot))
-        .select(col("b"),
-          (((col("tb") + 1).cast("double") * (col("rtot") + B).cast("double")) /
-            ((col("rb") + 1).cast("double") * (col("ttot") + B).cast("double")))
-            .as("wt"))
-      val scored = db.filter(!col("tgt"))
-        .join(broadcast(wtab), Seq("b"))
-        .groupBy(col("doc_id"))
-        .agg(Exact.dsum(col("cnt").cast("double") * col("wt")).as("sw"),
-          sum(col("cnt")).as("dl"))
-        .select(col("doc_id"), col("dl"),
-          (col("sw") / col("dl").cast("double")).as("affinity"))
-      val top = scored.orderBy(col("affinity").desc, col("doc_id"))
+      val top = importanceScored(s, dir)
+        .orderBy(col("affinity").desc, col("doc_id"))
         .limit(ImportanceTopK)
       broadcast(top)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("dl"), col("affinity"))
     },
     Some {
-      val B = ImportanceBuckets
-      val tgtList = ImportanceTargetSources.map(t => s"'$t'").mkString(", ")
-      s"""WITH tk AS (SELECT doc_id, (source IN ($tgtList)) AS tgt,
-         |   unnest(string_split(text, ' ')) AS w FROM documents),
-         | tk2 AS (SELECT doc_id, tgt,
-         |   ${PolyHash.oracleSql("w")} % $B AS b FROM tk
-         |  WHERE length(w) > 0),
-         | db AS (SELECT doc_id, tgt, b, CAST(COUNT(*) AS BIGINT) AS cnt
-         |  FROM tk2 GROUP BY 1, 2, 3),
-         | st AS (SELECT b,
-         |   CAST(SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS tb,
-         |   CAST(SUM(CASE WHEN NOT tgt THEN cnt ELSE 0 END) AS BIGINT) AS rb
-         |  FROM db GROUP BY b),
-         | tot AS (SELECT CAST(SUM(tb) AS BIGINT) AS ttot,
-         |   CAST(SUM(rb) AS BIGINT) AS rtot FROM st),
-         | wt AS (SELECT b,
-         |   (CAST(tb + 1 AS DOUBLE) * CAST(rtot + $B AS DOUBLE)) /
-         |   (CAST(rb + 1 AS DOUBLE) * CAST(ttot + $B AS DOUBLE)) AS wt
-         |  FROM st, tot),
-         | sc AS (SELECT d.doc_id,
-         |   ${Exact.dsumSql("CAST(d.cnt AS DOUBLE) * w.wt")} AS sw,
-         |   CAST(SUM(d.cnt) AS BIGINT) AS dl
-         |  FROM db d JOIN wt w ON d.b = w.b WHERE NOT d.tgt
-         |  GROUP BY d.doc_id),
-         | top AS (SELECT doc_id, dl, sw / CAST(dl AS DOUBLE) AS affinity
-         |  FROM sc ORDER BY affinity DESC, doc_id LIMIT $ImportanceTopK)
+      s"""WITH $importanceCtesSql,
+         | top AS (SELECT doc_id, dl, affinity
+         |  FROM aff ORDER BY affinity DESC, doc_id LIMIT $ImportanceTopK)
          | SELECT t.doc_id, d.source, t.dl, t.affinity
          | FROM top t JOIN documents d USING (doc_id)"""
         .stripMargin.replaceAll("\n", "")
@@ -966,8 +985,144 @@ object Curation {
         .stripMargin.replaceAll("\n", "")
     })
 
+  /** q159's keep threshold (top 20% per source) — declared above the
+    * spec (the q82 rule).
+    */
+  private[graft] val CalibKeepFromE4 = 8000L
+
+  /** q159 — per-source score calibration (quantile normalization): each
+    * document's q80 classifier score mapped to its WITHIN-SOURCE
+    * percentile, with a calibrated keep flag (top 20% of each source).
+    * A single global score threshold lets one clean source crowd out
+    * every other domain; per-source quantile quotas are the standard
+    * fair-threshold fix, and this is its materialized form. Percentile
+    * is integer arithmetic — `pct_e4 = (10000 · #strictly-below) div
+    * n_s` — so ties share a value and nothing straddles an FP boundary.
+    *
+    * Scale shape: scores are INTEGERS ([[HashedLinearScore]]), so the
+    * per-source rank needs no corpus-wide window — the q39/q123
+    * histogram discipline: one map-side (source, score) count, cumsum
+    * windows over HISTOGRAM buckets only, and the bucket frame
+    * broadcasts back onto the corpus scan. A per-source window over raw
+    * docs would put one source's 5 TB in one partition at 100 TB; the
+    * histogram plan's windows see sources × distinct-scores rows.
+    */
+  val qScoreCalibration: QuerySpec = QuerySpec(
+    "q159_score_calibration",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ds = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          element_at(
+            HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus), 1)
+            .as("score"))
+      val below = Window.partitionBy(col("source")).orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val whole = Window.partitionBy(col("source"))
+      val hist = ds.groupBy(col("source"), col("score"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cb", coalesce(sum(col("c")).over(below), lit(0L)))
+        .withColumn("ns", sum(col("c")).over(whole))
+        .select(col("source"), col("score"),
+          expr("(10000 * cb) div ns").as("pct_e4"))
+      ds.join(broadcast(hist), Seq("source", "score"))
+        .select(col("doc_id"), col("source"), col("score"), col("pct_e4"),
+          when(col("pct_e4") >= CalibKeepFromE4, 1L).otherwise(0L).as("keep"))
+    },
+    Some {
+      s"""WITH ${TextAnalysis.classifierScoreCtes},
+         | ds AS (SELECT d.doc_id, d.source, sc.score FROM documents d
+         |  JOIN sc ON d.doc_id = sc.doc_id),
+         | h AS (SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM ds GROUP BY 1, 2),
+         | cum AS (SELECT source, score,
+         |   CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cb,
+         |   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+         |  FROM h),
+         | pc AS (SELECT source, score,
+         |   CAST((10000 * cb) // ns AS BIGINT) AS pct_e4 FROM cum)
+         | SELECT ds.doc_id, ds.source, ds.score, pc.pct_e4,
+         |  CASE WHEN pc.pct_e4 >= $CalibKeepFromE4
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         | FROM ds JOIN pc ON ds.source = pc.source AND ds.score = pc.score"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
+  /** q160's parameters — declared above the spec (the q82 rule). */
+  private[graft] val BudgetE4 = 2500L
+  private[graft] val BudgetBuckets = 4096L
+
+  /** q160 — token-budget-constrained selection: the maximal prefix of
+    * the (quantized-affinity desc, doc_id) order whose token total fits
+    * a 25% budget — the cut importance resampling actually ships after
+    * q156 scores the corpus ("fill the training budget with the most
+    * target-like tokens"). Selection order is DEFINED on the 1e-6
+    * fixed-point quantized affinity (the repo's quantize convention —
+    * round-half-away is identical in both engines), so membership never
+    * hangs on a sub-quantum double difference.
+    *
+    * Scale shape (the q104 single-bucket-residual discipline): a
+    * corpus-wide sort would be a global exchange, so the plan buckets
+    * quantized affinity into ≤[[BudgetBuckets]] integer cells (min/max
+    * from a single-row broadcast), takes a HISTOGRAM cumsum over the
+    * bounded bucket frame, selects full buckets outright, and runs the
+    * per-doc cumsum window ONLY inside the one boundary bucket that
+    * straddles the budget. Equivalence to the global-prefix semantics
+    * is exact: bucket id is monotone in affinity, so the global order
+    * refines the bucket order. The oracle states the semantics directly
+    * as the global-window form.
+    */
+  val qBudgetSelection: QuerySpec = QuerySpec(
+    "q160_budget_selection",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scq = importanceScored(s, dir)
+        .withColumn("aq", round(col("affinity") * 1000000.0, 0).cast("long"))
+      val ext = scq.agg(min(col("aq")).as("mn"), max(col("aq")).as("mx"),
+        sum(col("dl")).as("tot"))
+      val scb = scq.crossJoin(broadcast(ext))
+        .withColumn("bw", greatest(
+          expr(s"(mx - mn + $BudgetBuckets) div $BudgetBuckets"), lit(1L)))
+        .withColumn("bk", expr("(aq - mn) div bw"))
+        .withColumn("budget", expr(s"(tot * $BudgetE4) div 10000"))
+      val desc = Window.orderBy(col("bk").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hist = scb.groupBy(col("bk"), col("budget"))
+        .agg(sum(col("dl")).as("tb"))
+        .withColumn("cum", sum(col("tb")).over(desc))
+      val full = hist.filter(col("cum") <= col("budget")).select(col("bk"))
+      val bnd = hist.filter(col("cum") > col("budget") &&
+          col("cum") - col("tb") <= col("budget"))
+        .select(col("bk"),
+          (col("budget") - (col("cum") - col("tb"))).as("residual"))
+      val selFull = scb.join(broadcast(full), Seq("bk"))
+        .select(col("doc_id"), col("dl"), col("affinity"))
+      val wb = Window.orderBy(col("aq").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val selBnd = scb.join(broadcast(bnd), Seq("bk"))
+        .withColumn("cum2", sum(col("dl")).over(wb))
+        .filter(col("cum2") <= col("residual"))
+        .select(col("doc_id"), col("dl"), col("affinity"))
+      selFull.union(selBnd)
+    },
+    Some {
+      s"""WITH $importanceCtesSql,
+         | q AS (SELECT doc_id, dl, affinity,
+         |   CAST(round(affinity * 1000000.0, 0) AS BIGINT) AS aq FROM aff),
+         | tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot FROM q),
+         | sel AS (SELECT doc_id, dl, affinity,
+         |   CAST(SUM(dl) OVER (ORDER BY aq DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM q)
+         | SELECT doc_id, dl, affinity FROM sel, tot
+         | WHERE cum <= (tot * $BudgetE4) // 10000"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
-    qRejectionReasons)
+    qRejectionReasons, qScoreCalibration, qBudgetSelection)
 }

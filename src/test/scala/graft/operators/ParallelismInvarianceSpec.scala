@@ -116,7 +116,15 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // membership + map-side rule battery first-fail label (q157; the
       // DupGraph memo is parallelism-keyed, so the pair pipeline
       // re-executes per partitioning)
-      Curation.qImportanceWeights, Curation.qRejectionReasons)) {
+      Curation.qImportanceWeights, Curation.qRejectionReasons,
+      // per-partition MG candidate union (a superset of the true heavy
+      // hitters at ANY partitioning — the pigeonhole guarantee) + exact
+      // candidate-count threshold filter (q158)
+      Corpus.qHeavyHitters,
+      // histogram-bucket percentile windows + broadcast join-back
+      // (q159), bounded bucket cumsum + single-boundary-bucket residual
+      // prefix (q160)
+      Curation.qScoreCalibration, Curation.qBudgetSelection)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

@@ -70,4 +70,48 @@ class SketchLawsSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getAs[Double]("lift") == expect)
     }
   }
+
+  test("q158: Misra-Gries kernel laws (size, superset, count bounds)") {
+    // deterministic adversarial-ish stream: Zipf-ish head + churning
+    // tail, interleaved so decrements fire throughout
+    val stream = (0 until 5000).flatMap { i =>
+      Seq(s"hot${i % 3}", s"warm${i % 17}", s"tail${i % 997}")
+    }
+    for (k <- Seq(4, 16, 64)) {
+      val (m, n) = Corpus.mgSummary(stream.iterator, k)
+      assert(n == stream.length.toLong)
+      assert(m.size <= k, s"k=$k summary overflowed: ${m.size}")
+      val exact = stream.groupBy(identity).map { case (t, xs) =>
+        (t, xs.length.toLong)
+      }
+      // every item with count > n/k survives (the guarantee q158's
+      // candidate superset rests on)
+      exact.foreach { case (t, c) =>
+        if (c * k > n)
+          assert(m.contains(t), s"k=$k lost heavy hitter $t (count $c)")
+      }
+      // stored counts are lower bounds within n/k of the truth
+      m.foreach { case (t, c) =>
+        assert(c <= exact(t), s"k=$k overcounted $t")
+        assert(exact(t) - c <= n / k, s"k=$k undercounted $t beyond n/k")
+      }
+    }
+  }
+
+  test("q158: gated output is exactly the true heavy hitters with exact counts") {
+    val rows = Corpus.qHeavyHitters.build(spark, dir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"))).toMap
+    val docs = graft.Tables.load(spark, dir, "documents")
+    import org.apache.spark.sql.functions._
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).count().collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("count")))
+    val n = exact.map(_._2).sum
+    val expected = exact.filter { case (_, c) => c * Corpus.MgK > n }.toMap
+    assert(rows == expected,
+      s"heavy-hitter set mismatch: got ${rows.keySet}, want ${expected.keySet}")
+    assert(rows.nonEmpty)
+  }
 }
