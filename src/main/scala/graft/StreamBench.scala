@@ -36,6 +36,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    ([[graft.streaming.DriftStream]]) ingesting the sf0.001 documents
   *    with a per-batch W₁ report (the histogram-mass count doubles as a
   *    loss check)
+  *  - `freq_ingest_rows_per_sec`: the online frequent-tokens monitor
+  *    ([[graft.streaming.FreqStream]]) ingesting the sf0.001 documents
+  *    with a per-batch heavy-hitter report (the summed token sentinels
+  *    double as a loss check)
   *  - `index_ingest_rows_per_sec`: the inverted-index ingest front door
   *    ([[graft.streaming.IndexStream]]) indexing the sf0.001 documents
   *    (the manifest count doubles as a loss check)
@@ -211,6 +215,37 @@ object StreamBench {
       graft.sources.Bucketed.dropStale(spark, store.table)
       require(massed == docs.length.toLong,
         s"drift_ingest leg folded $massed of ${docs.length} docs")
+      (docs.length.toLong, sec)
+    }
+
+    leg("freq_ingest") {
+      import graft.streaming.{FreqStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      val store = FreqStream.build(spark, "sbench")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String, String)](spark)
+      val t0 = System.nanoTime()
+      val query = FreqStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "source", "text"), store, ckpt,
+        onBatch = _ => (), compactEvery = 2)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: the summed sentinels account for every token
+      val nTok = FreqStream.totalTokens(spark, store).collect().head.getLong(0)
+      val expect = docs.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(nTok == expect,
+        s"freq_ingest leg accounted $nTok of $expect tokens")
       (docs.length.toLong, sec)
     }
 

@@ -1121,8 +1121,80 @@ object Curation {
         .stripMargin.replaceAll("\n", "")
     })
 
+  /** q161 — mixture-constrained selection: q160's budget cut applied
+    * PER SOURCE with each source's quota taken from the q132 mixture
+    * plan (`target_tok`, the sqrt-temperature allocation) — "fill each
+    * domain's planned token share with its most target-like documents",
+    * the materialized join of the two planning artifacts this engine
+    * already ships. Selection order within a source is the q160
+    * semantics (quantized-affinity desc, doc_id); a source whose quota
+    * exceeds its raw tokens is selected whole (its q132 `epochs > 1`
+    * repetition happens downstream at packing). Target sources are the
+    * REFERENCE corpus, not selection candidates (q156's scope).
+    *
+    * Scale shape: q160's bucket discipline, partitioned by source — the
+    * histogram cumsum runs over (sources × ≤4096) cells, full cells
+    * select via a broadcast equi-join, and the per-doc residual window
+    * runs only inside each source's ONE straddling cell. The plan frame
+    * is catalog-sized and broadcasts.
+    */
+  val qMixtureSelection: QuerySpec = QuerySpec(
+    "q161_mixture_selection",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val plan = Corpus.mixturePlan(docs)
+        .select(col("source"), col("target_tok"))
+      val scq = importanceScored(s, dir)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("aq", round(col("affinity") * 1000000.0, 0).cast("long"))
+      val ext = scq.agg(min(col("aq")).as("mn"), max(col("aq")).as("mx"))
+      val scb = scq.crossJoin(broadcast(ext))
+        .withColumn("bw", greatest(
+          expr(s"(mx - mn + $BudgetBuckets) div $BudgetBuckets"), lit(1L)))
+        .withColumn("bk", expr("(aq - mn) div bw"))
+      val desc = Window.partitionBy(col("source")).orderBy(col("bk").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val hist = scb.groupBy(col("source"), col("bk"))
+        .agg(sum(col("dl")).as("tb"))
+        .withColumn("cum", sum(col("tb")).over(desc))
+        .join(broadcast(plan), Seq("source"))
+      val full = hist.filter(col("cum") <= col("target_tok"))
+        .select(col("source"), col("bk"))
+      val bnd = hist.filter(col("cum") > col("target_tok") &&
+          col("cum") - col("tb") <= col("target_tok"))
+        .select(col("source"), col("bk"),
+          (col("target_tok") - (col("cum") - col("tb"))).as("residual"))
+      val selFull = scb.join(broadcast(full), Seq("source", "bk"))
+        .select(col("doc_id"), col("source"), col("dl"), col("affinity"))
+      val wb = Window.partitionBy(col("source"))
+        .orderBy(col("aq").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val selBnd = scb.join(broadcast(bnd), Seq("source", "bk"))
+        .withColumn("cum2", sum(col("dl")).over(wb))
+        .filter(col("cum2") <= col("residual"))
+        .select(col("doc_id"), col("source"), col("dl"), col("affinity"))
+      selFull.union(selBnd)
+    },
+    Some {
+      val planSql = Corpus.qMixturePlanner.oracle.get
+      s"""WITH $importanceCtesSql,
+         | pl AS ($planSql),
+         | q AS (SELECT a.doc_id, d.source, a.dl, a.affinity,
+         |   CAST(round(a.affinity * 1000000.0, 0) AS BIGINT) AS aq
+         |  FROM aff a JOIN documents d ON a.doc_id = d.doc_id),
+         | sel AS (SELECT doc_id, source, dl, affinity,
+         |   CAST(SUM(dl) OVER (PARTITION BY source ORDER BY aq DESC, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM q)
+         | SELECT s.doc_id, s.source, s.dl, s.affinity
+         | FROM sel s JOIN pl ON s.source = pl.source
+         | WHERE s.cum <= pl.target_tok"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
-    qRejectionReasons, qScoreCalibration, qBudgetSelection)
+    qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection)
 }

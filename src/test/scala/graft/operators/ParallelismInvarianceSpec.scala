@@ -124,7 +124,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // histogram-bucket percentile windows + broadcast join-back
       // (q159), bounded bucket cumsum + single-boundary-bucket residual
       // prefix (q160)
-      Curation.qScoreCalibration, Curation.qBudgetSelection)) {
+      Curation.qScoreCalibration, Curation.qBudgetSelection,
+      // per-source bucket cumsum + plan-quota residual prefixes (q161)
+      Curation.qMixtureSelection)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
