@@ -144,4 +144,71 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
         "the (query, cid) probe frame must reach the layout via broadcast hash join")
     }
   }
+
+  test("q155_bm25_serve_batch: request frames broadcast; only the 1-row stats join nested-loops") {
+    withStaticPlans {
+      val plan = Retrieval.qBm25ServeBatch.build(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"batched serving must never cartesian:\n$plan")
+      // the single-row (N, D) corpus-stats crossJoin is the ONE licensed
+      // nested-loop (the repo's single-row-broadcast convention)
+      val bnlj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }
+      assert(bnlj.size <= 1,
+        s"q155 gained ${bnlj.size} nested-loop joins (only the 1-row stats join is licensed)")
+      val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bcast.size >= 2,
+        "the query frame and the df row-set must reach the postings via broadcast hash joins")
+    }
+  }
+
+  test("q156_importance_weights: weight table broadcasts back; no cartesian") {
+    withStaticPlans {
+      val plan = Curation.qImportanceWeights.build(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"q156 must never cartesian:\n$plan")
+      val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bcast.nonEmpty,
+        "the bucket weight table must reach the (doc, bucket) counts via broadcast hash join")
+    }
+  }
+
+  for ((name, q) <- Seq(
+      "q160_budget_selection" -> Curation.qBudgetSelection,
+      "q161_mixture_selection" -> Curation.qMixtureSelection))
+    test(s"$name: bucket frames broadcast; windows never read pre-bucket corpus rows") {
+      withStaticPlans {
+        val plan = q.build(spark, dir).queryExecution.executedPlan
+        assert(plan.collect {
+          case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        }.isEmpty, s"$name must never cartesian:\n$plan")
+        // full-cell and boundary-cell frames reach the scored docs via
+        // broadcast equi-joins (the selection side never shuffles for them)
+        val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+        assert(bcast.size >= 2,
+          s"$name lost its broadcast cell joins (${bcast.size} found)")
+        // every window sits above either the bounded bucket histogram
+        // (an aggregate — possibly behind a ReusedExchange of it) or the
+        // boundary-cell join (a broadcast join) — never above raw corpus
+        // rows
+        val wins = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(wins.nonEmpty, s"$name lost its cumsum windows")
+        wins.foreach { w =>
+          val bounded = w.child.collect {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            case j: BroadcastHashJoinExec => j
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+          }
+          assert(bounded.nonEmpty,
+            s"a $name window reads raw pre-bucket rows — that is a corpus-scale window")
+        }
+      }
+    }
 }
