@@ -1034,9 +1034,59 @@ object Similarity {
          | FROM v$PcaIters v, m$PcaIters""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q162's outlier threshold — declared above the spec (the q82 rule). */
+  private[graft] val ClusterOutlierCos = 0.5
+
+  /** q162 — embedding-layout quality report: per trained cluster, the
+    * member count, mean / min cosine-to-own-centroid, and the count of
+    * outliers below [[ClusterOutlierCos]] — the embedding-QA audit that
+    * catches a degenerate layout (garbage embeddings, a collapsed or
+    * starved centroid) BEFORE the clustered/PQ serving tiers built on
+    * top of it (q26c, q74, q143) degrade silently. Complements q65's
+    * pairwise cohesion with the assignment-side view the IVF layout
+    * actually serves from.
+    *
+    * Scale shape: one embeddings scan; assignment is the codegen'd
+    * map-side [[graft.functions.NearestCentroid]] argmax (the q26b
+    * kernel); the K-row centroid frame broadcasts for the own-centroid
+    * cosine; one K-group aggregate. Cosines ride the fixed-point
+    * [[Exact.cosineFromQuantized]] and the mean rides [[Exact.davg]],
+    * so every reported double is bit-equal in both engines.
+    */
+  val qClusterQuality: QuerySpec = QuerySpec(
+    "q162_cluster_quality",
+    (s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val cents = ensureTrained(s, dir)
+      val centDf = cents.zipWithIndex
+        .map { case (c, i) => (i.toLong, c) }.toDF("cid", "cqe")
+      val cs = Exact.cosineFromQuantized(col("qe"), col("cqe"))
+      emb.withColumn("cid", NearestCentroid(col("qe"), cents).cast("long"))
+        .join(broadcast(centDf), Seq("cid"))
+        .select(col("cid"), cs.as("cs"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"),
+          Exact.davg(col("cs")).as("mean_cos"),
+          min(col("cs")).as("min_cos"),
+          sum(when(col("cs") < ClusterOutlierCos, 1L).otherwise(0L))
+            .as("n_outlier"))
+    },
+    Some(s"""WITH $trainSqlCtes, $annAssignSqlCtes,
+            | ct AS (SELECT cid, cqe FROM c$TrainIters),
+            | d AS (SELECT fm.vec_id, fm.cid,
+            |   ${Exact.cosineSql("fm.qe", "ct.cqe")} AS cs
+            |  FROM fm JOIN ct ON fm.cid = ct.cid)
+            | SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${Exact.davgSql("cs")} AS mean_cos, MIN(cs) AS min_cos,
+            |  CAST(SUM(CASE WHEN cs < $ClusterOutlierCos THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_outlier
+            | FROM d GROUP BY cid""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qEmbedNearDupCapped, qAnnIvf, qKmeansStep,
     qAnnTrained, qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
     qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect,
-    qPrincipalComponent)
+    qPrincipalComponent, qClusterQuality)
 }

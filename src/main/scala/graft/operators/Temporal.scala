@@ -295,6 +295,65 @@ object Temporal {
            | FROM p JOIN t ON p.src = t.src""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q163 — event cadence report: per event type, order statistics of
+    * the inter-arrival gap (µs between an event and the SAME USER's
+    * previous event of any type — the per-entity cadence operations
+    * telemetry watches). Gaps are INTEGER epoch-µs differences and the
+    * percentiles are exact integer ORDER STATISTICS (1-based rank
+    * ⌈p·n⌉ via integer `(p·n + …) div` arithmetic — the lower-quantile
+    * convention, no interpolation), so nothing straddles an FP boundary.
+    *
+    * Scale shape: the lag runs per-user (key cardinality grows with the
+    * corpus — the q38/q109 window discipline, never a global sort);
+    * percentile extraction is the q39 two-phase compressed histogram —
+    * cumsum windows over (event_type, gap) HISTOGRAM buckets, one
+    * conditional-min aggregate per type. No stage holds more than a
+    * type's distinct-gap support.
+    */
+  val qEventCadence: QuerySpec = QuerySpec(
+    "q163_event_cadence",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val gaps = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(byTime))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), (col("tus") - col("prev")).as("gap"))
+      val hist = gaps.groupBy(col("event_type"), col("gap"))
+        .agg(count(lit(1)).as("cnt"))
+      val byGap = Window.partitionBy(col("event_type")).orderBy(col("gap"))
+      val whole = Window.partitionBy(col("event_type"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(byGap))
+        .withColumn("n", sum(col("cnt")).over(whole))
+      def keyAt(rank1: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        min(when(col("cum") >= rank1, col("gap")))
+      cum.groupBy(col("event_type")).agg(
+        max(col("n")).as("n_gaps"),
+        keyAt(expr("(n + 1) div 2")).as("p50_us"),
+        keyAt(expr("(9 * n + 9) div 10")).as("p90_us"),
+        max(col("gap")).as("max_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |   epoch_us(ts) AS tus FROM events),
+           | g AS (SELECT event_type, tus - LAG(tus) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id) AS gap FROM e),
+           | h AS (SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM g WHERE gap IS NOT NULL GROUP BY event_type, gap),
+           | c AS (SELECT event_type, gap,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap)
+           |    AS BIGINT) AS cum,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM h)
+           | SELECT event_type, MAX(n) AS n_gaps,
+           |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS p50_us,
+           |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap END) AS p90_us,
+           |  MAX(gap) AS max_us
+           | FROM c GROUP BY event_type""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions)
+    Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
+      qEventCadence)
 }

@@ -126,7 +126,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // prefix (q160)
       Curation.qScoreCalibration, Curation.qBudgetSelection,
       // per-source bucket cumsum + plan-quota residual prefixes (q161)
-      Curation.qMixtureSelection)) {
+      Curation.qMixtureSelection,
+      // map-side centroid argmax + broadcast own-centroid cosine +
+      // davg rollup (q162), per-user lag + histogram rank stats (q163)
+      Similarity.qClusterQuality, Temporal.qEventCadence)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
