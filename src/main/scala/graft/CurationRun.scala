@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *   3. `mixture/`   — q132 temperature-weighted mixture plan over the
   *                     surviving documents;
   *   4. `shards/`    — q56 two-level sequence packing of the survivors;
+  *   4b. `selection/` — q161 mixture-constrained importance selection
+  *                     over the survivors (which kept docs a
+  *                     target-domain-matched run would draw, per the
+  *                     plan's quotas — advisory; shards pack ALL
+  *                     survivors);
   *   5. `provenance/` — the q146 audit frame for THIS run's decisions:
   *                     one (doc_id, reason) row per exact_dup /
   *                     near_dup / substring_spliced verdict, derived
@@ -28,7 +33,8 @@ import org.apache.spark.sql.functions._
   * Every stage is the SAME code path its gated query runs
   * ([[Dedup.substringRemove]], [[Dedup.verifiedPairs]],
   * [[Dedup.qualityCollapse]], [[Corpus.mixturePlan]],
-  * [[Corpus.sequencePack]], [[Curation.sourceScorecard]]) — the
+  * [[Corpus.sequencePack]], [[Curation.mixtureSelect]],
+  * [[Curation.sourceScorecard]]) — the
   * pipeline cannot drift from the certified operators
   * (CurationRunSpec pins each stage's output against them).
   *
@@ -45,7 +51,7 @@ object CurationRun {
 
   final case class Summary(
       nDocs: Long, tokensRemoved: Long, nKept: Long, nSources: Long,
-      nFlagged: Long)
+      nFlagged: Long, nSelected: Long)
 
   // per-JVM run nonce: CC scratch generations flush under this tag, and
   // two runs in one JVM (spec + reuse) must never share one
@@ -84,6 +90,12 @@ object CurationRun {
     write(Corpus.mixturePlan(kept), s"$outDir/mixture")
     write(Corpus.sequencePack(kept), s"$outDir/shards")
 
+    // 4b. selection — the q161 mixture-constrained cut over the
+    // survivors: which kept docs a target-domain-matched training run
+    // would actually draw, per the plan's token quotas (advisory
+    // artifact; the shard layout above packs ALL survivors)
+    write(Curation.mixtureSelect(kept), s"$outDir/selection")
+
     // 5. provenance — the q146 audit frame over THIS run's decisions
     // (the gated q146 runs the same union over the raw corpus; here the
     // exact-hash branch runs on the CLEANED text, which is what collapse
@@ -114,7 +126,8 @@ object CurationRun {
       tokensRemoved = acct.getLong(1),
       nKept = spark.read.parquet(s"$outDir/shards").count(),
       nSources = spark.read.parquet(s"$outDir/scorecard").count(),
-      nFlagged = spark.read.parquet(s"$outDir/provenance").count())
+      nFlagged = spark.read.parquet(s"$outDir/provenance").count(),
+      nSelected = spark.read.parquet(s"$outDir/selection").count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,7 +146,7 @@ object CurationRun {
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"n_docs":${sm.nDocs},"tokens_removed":${sm.tokensRemoved},""" +
       s""""n_kept":${sm.nKept},"n_sources":${sm.nSources},""" +
-      s""""n_flagged":${sm.nFlagged},""" +
+      s""""n_flagged":${sm.nFlagged},"n_selected":${sm.nSelected},""" +
       f""""sec":$sec%.3f}""")
     spark.stop()
   }

@@ -827,9 +827,15 @@ object Curation {
     * q156 top-k report and q160's budget-constrained selection.
     */
   private[graft] def importanceScored(
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    importanceScoredOf(Tables.load(s, dir, "documents"))
+
+  /** [[importanceScored]] over an arbitrary documents frame (doc_id,
+    * source, text) — shared with [[graft.CurationRun]]'s selection
+    * stage, which scores the post-collapse survivors.
+    */
+  private[graft] def importanceScoredOf(docs: DataFrame): DataFrame = {
     val B = ImportanceBuckets
-    val docs = Tables.load(s, dir, "documents")
     // polyhash ∈ [0, P) so plain % equals pmod on both engines
     val tok = docs
       .select(col("doc_id"),
@@ -1138,14 +1144,15 @@ object Curation {
     * runs only inside each source's ONE straddling cell. The plan frame
     * is catalog-sized and broadcasts.
     */
-  val qMixtureSelection: QuerySpec = QuerySpec(
-    "q161_mixture_selection",
-    (s, dir) => {
+  /** The q161 selection over an arbitrary documents frame (doc_id,
+    * source, text) — the ONE definition shared by the gated query and
+    * [[graft.CurationRun]]'s selection stage.
+    */
+  private[graft] def mixtureSelect(docs: DataFrame): DataFrame = {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.load(s, dir, "documents")
       val plan = Corpus.mixturePlan(docs)
         .select(col("source"), col("target_tok"))
-      val scq = importanceScored(s, dir)
+      val scq = importanceScoredOf(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("aq", round(col("affinity") * 1000000.0, 0).cast("long"))
       val ext = scq.agg(min(col("aq")).as("mn"), max(col("aq")).as("mx"))
@@ -1175,7 +1182,11 @@ object Curation {
         .filter(col("cum2") <= col("residual"))
         .select(col("doc_id"), col("source"), col("dl"), col("affinity"))
       selFull.union(selBnd)
-    },
+  }
+
+  val qMixtureSelection: QuerySpec = QuerySpec(
+    "q161_mixture_selection",
+    (s, dir) => mixtureSelect(Tables.load(s, dir, "documents")),
     Some {
       val planSql = Corpus.qMixturePlanner.oracle.get
       s"""WITH $importanceCtesSql,

@@ -109,4 +109,36 @@ class CurationRunSpec extends AnyFunSuite with SparkTestSession {
     assert(shards.filter(col("seq_off") >= 4096L || col("seq_off") < 0L)
       .count() == 0)
   }
+
+  test("the selection stage is the gated q161 cut over exactly the survivors") {
+    val (o, sm) = out
+    val sel = spark.read.parquet(s"$o/selection")
+    assert(sel.count() == sm.nSelected && sm.nSelected > 0)
+    // selection ⊆ kept survivors
+    val keptIds = spark.read.parquet(s"$o/collapse")
+      .filter(col("kept") === 1L).select(col("doc_id"))
+    assert(sel.join(keptIds, Seq("doc_id"), "left_anti").count() == 0,
+      "selection drew a document the collapse dropped")
+    // per-source selected tokens never exceed the plan's quota
+    val plan = spark.read.parquet(s"$o/mixture")
+      .select(col("source"), col("target_tok"))
+    val over = sel.groupBy(col("source"))
+      .agg(sum(col("dl")).as("sel_tok"))
+      .join(plan, Seq("source"))
+      .filter(col("sel_tok") > col("target_tok"))
+    assert(over.count() == 0, "a source's selection exceeded its quota")
+    // bit-identical to re-running the shared helper on the kept frame
+    val docs = Tables.load(spark, dir, "documents")
+    val cleaned = spark.read.parquet(s"$o/clean")
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text").as("text"), col("lang"),
+        col("source"),
+        length(col("clean_text")).cast("long").as("n_chars"))
+    val kept = cleaned.join(keptIds, Seq("doc_id"))
+    val direct = graft.operators.Curation.mixtureSelect(kept)
+      .orderBy("doc_id").collect().toSeq
+    assert(sel.orderBy("doc_id").collect().toSeq == direct,
+      "selection stage diverged from the shared q161 helper")
+  }
 }
