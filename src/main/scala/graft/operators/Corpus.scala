@@ -415,6 +415,45 @@ object Corpus {
             |    AS BIGINT) AS pos
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
+  /** q164 — shard checksum manifest: per q62 training shard, the doc
+    * count, token total, and an order-insensitive content checksum
+    * (Σ PolyHash(text) mod P) — the reproducibility artifact a training
+    * job records next to its data ("same manifest ⇒ bit-identical shard
+    * inputs on any cluster, any layout, any retry"), and the fast diff
+    * when two runs disagree (mismatched shards localize the
+    * discrepancy without re-reading content). The modular sum is
+    * associative and commutative, so the checksum is independent of
+    * row order and partitioning by construction.
+    *
+    * Scale shape: pure map (two codegen'd hashes per row) + one
+    * 4096-group aggregate with map-side combine. Per-shard Σ h before
+    * the mod stays under 2^63 up to ~4×10^9 docs PER SHARD (h < 2^31)
+    * — at larger shards, fold the mod into a two-level agg.
+    */
+  val qShardChecksums: QuerySpec = QuerySpec(
+    "q164_shard_checksums",
+    (s, dir) => {
+      val shard = pmod(
+        PolyHash(concat(lit("shuffle|"), col("doc_id").cast("string"))),
+        lit(4096L))
+      Tables.load(s, dir, "documents")
+        .select(shard.as("shard"), PolyHash(col("text")).as("h"),
+          graft.TextMetrics.wordCount(col("text")).cast("long").as("w"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tok"),
+          (sum(col("h")) % PolyHash.P).as("checksum"))
+    },
+    Some(s"""WITH t AS (SELECT
+            |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")}
+            |     % 4096 AS shard,
+            |   ${PolyHash.oracleSql("text")} AS h,
+            |   CAST(${graft.TextMetrics.wordCountSql("text")} AS BIGINT) AS w
+            |  FROM documents)
+            | SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(w) AS BIGINT) AS n_tok,
+            |  CAST(SUM(h) % ${PolyHash.P} AS BIGINT) AS checksum
+            | FROM t GROUP BY shard""".stripMargin.replaceAll("\n", "")))
+
   /** q73 — shard-balance audit for the training shuffle: the used-shard
     * count, size range, mean, and imbalance ratio (max/mean) of q62's
     * deterministic 4096-way sharding. THE straggler check before a
@@ -1784,5 +1823,5 @@ object Corpus {
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
-    qHeavyHitters)
+    qHeavyHitters, qShardChecksums)
 }

@@ -1204,8 +1204,95 @@ object Curation {
         .stripMargin.replaceAll("\n", "")
     })
 
+  /** q165 — selection-shift evaluation: did the q160 importance cut
+    * actually MOVE the token distribution toward the target domain?
+    * Three hashed-token bucket distributions — target sources, the full
+    * raw pool, and the q160-selected subset — compared pairwise by
+    * total-variation distance on integer-e6 shares
+    * (`tvd_e6 = Σ_b |p_b − q_b| div 2` over the per-slice
+    * `(10^6 · cnt_b) div total` shares — a DEFINED integer metric, the
+    * q115 TVD discipline, overflow-free at any corpus size where raw
+    * count ratios would overflow 64-bit products). The acceptance check
+    * a data team runs after q156/q160: expect `sel|target` well below
+    * `raw|target`, and `sel|raw` > 0 (the cut changed something).
+    *
+    * Scale shape: ONE token scan feeding per-slice bucket histograms
+    * (≤ 3 × [[ImportanceBuckets]] cells, map-side combined); the
+    * selected-doc id set arrives by broadcast semi-join from q160's
+    * plan; the TVD rollup runs over the B-row share frame. Output: 3
+    * rows.
+    */
+  val qSelectionShift: QuerySpec = QuerySpec(
+    "q165_selection_shift",
+    (s, dir) => {
+      val B = ImportanceBuckets
+      val docs = Tables.load(s, dir, "documents")
+      val selIds = qBudgetSelection.build(s, dir).select(col("doc_id"))
+      val tok = docs
+        .select(col("doc_id"),
+          col("source").isin(ImportanceTargetSources: _*).as("tgt"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("doc_id"), col("tgt"),
+          (PolyHash(col("w")) % B).as("b"))
+        .join(broadcast(selIds.withColumn("in_sel", lit(true))),
+          Seq("doc_id"), "left")
+      val hist = tok.groupBy(col("b")).agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("rc"),
+        sum(when(coalesce(col("in_sel"), lit(false)), 1L).otherwise(0L))
+          .as("sc"))
+      val tot = hist.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"),
+        sum(col("sc")).as("st"))
+      val shares = hist.crossJoin(broadcast(tot)).select(
+        expr("(1000000 * tc) div tt").as("tp"),
+        expr("(1000000 * rc) div rt").as("rp"),
+        expr("(1000000 * sc) div st").as("sp"))
+      val agg = shares.agg(
+        sum(abs(col("rp") - col("tp"))).as("d_rt"),
+        sum(abs(col("sp") - col("tp"))).as("d_st"),
+        sum(abs(col("sp") - col("rp"))).as("d_sr"))
+      agg.select(
+          lit("raw|target").as("pair"),
+          expr("d_rt div 2").as("tvd_e6"))
+        .union(agg.select(lit("sel|target"), expr("d_st div 2")))
+        .union(agg.select(lit("sel|raw"), expr("d_sr div 2")))
+    },
+    Some {
+      val B = ImportanceBuckets
+      val selSql = qBudgetSelection.oracle.get
+      val tgtList = ImportanceTargetSources.map(t => s"'$t'").mkString(", ")
+      s"""WITH sel0 AS MATERIALIZED ($selSql),
+         | stk AS (SELECT d.doc_id, (d.source IN ($tgtList)) AS tgt,
+         |   (sel0.doc_id IS NOT NULL) AS in_sel, w
+         |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) d
+         |  LEFT JOIN sel0 ON d.doc_id = sel0.doc_id),
+         | sb AS (SELECT tgt, in_sel, ${PolyHash.oracleSql("w")} % $B AS b
+         |  FROM stk WHERE length(w) > 0),
+         | h AS MATERIALIZED (SELECT b,
+         |   CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |   CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS rc,
+         |   CAST(SUM(CASE WHEN in_sel THEN 1 ELSE 0 END) AS BIGINT) AS sc
+         |  FROM sb GROUP BY b),
+         | t2 AS (SELECT CAST(SUM(tc) AS BIGINT) AS tt,
+         |   CAST(SUM(rc) AS BIGINT) AS rt, CAST(SUM(sc) AS BIGINT) AS st
+         |  FROM h),
+         | sh AS (SELECT (1000000 * tc) // tt AS tp, (1000000 * rc) // rt AS rp,
+         |   (1000000 * sc) // st AS sp FROM h, t2),
+         | ag AS MATERIALIZED (SELECT CAST(SUM(abs(rp - tp)) AS BIGINT) AS d_rt,
+         |   CAST(SUM(abs(sp - tp)) AS BIGINT) AS d_st,
+         |   CAST(SUM(abs(sp - rp)) AS BIGINT) AS d_sr FROM sh)
+         | SELECT 'raw|target' AS pair, CAST(d_rt // 2 AS BIGINT) AS tvd_e6
+         |  FROM ag
+         | UNION ALL SELECT 'sel|target', CAST(d_st // 2 AS BIGINT) FROM ag
+         | UNION ALL SELECT 'sel|raw', CAST(d_sr // 2 AS BIGINT) FROM ag"""
+        .stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
-    qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection)
+    qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
+    qSelectionShift)
 }

@@ -129,7 +129,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Curation.qMixtureSelection,
       // map-side centroid argmax + broadcast own-centroid cosine +
       // davg rollup (q162), per-user lag + histogram rank stats (q163)
-      Similarity.qClusterQuality, Temporal.qEventCadence)) {
+      Similarity.qClusterQuality, Temporal.qEventCadence,
+      // modular-sum shard checksums (q164), 3-slice bucket-share TVD
+      // over the broadcast-joined q160 cut (q165)
+      Corpus.qShardChecksums, Curation.qSelectionShift)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
