@@ -534,7 +534,134 @@ object Retrieval {
          | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q166's metadata predicate — the allowed label set (declared before
+    * the specs whose oracle SQL interpolates it: the q82
+    * object-init-order rule). Two of ten labels ≈ 20% selectivity: a
+    * filter tight enough to change the top-k, loose enough that a
+    * 2-cluster probe still finds matches.
+    */
+  private[graft] val FilterLabels = Seq(1, 3)
+  private val FilterLabelsSql = FilterLabels.mkString(", ")
+
+  /** q166 — metadata-filtered ANN: the q26c pruned probe under a label
+    * predicate (`label IN (1,3)`) — filtered vector search, the serving
+    * feature every vector store ships (tenant / language / source
+    * scoping). The filterable attribute lives IN the clustered layout
+    * ([[Similarity.ensureClustered]] carries `label`), so the predicate
+    * is a PUSHED parquet filter on the partition-pruned scan — never a
+    * post-hoc join of candidate ids against a corpus-cardinality
+    * attribute table, and never post-filtering an unfiltered top-k
+    * (which silently returns < k results the moment the filter is
+    * selective).
+    *
+    * Scale shape: catalog partition pruning to nprobe/K of the corpus,
+    * then rowgroup-level label pushdown inside those partitions; one
+    * codegen'd cosine per surviving row and a TakeOrdered(10).
+    * `AnnPrunedSpec` pins both the partition filter and the pushed
+    * label filter.
+    */
+  val qAnnFiltered: QuerySpec = QuerySpec(
+    "q166_ann_filtered",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      val table = Similarity.ensureClustered(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(Exact.quantize(col("embedding")).as("qe"))
+        .head().getSeq[Long](0)
+      val probeCids = Similarity.rankedCentroids(cents, q).take(2)
+      s.table(table)
+        .filter(col("cid").isin(probeCids: _*))
+        .filter(col("label").isin(FilterLabels: _*))
+        .select(col("vec_id"), col("label"),
+          Exact.cosineFromQuantized(col("qe"), typedlit(q)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | ${Similarity.annQuerySqlCtes}
+            | SELECT fm.vec_id, em.label,
+            |  ${Exact.cosineSql("fm.qe", "q.qqe")} AS cos_sim
+            | FROM fm JOIN probe ON fm.cid = probe.cid AND probe.prk <= 2
+            |  JOIN embeddings em ON fm.vec_id = em.vec_id, q
+            | WHERE em.label IN ($FilterLabelsSql)
+            | ORDER BY cos_sim DESC, fm.vec_id LIMIT 10""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q167 — filtered recall@10 at nprobe ∈ {2, 8}: |exact filtered
+    * top-10 ∩ q166-shaped filtered probe top-10| / 10. THE metric that
+    * makes filtered search honest: a selective predicate thins every
+    * probed cluster, so recall at a fixed nprobe DROPS relative to the
+    * unfiltered q60 curve — the deployment rule is "raise nprobe with
+    * filter selectivity", and this query measures exactly that tradeoff
+    * (nprobe = K = 8 scans every cluster and anchors recall at 1.0).
+    *
+    * Scale shape: the exact side is ONE filtered corpus scan collected
+    * to a ≤10-id literal (the q60b discipline — a subplan unioned into
+    * every branch would re-run per branch); each probe branch reads
+    * only its nprobe partitions with the label filter pushed; the
+    * intersection is a literal-isin filter on a 10-row frame.
+    */
+  val qFilteredRecall: QuerySpec = QuerySpec(
+    "q167_filtered_recall",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      val table = Similarity.ensureClustered(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(Exact.quantize(col("embedding")).as("qe"))
+        .head().getSeq[Long](0)
+      val ranked = Similarity.rankedCentroids(cents, q)
+      val exactIds = Tables.load(s, dir, "embeddings")
+        .filter(col("label").isin(FilterLabels: _*))
+        .select(col("vec_id"),
+          Exact.cosineFromQuantized(
+            Exact.quantize(col("embedding")), typedlit(q)).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      Seq(2, 8).map { n =>
+        s.table(table)
+          .filter(col("cid").isin(ranked.take(n): _*))
+          .filter(col("label").isin(FilterLabels: _*))
+          .select(col("vec_id"),
+            Exact.cosineFromQuantized(col("qe"), typedlit(q)).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+          .filter(col("vec_id").isin(exactIds: _*))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(n.toLong).as("nprobe"), col("hits"),
+            (col("hits").cast("double") / lit(10.0d)).as("recall_at_10"))
+      }.reduce(_ union _)
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | ${Similarity.annQuerySqlCtes},
+            | fmf AS MATERIALIZED (SELECT fm.vec_id, fm.qe, fm.cid
+            |  FROM fm JOIN embeddings em ON fm.vec_id = em.vec_id
+            |  WHERE em.label IN ($FilterLabelsSql)),
+            | ex AS MATERIALIZED (SELECT e.vec_id
+            |  FROM e JOIN embeddings em ON e.vec_id = em.vec_id, q
+            |  WHERE em.label IN ($FilterLabelsSql)
+            |  ORDER BY ${Exact.cosineSql("e.qe", "q.qqe")} DESC, e.vec_id
+            |  LIMIT 10),
+            | s2 AS (SELECT fmf.vec_id FROM fmf
+            |  JOIN probe ON fmf.cid = probe.cid AND probe.prk <= 2, q
+            |  ORDER BY ${Exact.cosineSql("fmf.qe", "q.qqe")} DESC, fmf.vec_id
+            |  LIMIT 10),
+            | s8 AS (SELECT fmf.vec_id FROM fmf
+            |  JOIN probe ON fmf.cid = probe.cid AND probe.prk <= 8, q
+            |  ORDER BY ${Exact.cosineSql("fmf.qe", "q.qqe")} DESC, fmf.vec_id
+            |  LIMIT 10)
+            | SELECT CAST(2 AS BIGINT) AS nprobe,
+            |  CAST(COUNT(*) AS BIGINT) AS hits,
+            |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+            | FROM ex JOIN s2 ON ex.vec_id = s2.vec_id
+            | UNION ALL SELECT CAST(8 AS BIGINT),
+            |  CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS DOUBLE) / 10.0
+            | FROM ex JOIN s8 ON ex.vec_id = s8.vec_id""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
-      qBm25FromIndex, qBm25ServeBatch)
+      qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall)
 }

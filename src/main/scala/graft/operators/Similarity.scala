@@ -72,7 +72,7 @@ object Similarity {
     * shared by q26b/q26c/q60b so the cosine convention and tiebreak stay
     * in lockstep with the oracle's ROW_NUMBER ordering.
     */
-  private def rankedCentroids(cents: Seq[Seq[Long]], q: Seq[Long]): Seq[Int] = {
+  private[graft] def rankedCentroids(cents: Seq[Seq[Long]], q: Seq[Long]): Seq[Int] = {
     val qn = math.sqrt(dotL(q, q).toDouble)
     cents.zipWithIndex
       .map { case (cq, cid) =>
@@ -484,13 +484,19 @@ object Similarity {
   private val clustered =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Persist `(vec_id, qe, cid)` PARTITIONED BY the trained cluster id —
-    * the at-rest form of an IVF index. At 100 TB this is what makes ANN
-    * sub-linear in I/O, not just in compute: a probe reads ONLY its
-    * nprobe clusters' partitions (catalog partition pruning — the scan
-    * never touches the other K-nprobe shares of the corpus), where q26/
-    * q26b still scan everything and discard map-side. Built once per
-    * dataset (Bench warmup, with the other layouts).
+  /** Persist `(vec_id, qe, label, cid)` PARTITIONED BY the trained
+    * cluster id — the at-rest form of an IVF index. At 100 TB this is
+    * what makes ANN sub-linear in I/O, not just in compute: a probe
+    * reads ONLY its nprobe clusters' partitions (catalog partition
+    * pruning — the scan never touches the other K-nprobe shares of the
+    * corpus), where q26/q26b still scan everything and discard
+    * map-side. The filterable attribute (`label`) rides IN the layout —
+    * the filtered-search design every vector store uses: a metadata
+    * predicate becomes a pushed parquet filter on the pruned scan
+    * (q166), never a post-hoc join of candidate ids against an
+    * attribute table (which would shuffle a corpus-cardinality side per
+    * request). Built once per dataset (Bench warmup, with the other
+    * layouts).
     */
   def ensureClustered(s: SparkSession, dir: String): String =
     clustered.getOrElseUpdate(dir, {
@@ -500,7 +506,8 @@ object Similarity {
       graft.sources.Bucketed.dropStale(s, table)
       val cents = ensureTrained(s, dir)
       Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"),
+          col("label"))
         .withColumn("cid", NearestCentroid(col("qe"), cents))
         .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
       table
@@ -514,8 +521,18 @@ object Similarity {
   def buildClusteredEmpty(s: SparkSession, tag: String): String = {
     val table = s"graft_annclu_$tag"
     graft.sources.Bucketed.dropStale(s, table)
-    import s.implicits._
-    s.emptyDataset[(Long, Seq[Long], Int)].toDF("vec_id", "qe", "cid")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("qe",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.IntegerType)))
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
       .write.partitionBy("cid").mode("overwrite").saveAsTable(table)
     table
   }
@@ -534,7 +551,16 @@ object Similarity {
     */
   def appendClustered(s: SparkSession, table: String, emb: DataFrame,
       cents: Seq[Seq[Long]]): Unit = {
-    emb.select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+    // an ingest frame without the filterable attribute appends NULL
+    // labels — such vectors are servable by unfiltered probes and
+    // invisible to label-filtered ones (q166), which is the correct
+    // semantics for metadata that was never supplied
+    val withLabel =
+      if (emb.columns.contains("label")) emb
+      else emb.withColumn("label", lit(null).cast("int"))
+    withLabel
+      .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"),
+        col("label"))
       .withColumn("cid", NearestCentroid(col("qe"), cents))
       .join(s.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
       .write.partitionBy("cid").mode("append").saveAsTable(table)

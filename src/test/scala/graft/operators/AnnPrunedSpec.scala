@@ -72,6 +72,32 @@ class AnnPrunedSpec extends AnyFunSuite with SparkTestSession {
     assert(recalls.last == 1.0, s"nprobe = K must be exact, got ${recalls.last}")
   }
 
+  test("q166 filtered probe: partition-pruned AND the label predicate pushed to parquet") {
+    val probe = Retrieval.qAnnFiltered.build(spark, dir)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec
+          if s.verboseStringWithSuffix(1000).toLowerCase.contains("graft_annclu") =>
+        s
+    }
+    assert(scans.nonEmpty, "expected a scan of the clustered layout")
+    scans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"filtered probe scan carries no partition filter:\n$s")
+      val selected = s.relation.location.listFiles(s.partitionFilters, Nil)
+      assert(selected.size <= 2,
+        s"expected <= 2 pruned partitions, scanned ${selected.size}")
+      // the metadata predicate must reach the parquet reader as a data
+      // filter (rowgroup stats skip non-matching groups) — NOT ride as
+      // a post-scan join or a filter above the exchange
+      assert(s.dataFilters.exists(_.references.exists(_.name == "label")),
+        s"label predicate not pushed into the layout scan:\n$s")
+    }
+    // the filter actually bites: every returned row carries an allowed label
+    val rows = probe.collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, l) => Retrieval.FilterLabels.contains(l) })
+  }
+
   test("q74 IVF-PQ: codes AND rerank scans pruned; re-ranking never hurts recall") {
     // static pruning property → non-AQE plan, as in the q60b test
     val aqeKey = "spark.sql.adaptive.enabled"

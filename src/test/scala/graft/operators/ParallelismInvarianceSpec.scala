@@ -132,7 +132,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Similarity.qClusterQuality, Temporal.qEventCadence,
       // modular-sum shard checksums (q164), 3-slice bucket-share TVD
       // over the broadcast-joined q160 cut (q165)
-      Corpus.qShardChecksums, Curation.qSelectionShift)) {
+      Corpus.qShardChecksums, Curation.qSelectionShift,
+      // label-pushed pruned probe (q166), filtered recall sweep whose
+      // exact side is a collected 10-id literal (q167)
+      Retrieval.qAnnFiltered, Retrieval.qFilteredRecall)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

@@ -23,10 +23,22 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
       .sortBy(_._1)
   }
 
+  /** The labeled form — the layout carries the filterable attribute
+    * (q166), so the ingest stream ships it too.
+    */
+  private def labeledCorpus() = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+      .sortBy(_._1)
+  }
+
   private def rowsOf(table: String) =
-    spark.table(table).select("vec_id", "qe", "cid")
+    spark.table(table).select("vec_id", "qe", "label", "cid")
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2)))
+      .map(r => (r.getLong(0), r.getSeq[Long](1), Option(r.get(2)),
+        r.getInt(3)))
       .sortBy(_._1).toSeq
 
   test("incrementally streamed layout ≡ the batch clustered build bit-exactly") {
@@ -36,12 +48,12 @@ class AnnStreamSpec extends AnyFunSuite with SparkTestSession {
     val table = Similarity.buildClusteredEmpty(spark,
       s"annstream${System.nanoTime()}")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-annstream-").toString
-    val input = MemoryStream[(Long, Seq[Float])]
+    val input = MemoryStream[(Long, Seq[Float], Int)]
     val query = AnnStream.startIncremental(spark,
-      input.toDS().toDF("vec_id", "embedding"), table, ckpt, cents,
+      input.toDS().toDF("vec_id", "embedding", "label"), table, ckpt, cents,
       compactEvery = 2) // exercise in-stream compaction too
     try {
-      corpus().grouped(180).foreach { b =>
+      labeledCorpus().grouped(180).foreach { b =>
         input.addData(b)
         query.processAllAvailable()
       }
