@@ -154,17 +154,71 @@ object Bucketed {
     compactImpl(s0, table, buckets, key, Nil, dedupe = true,
       exclude = Some(excludeTable))
 
+  /** Rewrite a bucketed table DROPPING every row whose `idCol` value is
+    * in `ids` — the compliance-delete (right-to-be-forgotten) rewrite.
+    * Same fully-materialized `_compact` twin + rename-swap crash
+    * discipline as [[compact]] (every crash point heals via
+    * [[recover]]), same forced-bucketed-scan read (one output file per
+    * bucket, no shuffle), and it doubles as a compaction. `idCol` need
+    * NOT be the bucket key (a bands table bucketed by `bk` purges by
+    * `doc_id`). `ids` rides as a broadcast anti-join — delete requests
+    * are admission-bounded batches (the 100 TB cadence: queue deletes,
+    * apply per hour/day alongside compaction; for a corpus-scale purge,
+    * rebuild instead). Idempotent: re-running the same purge rewrites
+    * to identical rows.
+    */
+  def purgeBucketed(s0: SparkSession, table: String, buckets: Int,
+      key: String, moreKeys: Seq[String], idCol: String,
+      ids: Seq[Long]): Unit =
+    compactImpl(s0, table, buckets, key, moreKeys, dedupe = false,
+      purge = Some((idCol, ids)))
+
+  /** [[purgeBucketed]] for a PARTITIONED layout (the clustered ANN /
+    * PQ-codes tables): same twin + rename + MSCK discipline as
+    * [[compactPartitioned]], with the id anti-join applied in the
+    * rewrite. Partition-local: input splits are per-partition files and
+    * the write re-emits per partition, so a purge touching few
+    * partitions rewrites only their files' worth of I/O per output
+    * task.
+    */
+  def purgePartitioned(s0: SparkSession, table: String,
+      partitionCol: String, idCol: String, ids: Seq[Long]): Unit = {
+    val s = s0.newSession()
+    recover(s, table)
+    val tmp = s"${table}_compact"
+    dropStale(s, tmp)
+    import s.implicits._
+    val cols = s.table(table).columns.toSeq
+    s.table(table)
+      .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_anti")
+      .select(cols.map(col): _*)
+      .write.partitionBy(partitionCol).mode("overwrite").saveAsTable(tmp)
+    dropStale(s, table)
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    syncPartitions(s, table)
+    s.catalog.refreshTable(table)
+    s0.catalog.refreshTable(table)
+  }
+
   private def compactImpl(s0: SparkSession, table: String, buckets: Int,
       key: String, moreKeys: Seq[String], dedupe: Boolean,
-      exclude: Option[String] = None): Unit = {
+      exclude: Option[String] = None,
+      purge: Option[(String, Seq[Long])] = None): Unit = {
     val s = s0.newSession()
     s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     recover(s, table) // a previous compact may have died mid-swap
     val tmp = s"${table}_compact"
     dropStale(s, tmp)
-    val base = exclude.fold(s.table(table))(ex =>
+    val base0 = exclude.fold(s.table(table))(ex =>
       s.table(table).join(
         s.table(ex).select(col(key)).distinct(), Seq(key), "left_anti"))
+    val base = purge.fold(base0) { case (c, ids) =>
+      import s.implicits._
+      // restore the original column order: the USING anti-join fronts
+      // the id column, and the rewrite must not reorder the schema
+      base0.join(broadcast(ids.toDF(c)), Seq(c), "left_anti")
+        .select(base0.columns.toSeq.map(col): _*)
+    }
     val src = if (dedupe) base.distinct() else base
     src.write.bucketBy(buckets, key, moreKeys: _*)
       .sortBy(key, moreKeys: _*).mode("overwrite").saveAsTable(tmp)
