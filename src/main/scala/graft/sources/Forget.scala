@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Compliance delete (right-to-be-forgotten) across the persisted
   * serving layouts — the operator a 100 TB deployment is legally
@@ -84,4 +85,103 @@ object Forget {
     */
   def codes(s: SparkSession, table: String, vecIds: Seq[Long]): Unit =
     Bucketed.purgePartitioned(s, table, "cid", "vec_id", vecIds)
+
+  /** Erase `docIds` from a streaming span store
+    * ([[graft.streaming.SpanStream]]): per-doc span rows and manifest
+    * rows drop; df is re-derived from the surviving span set at read
+    * time, so the purged store's (doc_id, h, df) frame is exactly a
+    * rebuild's.
+    */
+  def spanStore(s: SparkSession, t: graft.streaming.SpanStream.Store,
+      docIds: Seq[Long]): Unit = {
+    Bucketed.purgeBucketed(s, t.spanTable, graft.streaming.SpanStream.Buckets,
+      "h", Nil, "doc_id", docIds)
+    Bucketed.purgeBucketed(s, t.docTable, graft.streaming.SpanStream.Buckets,
+      "doc_id", Nil, "doc_id", docIds)
+  }
+
+  /** Erase `docIds` from a streaming positioned-span store
+    * ([[graft.streaming.CleanStream]]). The tombstone list is RETAINED:
+    * it holds only span hashes whose document frequency exceeded the
+    * hot-hash bound — corpus-wide boilerplate by definition, not
+    * any single document's content — and dropping one would re-open
+    * unbounded probe fanout for that hash. Already-emitted cleaned
+    * output is downstream data, out of any store's reach (the inherent
+    * limit of erasure in a streaming pipeline — re-emit from the purged
+    * store if the sink must also forget).
+    */
+  def cleanStore(s: SparkSession, t: graft.streaming.CleanStream.Store,
+      docIds: Seq[Long]): Unit = {
+    Bucketed.purgeBucketed(s, t.posTable, graft.streaming.CleanStream.Buckets,
+      "h", Nil, "doc_id", docIds)
+    Bucketed.purgeBucketed(s, t.docTable, graft.streaming.CleanStream.Buckets,
+      "doc_id", Nil, "doc_id", docIds)
+  }
+
+  /** Erase `docIds` from the incremental dedup-graph store
+    * ([[graft.streaming.GraphStream]]) — the one layout where a delete
+    * is NOT row-local: removing a node can SPLIT its cluster (the
+    * purged doc may have been the only bridge between two groups of
+    * near-dups), so dropping its rows is necessary but not sufficient.
+    * The purge therefore relabels the affected subgraph: edges touching
+    * the purged docs leave the ledger, and every cluster that contained
+    * a purged doc has its labels recomputed from its REMAINING edges
+    * with the same CC kernel ingest uses — members that lost their last
+    * edge drop out of the label table entirely, exactly as a rebuild
+    * from the remaining pair stream would leave them.
+    *
+    * Scale shape: the affected set is bounded by the delete batch's
+    * clusters (the GraphStream touched-cluster discipline — broadcast
+    * semi-joins, label side exchange-free); the CC pass runs over the
+    * affected clusters' remaining edges, never the whole graph. The
+    * label rewrite collapses to gen 0 through the compact() scratch
+    * hop.
+    */
+  def graph(s: SparkSession, t: graft.streaming.GraphStream.Store,
+      docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    import graft.streaming.GraphStream
+    val lbl = GraphStream.labels(s, t)
+    val idsDf = broadcast(docIds.toDF("doc_id"))
+    // the purged docs' clusters, captured BEFORE any mutation
+    val affected = lbl.join(idsDf, Seq("doc_id"), "left_semi")
+      .select(col("cluster_id")).distinct().persist()
+    try {
+      affected.count(): Unit // materialize against the pre-purge ledger
+      // drop the purged docs' edges (u side reads the bucketing; the v
+      // side rewrite doubles as a compaction)
+      Bucketed.purgeBucketed(s, t.edgeTable, GraphStream.Buckets, "u", Nil,
+        "u", docIds)
+      Bucketed.purgeBucketed(s, t.edgeTable, GraphStream.Buckets, "u", Nil,
+        "v", docIds)
+      // remaining members of the affected clusters; a surviving edge's
+      // endpoints are both members by construction (an edge's docs share
+      // a cluster, and edges touching purged docs are gone)
+      val members = lbl
+        .join(broadcast(affected.select(col("cluster_id"))),
+          Seq("cluster_id"), "left_semi")
+        .select(col("doc_id"))
+        .join(idsDf, Seq("doc_id"), "left_anti")
+      val sub = s.table(t.edgeTable)
+        .join(members.select(col("doc_id").as("u")), Seq("u"), "left_semi")
+      val sym = sub.union(sub.select(col("v"), col("u"))).toDF("u", "v")
+      val (merged, _) = graft.operators.Dedup.connectedComponents(
+        s, sym, scratchTag = s"forget-${t.edgeTable}")
+      val untouched = lbl
+        .join(broadcast(affected.select(col("cluster_id"))),
+          Seq("cluster_id"), "left_anti")
+        .select(col("doc_id"), col("cluster_id"))
+      val newLbl = untouched
+        .union(merged.toDF("doc_id", "cluster_id"))
+        .withColumn("gen", lit(0L))
+      // rewrite through scratch (Spark refuses to overwrite a table it
+      // reads in the same plan — the GraphStream.compact pattern)
+      val tmp = graft.operators.Scratch.flushPath(s,
+        s"graph-forget-${t.labelTable}", newLbl)
+      s.read.parquet(tmp)
+        .write.bucketBy(GraphStream.Buckets, "doc_id").sortBy("doc_id")
+        .mode("overwrite").saveAsTable(t.labelTable)
+      s.catalog.refreshTable(t.labelTable)
+    } finally affected.unpersist()
+  }
 }

@@ -103,6 +103,80 @@ class ForgetSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table(table).filter(col("vec_id").isin(ids: _*)).count() == 0)
   }
 
+  test("streaming span store: purge ≡ rebuild from remaining docs") {
+    import graft.streaming.SpanStream
+    val t = SpanStream.build(spark, s"fgspan${System.nanoTime()}")
+    SpanStream.append(spark, t, docs())
+    val ids = Seq(2L, 5L, 12L)
+    Forget.spanStore(spark, t, ids)
+    val rebuilt = SpanStream.build(spark, s"fgspanre${System.nanoTime()}")
+    SpanStream.append(spark, rebuilt,
+      docs().filter(!col("doc_id").isin(ids: _*)))
+    assert(rows(t.spanTable) == rows(rebuilt.spanTable))
+    assert(rows(t.docTable) == rows(rebuilt.docTable))
+  }
+
+  test("streaming clean store: purge ≡ rebuild; tombstones retained") {
+    import graft.streaming.CleanStream
+    val t = CleanStream.build(spark, s"fgclean${System.nanoTime()}")
+    CleanStream.cleanAndIngest(spark, t, docs(), minWords = 8).count()
+    val ids = Seq(1L, 3L, 7L)
+    Forget.cleanStore(spark, t, ids)
+    val rebuilt = CleanStream.build(spark, s"fgcleanre${System.nanoTime()}")
+    CleanStream.cleanAndIngest(spark, rebuilt,
+      docs().filter(!col("doc_id").isin(ids: _*)), minWords = 8).count()
+    assert(rows(t.posTable) == rows(rebuilt.posTable))
+    assert(rows(t.docTable) == rows(rebuilt.docTable))
+    assert(rows(t.tombTable) == rows(rebuilt.tombTable))
+  }
+
+  test("graph store: purging a bridge doc SPLITS its cluster, like a rebuild") {
+    import graft.streaming.GraphStream
+    import spark.implicits._
+    val t = GraphStream.build(spark, s"fgg${System.nanoTime()}")
+    // chain 1-2-3-4 (one cluster, 2 is a bridge) + separate pair 10-11
+    GraphStream.ingest(spark, t,
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("doc_id_1", "doc_id_2"))
+    Forget.graph(spark, t, Seq(2L))
+    val rebuilt = GraphStream.build(spark, s"fggre${System.nanoTime()}")
+    GraphStream.ingest(spark, rebuilt,
+      Seq((3L, 4L), (10L, 11L)).toDF("doc_id_1", "doc_id_2"))
+    def lbl(st: GraphStream.Store) =
+      GraphStream.labels(spark, st).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(lbl(t) == lbl(rebuilt),
+      "purged labels must match a rebuild from the remaining pairs")
+    // the split is real: doc 1 lost its only edge (no label row, like a
+    // rebuild); 3-4 relabeled to min-id 3; 10-11 untouched
+    assert(lbl(t) == Seq((3L, 3L), (4L, 3L), (10L, 10L), (11L, 10L)))
+    assert(rows(t.edgeTable) == rows(rebuilt.edgeTable))
+    // idempotent re-apply
+    Forget.graph(spark, t, Seq(2L))
+    assert(lbl(t) == lbl(rebuilt))
+  }
+
+  test("graph store: corpus-scale purge ≡ rebuild from the filtered pair set") {
+    import graft.streaming.GraphStream
+    import spark.implicits._
+    val pairs = graft.operators.DupGraph.pairs(spark, dir)
+      .select(col("doc_id_1"), col("doc_id_2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(identity)
+    assert(pairs.nonEmpty)
+    // forget two docs that actually participate in clusters
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted.take(2)
+    val t = GraphStream.build(spark, s"fgg2${System.nanoTime()}")
+    GraphStream.ingest(spark, t, pairs.toDF("doc_id_1", "doc_id_2"))
+    Forget.graph(spark, t, ids)
+    val rebuilt = GraphStream.build(spark, s"fgg2re${System.nanoTime()}")
+    val remaining = pairs.filterNot(p => ids.contains(p._1) || ids.contains(p._2))
+    GraphStream.ingest(spark, rebuilt, remaining.toDF("doc_id_1", "doc_id_2"))
+    def lbl(st: GraphStream.Store) =
+      GraphStream.labels(spark, st).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(lbl(t) == lbl(rebuilt))
+  }
+
   test("PQ codes: purge ≡ rebuild under the frozen codebooks") {
     val cents = Similarity.ensureTrained(spark, dir)
     val cb = ProductQuant.ensureTrained(spark, dir)
