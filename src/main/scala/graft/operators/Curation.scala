@@ -1252,11 +1252,19 @@ object Curation {
         sum(abs(col("rp") - col("tp"))).as("d_rt"),
         sum(abs(col("sp") - col("tp"))).as("d_st"),
         sum(abs(col("sp") - col("rp"))).as("d_sr"))
-      agg.select(
-          lit("raw|target").as("pair"),
-          expr("d_rt div 2").as("tvd_e6"))
-        .union(agg.select(lit("sel|target"), expr("d_st div 2")))
-        .union(agg.select(lit("sel|raw"), expr("d_sr div 2")))
+      // one-row → 3-row reshape via explode, NOT a 3-branch union: a
+      // subplan referenced by every union branch re-executes per branch
+      // (the q60b lesson) — and this subplan is the q160 selection plus
+      // a full token scan (measured 3× = 6.9 s at sf0.1; exploded: one
+      // execution)
+      agg.select(explode(array(
+          struct(lit("raw|target").as("pair"),
+            expr("d_rt div 2").as("tvd_e6")),
+          struct(lit("sel|target").as("pair"),
+            expr("d_st div 2").as("tvd_e6")),
+          struct(lit("sel|raw").as("pair"),
+            expr("d_sr div 2").as("tvd_e6")))).as("r"))
+        .select(col("r.pair").as("pair"), col("r.tvd_e6").as("tvd_e6"))
     },
     Some {
       val B = ImportanceBuckets
