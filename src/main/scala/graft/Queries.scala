@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Corpus, Curation, Dedup, Graph, Layout, Multimodal, ProductQuant, Profiling, Relational, Retrieval, ScalarQuant, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Entity, Graph, Layout, Multimodal, ProductQuant, Profiling, Relational, Retrieval, ScalarQuant, Similarity, Skew, Temporal, TextAnalysis}
 import graft.sources.{Bucketed, EmbeddingIndex}
 
 /** The full gated query registry: every entry is an implemented operator
@@ -13,7 +13,8 @@ object Queries {
       ScalarQuant.specs ++ Dedup.specs ++
       TextAnalysis.specs ++ Multimodal.specs ++ Curation.specs ++ Skew.specs ++
       Temporal.specs ++ Profiling.specs ++ Bucketed.specs ++ Corpus.specs ++
-      EmbeddingIndex.specs ++ Layout.specs ++ Graph.specs ++ Retrieval.specs
+      EmbeddingIndex.specs ++ Layout.specs ++ Graph.specs ++ Retrieval.specs ++
+      Entity.specs
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

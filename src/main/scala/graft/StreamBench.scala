@@ -218,6 +218,37 @@ object StreamBench {
       (docs.length.toLong, sec)
     }
 
+    leg("manifest_ingest") {
+      import graft.streaming.{ManifestStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val store = ManifestStream.build(spark, "sbench")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String)](spark)
+      val t0 = System.nanoTime()
+      val query = ManifestStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "text"), store, ckpt,
+        onBatch = _ => (), compactEvery = 2)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: every doc is counted by exactly one shard manifest
+      val massed = ManifestStream.manifest(spark, store)
+        .agg(coalesce(sum(col("n_docs")), lit(0L))).collect().head.getLong(0)
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(massed == docs.length.toLong,
+        s"manifest_ingest leg folded $massed of ${docs.length} docs")
+      (docs.length.toLong, sec)
+    }
+
     leg("freq_ingest") {
       import graft.streaming.{FreqStream, Sources}
       import spark.implicits._

@@ -93,7 +93,9 @@ object Registry {
     "graft_pq_adc" -> (es => PqAdc(es.head, codebookArg(es(1)))),
     "graft_sq_encode" ->
       (es => SqEncode(es.head, longsArg(es(1), "mins"),
-        longsArg(es(2), "spans"))))
+        longsArg(es(2), "spans"))),
+    "graft_edit_within" ->
+      (es => EditWithin(es.head, es(1), intArg(es(2), "bound"))))
 
   /** Register everything as temp functions on a live session. */
   def register(spark: SparkSession): Unit =

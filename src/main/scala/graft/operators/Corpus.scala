@@ -430,19 +430,25 @@ object Corpus {
     * the mod stays under 2^63 up to ~4×10^9 docs PER SHARD (h < 2^31)
     * — at larger shards, fold the mod into a two-level agg.
     */
+  /** q164/q170's manifest pass over an arbitrary documents frame: one
+    * map (two codegen'd hashes per row) + one 4096-group map-side-
+    * combined aggregate.
+    */
+  private[graft] def shardManifest(docs: DataFrame): DataFrame = {
+    val shard = pmod(
+      PolyHash(concat(lit("shuffle|"), col("doc_id").cast("string"))),
+      lit(4096L))
+    docs
+      .select(shard.as("shard"), PolyHash(col("text")).as("h"),
+        graft.TextMetrics.wordCount(col("text")).cast("long").as("w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tok"),
+        (sum(col("h")) % PolyHash.P).as("checksum"))
+  }
+
   val qShardChecksums: QuerySpec = QuerySpec(
     "q164_shard_checksums",
-    (s, dir) => {
-      val shard = pmod(
-        PolyHash(concat(lit("shuffle|"), col("doc_id").cast("string"))),
-        lit(4096L))
-      Tables.load(s, dir, "documents")
-        .select(shard.as("shard"), PolyHash(col("text")).as("h"),
-          graft.TextMetrics.wordCount(col("text")).cast("long").as("w"))
-        .groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tok"),
-          (sum(col("h")) % PolyHash.P).as("checksum"))
-    },
+    (s, dir) => shardManifest(Tables.load(s, dir, "documents")),
     Some(s"""WITH t AS (SELECT
             |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")}
             |     % 4096 AS shard,
@@ -453,6 +459,76 @@ object Corpus {
             |  CAST(SUM(w) AS BIGINT) AS n_tok,
             |  CAST(SUM(h) % ${PolyHash.P} AS BIGINT) AS checksum
             | FROM t GROUP BY shard""".stripMargin.replaceAll("\n", "")))
+
+  /** The q164 manifest as a DuckDB subquery over `src` (any relation
+    * with doc_id, text).
+    */
+  private def manifestSql(src: String): String =
+    s"""(SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS n_tok,
+       |  CAST(SUM(h) % ${PolyHash.P} AS BIGINT) AS checksum
+       | FROM (SELECT
+       |   ${PolyHash.oracleSql("'shuffle|' || CAST(doc_id AS VARCHAR)")}
+       |     % 4096 AS shard,
+       |   ${PolyHash.oracleSql("text")} AS h,
+       |   CAST(${graft.TextMetrics.wordCountSql("text")} AS BIGINT) AS w
+       |  FROM $src) GROUP BY shard)""".stripMargin.replaceAll("\n", "")
+
+  /** q170 — manifest diff: given two q164 shard manifests (run A = the
+    * corpus as shipped; run B = a deterministically drifted twin — one
+    * doc in ~101 rewritten, one in ~103 dropped, standing in for the
+    * second pipeline run being audited), the shards where ANY manifest
+    * field disagrees, labeled `changed` / `only_a` / `only_b`. This is
+    * the localization step the q164 scaladoc promises: two 100 TB runs
+    * that disagree are diffed over two 4096-row manifests — no content
+    * is re-read; only the named shards are then re-examined.
+    *
+    * Scale shape: in production both inputs are PERSISTED manifests, so
+    * the diff is a full-outer join of two ≤4096-row frames; here both
+    * sides are built in-query (two q164 passes) to keep the gate
+    * self-contained. The difference predicate uses null-safe equality,
+    * so a shard present on one side only surfaces instead of vanishing.
+    */
+  val qManifestDiff: QuerySpec = QuerySpec(
+    "q170_manifest_diff",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val drifted = docs
+        .filter(pmod(col("doc_id"), lit(103L)) =!= 5L)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(101L)) === 7L,
+            concat(col("text"), lit(" graft drift"))).otherwise(col("text")))
+      val a = shardManifest(docs)
+        .toDF("shard", "n_docs_a", "n_tok_a", "checksum_a")
+      val b = shardManifest(drifted)
+        .toDF("shard", "n_docs_b", "n_tok_b", "checksum_b")
+      a.join(b, Seq("shard"), "full_outer")
+        .filter(not(col("checksum_a") <=> col("checksum_b")) ||
+          not(col("n_docs_a") <=> col("n_docs_b")) ||
+          not(col("n_tok_a") <=> col("n_tok_b")))
+        .select(col("shard"),
+          col("n_docs_a"), col("n_docs_b"), col("n_tok_a"), col("n_tok_b"),
+          col("checksum_a"), col("checksum_b"),
+          when(col("checksum_a").isNull, lit("only_b"))
+            .when(col("checksum_b").isNull, lit("only_a"))
+            .otherwise(lit("changed")).as("status"))
+    },
+    Some(s"""WITH a AS ${manifestSql("documents")},
+            | b AS ${manifestSql(
+               "(SELECT doc_id, CASE WHEN doc_id % 101 = 7" +
+                 " THEN text || ' graft drift' ELSE text END AS text" +
+                 " FROM documents WHERE doc_id % 103 <> 5)")}
+            | SELECT shard, a.n_docs AS n_docs_a, b.n_docs AS n_docs_b,
+            |  a.n_tok AS n_tok_a, b.n_tok AS n_tok_b,
+            |  a.checksum AS checksum_a, b.checksum AS checksum_b,
+            |  CASE WHEN a.checksum IS NULL THEN 'only_b'
+            |   WHEN b.checksum IS NULL THEN 'only_a'
+            |   ELSE 'changed' END AS status
+            | FROM a FULL JOIN b USING (shard)
+            | WHERE a.checksum IS DISTINCT FROM b.checksum
+            |  OR a.n_docs IS DISTINCT FROM b.n_docs
+            |  OR a.n_tok IS DISTINCT FROM b.n_tok""".stripMargin
+      .replaceAll("\n", "")))
 
   /** q73 — shard-balance audit for the training shuffle: the used-shard
     * count, size range, mean, and imbalance ratio (max/mean) of q62's
@@ -1823,5 +1899,5 @@ object Corpus {
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
-    qHeavyHitters, qShardChecksums)
+    qHeavyHitters, qShardChecksums, qManifestDiff)
 }

@@ -1298,9 +1298,59 @@ object Curation {
         .stripMargin.replaceAll("\n", "")
     })
 
+  /** The k grid q171 audits — spans "any twin at all" (2) through the
+    * common regulatory floors (5, 10) to a conservative release bar (25).
+    */
+  private[graft] val KAnonGrid = Seq(2L, 5L, 10L, 25L)
+
+  /** q171 — k-anonymity audit over the customer demographic
+    * quasi-identifiers (nation, market segment): for each k in
+    * [[KAnonGrid]], how many quasi-identifier groups have fewer than k
+    * members and how many ROWS sit in those groups — the re-identification
+    * exposure a release manager signs off on before demographic columns
+    * ship (the aggregate-privacy complement of q78's value-level PII
+    * scrub and the compliance purge: scrubbing values doesn't help if a
+    * (nation, segment) combination is unique). The full-grid report is
+    * the audit artifact; the per-group violator list is `WHERE n < k` on
+    * the same bounded group frame.
+    *
+    * Scale shape: ONE map-side-combined groupBy on the quasi-identifier
+    * key (group count ≤ |nations|×|segments|, catalog-sized), then a ×4
+    * literal-grid explode and a 4-group aggregate over the bounded
+    * frame — corpus-linear scan, constant-size everything after.
+    */
+  val qKAnonymity: QuerySpec = QuerySpec(
+    "q171_k_anonymity",
+    (s, dir) => {
+      val g = Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+      g.select(col("n"), explode(typedlit(KAnonGrid)).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("groups_total"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L))
+            .as("groups_below_k"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .as("rows_at_risk"),
+          (sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .cast("double") / sum(col("n")).cast("double")).as("risk_ratio"))
+    },
+    Some(s"""WITH g AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+            |  FROM customer GROUP BY 1, 2),
+            | ks AS (SELECT unnest(${KAnonGrid.mkString("[", ", ", "]")}) AS k)
+            | SELECT CAST(k AS BIGINT) AS k,
+            |  CAST(COUNT(*) AS BIGINT) AS groups_total,
+            |  CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS groups_below_k,
+            |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+            |    AS rows_at_risk,
+            |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS DOUBLE) /
+            |    CAST(SUM(n) AS DOUBLE) AS risk_ratio
+            | FROM g, ks GROUP BY k""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
     qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
-    qSelectionShift)
+    qSelectionShift, qKAnonymity)
 }

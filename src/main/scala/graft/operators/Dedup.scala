@@ -1435,6 +1435,75 @@ object Dedup {
             | SELECT n AS cluster_size, COUNT(*) AS n_clusters
             | FROM cs GROUP BY n""".stripMargin.replaceAll("\n", "")))
 
+  /** q172 — near-dup cluster labeling: for every q50 cluster, the top-3
+    * DISTINCTIVE terms by corpus-relative lift `tf_cluster · N / df` —
+    * the human-readable name a curation report attaches to each
+    * duplicate family ("what IS this pile of 400 near-identical docs?"),
+    * turning q129's anonymous size histogram into an actionable
+    * inventory. Lift is the log-free tf-idf surrogate (the q67
+    * discipline): stopwords have huge tf but df ≈ N, so their lift ≈
+    * tf; a template's signature tokens have df ≪ N and float to the
+    * top. Scored as integer `(tf · N · 10000) div df` so the ranking
+    * never hangs on a sub-ulp double (positive operands, so Spark `div`
+    * ≡ DuckDB `//`).
+    *
+    * Scale shape: cluster membership comes from the shared memoized
+    * [[DupGraph]] store (CC paid once per corpus); term df is the q67
+    * doc-term window (at 100 TB, swap in the maintained q89/q154
+    * posting-list df — same frame); cluster tf is one (cluster, term)
+    * map-side-combined agg over members only; N rides a single-row
+    * broadcast; the final rank is a window over each cluster's own
+    * terms.
+    */
+  val qClusterLabels: QuerySpec = QuerySpec(
+    "q172_cluster_labels",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val lbl = DupGraph.labels(s, dir)
+        .select(col("u").as("doc_id"), col("cluster_id"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("score_e4").desc, col("term").asc)
+      dt.join(lbl, Seq("doc_id"))
+        .groupBy(col("cluster_id"), col("term"))
+        .agg(sum(col("tf")).as("tf"), max(col("df")).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("score_e4", expr("(tf * n * 10000) div df"))
+        .withColumn("rk", row_number().over(wc).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("cluster_id"), col("rk"), col("term"), col("tf"),
+          col("df"), col("score_e4"))
+    },
+    Some(s"""WITH RECURSIVE $ccSqlCtes,
+            | lbl AS (SELECT u AS doc_id, MIN(r) AS cluster_id FROM reach
+            |  GROUP BY u),
+            | tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            |  FROM documents),
+            | tf0 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            |  WHERE len(term) > 0 GROUP BY doc_id, term),
+            | dfd AS (SELECT doc_id, term, tf,
+            |   COUNT(*) OVER (PARTITION BY term) AS df FROM tf0),
+            | n AS (SELECT COUNT(*) AS n FROM documents),
+            | tfc AS (SELECT l.cluster_id, d.term,
+            |   CAST(SUM(d.tf) AS BIGINT) AS tf,
+            |   CAST(MAX(d.df) AS BIGINT) AS df
+            |  FROM dfd d JOIN lbl l ON d.doc_id = l.doc_id
+            |  GROUP BY 1, 2),
+            | sc AS (SELECT cluster_id, term, tf, df,
+            |   CAST((tf * n.n * 10000) // df AS BIGINT) AS score_e4
+            |  FROM tfc, n)
+            | SELECT cluster_id, rk, term, tf, df, score_e4 FROM (
+            |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+            |    ORDER BY score_e4 DESC, term ASC) AS BIGINT) AS rk FROM sc)
+            | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")))
+
   /** q144 — per-source MinHash UNION sketch + pairwise similarity
     * estimate: each source's 16-permutation MinHash over the union of
     * its documents' shingle sets (min is associative, so the source
@@ -1687,5 +1756,6 @@ object Dedup {
     qDedupCollapse, qLshOccupancy, qDedupThresholdCurve, qPrefixJoin,
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
-    qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation)
+    qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
+    qClusterLabels)
 }

@@ -661,7 +661,87 @@ object Retrieval {
             | FROM ex JOIN s8 ON ex.vec_id = s8.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
+  /** lcm(1..10) — a served rank r ≤ 10 contributes `MrrScale / r` as an
+    * EXACT BIGINT, so the reciprocal rank is integer-gated (the RrfScale
+    * discipline applied to the plain reciprocal).
+    */
+  private[graft] val MrrScale = 2520L
+
+  /** q168 — serving MRR: per served query, the rank at which q143's
+    * nprobe=2 top-10 surfaces the TRUE nearest non-self neighbor, and
+    * the scaled reciprocal rank (0 when the probe missed it entirely).
+    * recall@10 (q147) counts overlap anywhere in the list; MRR prices
+    * WHERE the right answer lands — the metric a serving endpoint pages
+    * on when re-ranking depth is the cost knob. Self-matches are
+    * excluded from the ground truth (a corpus-member query trivially
+    * retrieves itself at rank 1, which would gate nothing).
+    *
+    * Scale shape: the exact side is the q147 anchors-as-literals pass —
+    * ONE corpus scan with the 5 query vectors as literals, exploded
+    * map-side, per-query window top-1; the served side IS the gated
+    * q143 plan; the final join matches a ≤5-row frame against a ≤50-row
+    * frame. The one division is `2520 / rank`, exact for every rank ≤ 10.
+    */
+  val qServeMrr: QuerySpec = QuerySpec(
+    "q168_serve_mrr",
+    (s, dir) => {
+      val served = qAnnServe.build(s, dir)
+        .select(col("query_id"), col("vec_id").as("nn_id"), col("rnk"))
+      val e = Tables.load(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qqe"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+      val qVecs = array(qs.map { case (_, v) => typedlit(v) }: _*)
+      val qIds = typedlit(qs.map(_._1))
+      val nn = e
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+        .select(col("vec_id"), col("qe"), posexplode(qVecs))
+        .select(element_at(qIds, col("pos") + 1).as("query_id"), col("vec_id"),
+          Exact.cosineFromQuantized(col("qe"), col("col")).as("cos_sim"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id").as("nn_id"))
+      nn.join(served, Seq("query_id", "nn_id"), "left")
+        .select(col("query_id"), col("nn_id"),
+          coalesce(col("rnk"), lit(0L)).as("srv_rank"),
+          when(col("rnk").isNotNull,
+            (lit(MrrScale) / col("rnk")).cast("long"))
+            .otherwise(lit(0L)).as("rr_scaled"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
+            |  WHERE vec_id < 5),
+            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
+            |   PARTITION BY qs.query_id
+            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
+            |   AS prk
+            |  FROM c${Similarity.TrainIters} c, qs),
+            | srv AS (SELECT query_id, vec_id, rnk FROM (
+            |  SELECT pr.query_id, fm.vec_id, ROW_NUMBER() OVER (
+            |    PARTITION BY pr.query_id
+            |    ORDER BY ${Exact.cosineSql("fm.qe", "pr.qqe")} DESC, fm.vec_id)
+            |    AS rnk
+            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
+            |  WHERE rnk <= 10),
+            | nn AS (SELECT query_id, vec_id AS nn_id FROM (
+            |  SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER (
+            |    PARTITION BY qs.query_id
+            |    ORDER BY ${Exact.cosineSql("e.qe", "qs.qqe")} DESC, e.vec_id)
+            |    AS rk
+            |  FROM e, qs WHERE e.vec_id <> qs.query_id) WHERE rk = 1)
+            | SELECT nn.query_id, nn.nn_id,
+            |  CAST(COALESCE(srv.rnk, 0) AS BIGINT) AS srv_rank,
+            |  CAST(CASE WHEN srv.rnk IS NULL THEN 0
+            |   ELSE $MrrScale // srv.rnk END AS BIGINT) AS rr_scaled
+            | FROM nn LEFT JOIN srv ON nn.query_id = srv.query_id
+            |  AND nn.nn_id = srv.vec_id""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
-      qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall)
+      qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
+      qServeMrr)
 }

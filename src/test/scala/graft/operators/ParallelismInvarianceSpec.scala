@@ -135,7 +135,16 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Corpus.qShardChecksums, Curation.qSelectionShift,
       // label-pushed pruned probe (q166), filtered recall sweep whose
       // exact side is a collected 10-id literal (q167)
-      Retrieval.qAnnFiltered, Retrieval.qFilteredRecall)) {
+      Retrieval.qAnnFiltered, Retrieval.qFilteredRecall,
+      // anchors-as-literals exact-NN top-1 joined to the served ranks
+      // (q168), deletion-variant equi-join + distinct + exact verify
+      // (q169)
+      Retrieval.qServeMrr, Entity.qFuzzyJoin,
+      // modular-checksum manifests full-outer diffed (q170), bounded
+      // quasi-identifier groups × literal k grid (q171), DupGraph-joined
+      // cluster tf × windowed df lift ranking (q172; the DupGraph memo
+      // is parallelism-keyed, so CC re-executes per partitioning)
+      Corpus.qManifestDiff, Curation.qKAnonymity, Dedup.qClusterLabels)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
