@@ -1348,9 +1348,43 @@ object Curation {
             |    CAST(SUM(n) AS DOUBLE) AS risk_ratio
             | FROM g, ks GROUP BY k""".stripMargin.replaceAll("\n", "")))
 
+  /** q174 — l-diversity audit: the attribute-disclosure complement of
+    * q171's k-anonymity (Machanavajjhala et al. 2007, public
+    * literature): a group can satisfy k yet still leak — if all k
+    * members share one sensitive value, membership alone discloses it.
+    * Per quasi-identifier group (nation, segment): size, the number of
+    * DISTINCT sensitive values (account-balance 1000-unit band), and
+    * the `l < 3` at-risk flag. Band boundaries are multiples of 1000 —
+    * exactly representable doubles, so `floor(x / 1000)` is the same
+    * integer on both engines for every 2-decimal balance.
+    *
+    * Scale shape: one map-side band assignment + one quasi-identifier
+    * groupBy with an exact distinct over a low-cardinality band key
+    * (partial aggregation dedups map-side) — catalog-sized output,
+    * corpus-linear scan.
+    */
+  val qLDiversity: QuerySpec = QuerySpec(
+    "q174_l_diversity",
+    (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0d)).cast("long").as("band"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("l_bands"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("l_bands"), (col("l_bands") < 3).as("at_risk")),
+    Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+           |   CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+           |  FROM customer)
+           | SELECT c_nationkey, c_mktsegment,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(COUNT(DISTINCT band) AS BIGINT) AS l_bands,
+           |  COUNT(DISTINCT band) < 3 AS at_risk
+           | FROM b GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
     qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
-    qSelectionShift, qKAnonymity)
+    qSelectionShift, qKAnonymity, qLDiversity)
 }

@@ -13,47 +13,74 @@ import org.apache.spark.sql.functions._
   */
 object Entity {
 
-  /** q169 — edit-distance-1 fuzzy join (FastSS deletion-neighborhood
-    * blocking, Bocek et al. 2007, public literature): all customer-name
-    * pairs within Levenshtein distance 1, with candidates ONLY from an
-    * equi-join on deletion variants. Every string emits itself plus its
-    * `L` single-character deletions; two strings within edit distance 1
-    * ALWAYS share a variant (substitution at `i`: delete `i` from both;
-    * insertion: the shorter string IS a deletion variant of the longer
-    * and of itself), so the equi-join is a complete candidate generator
-    * — the theorem `FuzzyJoinSpec` re-proves against brute force. The
-    * exact bounded verify ([[graft.functions.EditWithin]]) then
-    * discards false candidates (two strings can share a variant at
-    * distance 2: `xa`/`ax` both delete to `a`).
+  /** q169 — edit-distance-1 fuzzy join: all customer-name pairs within
+    * Levenshtein distance 1, with candidates ONLY from equi-joins —
+    * POSITION-KEYED deletion-neighborhood blocking (the Mor-Fraenkel
+    * refinement of FastSS, public literature):
     *
-    * Scale shape: the variant explosion is ×(L+1) map-side (all
-    * codegen'd substring/concat builtins — no higher-order functions);
-    * candidates come only from the variant equi-join, never an
-    * all-pairs product; `distinct` collapses multi-variant agreement
-    * BEFORE the verify so each candidate pair is verified once — and
-    * the verify is the O(L) prefix/suffix walk of `EditWithin(…, 1)`,
-    * not the O(L²) full-matrix `levenshtein` (which cost 10 of this
-    * query's 12 s at sf0.1). Generalizes to distance d by deleting up
-    * to d characters (variant fanout ×(L choose d) — the standard
-    * FastSS trade) with the banded `EditWithin(…, d)` verify.
+    *  - J0: originals on name equality (distance-0 duplicate names);
+    *  - J1: single-character deletions keyed on (variant, POSITION) —
+    *    a substitution at `p` means deleting `p` from both sides gives
+    *    the same string at the same position;
+    *  - J2: originals against deletions on the string alone — an
+    *    insertion means the shorter string IS a deletion of the longer.
+    *
+    * COMPLETE: every distance ≤ 1 pair is equal (J0), a substitution
+    * (J1) or an insertion/deletion (J2). EXACT by construction: sharing
+    * a deletion at the SAME position forces agreement everywhere else,
+    * so J1 emits no false candidates (and J2/J0 are distance 1/0
+    * definitionally) — unlike plain position-less FastSS, where `xa`/
+    * `ax` share the variant `a` at distance 2, every candidate here is
+    * a result row; the [[graft.functions.EditWithin]] verify is kept as
+    * an executable statement of the contract, not a filter that works.
+    *
+    * Scale shape: the deletion explosion is ×L map-side (all codegen'd
+    * substring/concat builtins — no higher-order functions); all three
+    * joins are equi-joins. The position in J1's key is what survives
+    * adversarial key distributions: position-less variant blocking
+    * collapses dense sequential ids into huge groups (deleting any of
+    * the equal leading zeros of `Customer#0001…` gives the same
+    * variant — measured 42 M candidates for ~1.3 M true pairs at
+    * sf0.5, a 29× false-candidate blowup that grows with corpus
+    * density), while a (variant, position) group is pinned to the one
+    * free character — ≤ |alphabet| members regardless of corpus size,
+    * so candidate volume ≡ result volume. Generalizes to distance d by
+    * deleting up to d characters keyed on the position SET, with the
+    * banded `EditWithin(…, d)` verify doing real filtering.
     */
   val qFuzzyJoin: QuerySpec = QuerySpec(
     "q169_fuzzy_join",
     (s, dir) => {
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      val vars = c
+      val dels = c
         .select(col("id"), col("name"),
-          explode(sequence(lit(0), length(col("name")))).as("i"))
-        .select(col("id"), col("name"),
-          when(col("i") === 0, col("name")).otherwise(
-            concat(col("name").substr(lit(1), col("i") - 1),
-              col("name").substr(col("i") + 1, length(col("name")))))
+          explode(sequence(lit(1), length(col("name")))).as("i"))
+        .select(col("id"), col("name"), col("i"),
+          concat(col("name").substr(lit(1), col("i") - 1),
+            col("name").substr(col("i") + 1, length(col("name"))))
             .as("var"))
-      vars.as("a").join(vars.as("b"),
-          col("a.var") === col("b.var") && col("a.id") < col("b.id"))
+      val j0 = c.as("a").join(c.as("b"),
+          col("a.name") === col("b.name") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           col("a.name").as("na"), col("b.name").as("nb"))
+      val j1 = dels.as("a").join(dels.as("b"),
+          col("a.var") === col("b.var") && col("a.i") === col("b.i") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.name").as("na"), col("b.name").as("nb"))
+      val j2 = c.as("a").join(dels.as("b"),
+          col("a.name") === col("b.var") && col("a.id") =!= col("b.id"))
+        .select(
+          when(col("a.id") < col("b.id"), col("a.id")).otherwise(col("b.id"))
+            .as("id_a"),
+          when(col("a.id") < col("b.id"), col("b.id")).otherwise(col("a.id"))
+            .as("id_b"),
+          when(col("a.id") < col("b.id"), col("a.name"))
+            .otherwise(col("b.name")).as("na"),
+          when(col("a.id") < col("b.id"), col("b.name"))
+            .otherwise(col("a.name")).as("nb"))
+      j0.unionByName(j1).unionByName(j2)
         .distinct()
         .withColumn("d", EditWithin(col("na"), col("nb"), 1))
         .filter(col("d") >= 0)

@@ -285,6 +285,30 @@ object Retrieval {
     * the per-query probe selection AND the per-query ranking in one
     * statement.
     */
+  /** The oracle's batched dense-serving CTEs (`qs`: the 5 query
+    * vectors; `pr`: per-query centroid probe ranking; `srv`: the
+    * per-query nprobe=2 top-10 with cosine and rank) — ONE definition
+    * shared by the q143/q147/q168/q173 oracles so a serving-oracle fix
+    * lands everywhere at once (the ccSqlCtes discipline). Assumes `e`,
+    * `c$TrainIters` and `fm` from the Similarity CTEs are in scope.
+    */
+  private def serveSqlCtes: String =
+    s"""qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
+       |  WHERE vec_id < 5),
+       | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
+       |   PARTITION BY qs.query_id
+       |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
+       |   AS prk
+       |  FROM c${Similarity.TrainIters} c, qs),
+       | srv AS (SELECT query_id, vec_id, cos_sim, rnk FROM (
+       |  SELECT pr.query_id, fm.vec_id,
+       |    ${Exact.cosineSql("fm.qe", "pr.qqe")} AS cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id
+       |      ORDER BY ${Exact.cosineSql("fm.qe", "pr.qqe")} DESC, fm.vec_id)
+       |      AS BIGINT) AS rnk
+       |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
+       |  WHERE rnk <= 10)""".stripMargin.replaceAll("\n", "")
+
   val qAnnServe: QuerySpec = QuerySpec(
     "q143_ann_serve",
     (s, dir) => {
@@ -295,21 +319,9 @@ object Retrieval {
     },
     Some(s"""WITH ${Similarity.trainSqlCtes},
             | ${Similarity.annAssignSqlCtes},
-            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
-            |  WHERE vec_id < 5),
-            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
-            |   PARTITION BY qs.query_id
-            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
-            |   AS prk
-            |  FROM c${Similarity.TrainIters} c, qs),
-            | cand AS (SELECT pr.query_id, fm.vec_id,
-            |   ${Exact.cosineSql("fm.qe", "pr.qqe")} AS cos_sim
-            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
-            | SELECT query_id, vec_id, cos_sim, rnk FROM (
-            |  SELECT query_id, vec_id, cos_sim, CAST(ROW_NUMBER() OVER (
-            |    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id)
-            |    AS BIGINT) AS rnk FROM cand)
-            | WHERE rnk <= 10""".stripMargin.replaceAll("\n", "")))
+            | $serveSqlCtes
+            | SELECT query_id, vec_id, cos_sim, rnk FROM srv""".stripMargin
+      .replaceAll("\n", "")))
 
   /** q147 — serving recall@10: per served query, |exact top-10 ∩
     * q143's nprobe=2 top-10| / 10 — the q60 recall discipline applied
@@ -355,20 +367,7 @@ object Retrieval {
     },
     Some(s"""WITH ${Similarity.trainSqlCtes},
             | ${Similarity.annAssignSqlCtes},
-            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
-            |  WHERE vec_id < 5),
-            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
-            |   PARTITION BY qs.query_id
-            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
-            |   AS prk
-            |  FROM c${Similarity.TrainIters} c, qs),
-            | srv AS (SELECT query_id, vec_id FROM (
-            |  SELECT pr.query_id, fm.vec_id, ROW_NUMBER() OVER (
-            |    PARTITION BY pr.query_id
-            |    ORDER BY ${Exact.cosineSql("fm.qe", "pr.qqe")} DESC, fm.vec_id)
-            |    AS rnk
-            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
-            |  WHERE rnk <= 10),
+            | $serveSqlCtes,
             | ex AS (SELECT query_id, vec_id FROM (
             |  SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER (
             |    PARTITION BY qs.query_id
@@ -499,40 +498,48 @@ object Retrieval {
         .filter(col("rk") <= 3)
         .select(col("query_id"), col("doc_id"), col("rk"), col("score"))
     },
-    Some {
-      val qtValues = ServeQueries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
-        .mkString(", ")
-      s"""WITH b AS (SELECT doc_id,
-         |   '[' || replace(text, ' ', '][') || ']' AS br FROM documents),
-         | pd AS (SELECT doc_id, br,
-         |   CAST((length(br) - length(replace(br, '][', ''))) / 2 + 1
-         |     AS BIGINT) AS dl FROM b),
-         | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |   CAST(SUM(dl) AS BIGINT) AS d FROM pd),
-         | qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok
-         |  FROM (VALUES $qtValues) v(query_id, tok)),
-         | toks AS (SELECT DISTINCT tok FROM qt),
-         | tft AS (SELECT t.tok, p.doc_id, p.dl,
-         |   CAST((length(br) - length(replace(br, '[' || t.tok || ']', '')))
-         |     / (length(t.tok) + 2) AS BIGINT) AS tf
-         |  FROM pd p CROSS JOIN toks t),
-         | dfv AS (SELECT tok, CAST(COUNT(*) FILTER (WHERE tf > 0)
-         |    AS BIGINT) AS df FROM tft GROUP BY tok),
-         | contrib AS (SELECT q.query_id, f.doc_id,
-         |   CAST(f.tf * (2 * st.n - 2 * dfv.df + 1) * st.d AS DOUBLE) /
-         |   CAST((f.tf * st.d + f.dl * st.n) * (2 * dfv.df + 1) AS DOUBLE)
-         |     AS c
-         |  FROM tft f JOIN qt q ON f.tok = q.tok
-         |  JOIN dfv ON f.tok = dfv.tok, st WHERE f.tf > 0),
-         | sc AS (SELECT query_id, doc_id, ${Exact.dsumSql("c")} AS score
-         |  FROM contrib GROUP BY 1, 2)
-         | SELECT query_id, doc_id, rk, score FROM (
-         |  SELECT query_id, doc_id, score,
-         |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |     ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM sc)
-         | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")
-    })
+    Some(s"""WITH $bm25ServeBatchSqlCtes
+            | SELECT query_id, doc_id, rk, score FROM lexb
+            | WHERE rk <= 3""".stripMargin.replaceAll("\n", "")))
+
+  /** The oracle's batched lexical-serving CTEs, ending in `lexb`
+    * (query_id, doc_id, score, rk over all docs) — ONE definition
+    * shared by the q155 and q173 oracles. DuckDB recomputes from raw
+    * text (the q93/q154 store round-trip discipline).
+    */
+  private def bm25ServeBatchSqlCtes: String = {
+    val qtValues = ServeQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+      .mkString(", ")
+    s"""b AS (SELECT doc_id,
+       |   '[' || replace(text, ' ', '][') || ']' AS br FROM documents),
+       | pd AS (SELECT doc_id, br,
+       |   CAST((length(br) - length(replace(br, '][', ''))) / 2 + 1
+       |     AS BIGINT) AS dl FROM b),
+       | st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |   CAST(SUM(dl) AS BIGINT) AS d FROM pd),
+       | qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, tok
+       |  FROM (VALUES $qtValues) v(query_id, tok)),
+       | toks AS (SELECT DISTINCT tok FROM qt),
+       | tft AS (SELECT t.tok, p.doc_id, p.dl,
+       |   CAST((length(br) - length(replace(br, '[' || t.tok || ']', '')))
+       |     / (length(t.tok) + 2) AS BIGINT) AS tf
+       |  FROM pd p CROSS JOIN toks t),
+       | dfv AS (SELECT tok, CAST(COUNT(*) FILTER (WHERE tf > 0)
+       |    AS BIGINT) AS df FROM tft GROUP BY tok),
+       | contrib AS (SELECT q.query_id, f.doc_id,
+       |   CAST(f.tf * (2 * st.n - 2 * dfv.df + 1) * st.d AS DOUBLE) /
+       |   CAST((f.tf * st.d + f.dl * st.n) * (2 * dfv.df + 1) AS DOUBLE)
+       |     AS c
+       |  FROM tft f JOIN qt q ON f.tok = q.tok
+       |  JOIN dfv ON f.tok = dfv.tok, st WHERE f.tf > 0),
+       | lexsc AS (SELECT query_id, doc_id, ${Exact.dsumSql("c")} AS score
+       |  FROM contrib GROUP BY 1, 2),
+       | lexb AS (SELECT query_id, doc_id, score,
+       |   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY score DESC, doc_id) AS BIGINT) AS rk FROM lexsc)"""
+      .stripMargin.replaceAll("\n", "")
+  }
 
   /** q166's metadata predicate — the allowed label set (declared before
     * the specs whose oracle SQL interpolates it: the q82
@@ -713,20 +720,7 @@ object Retrieval {
     },
     Some(s"""WITH ${Similarity.trainSqlCtes},
             | ${Similarity.annAssignSqlCtes},
-            | qs AS (SELECT vec_id AS query_id, qe AS qqe FROM e
-            |  WHERE vec_id < 5),
-            | pr AS (SELECT qs.query_id, qs.qqe, c.cid, ROW_NUMBER() OVER (
-            |   PARTITION BY qs.query_id
-            |   ORDER BY ${Exact.cosineSql("c.cqe", "qs.qqe")} DESC, c.cid)
-            |   AS prk
-            |  FROM c${Similarity.TrainIters} c, qs),
-            | srv AS (SELECT query_id, vec_id, rnk FROM (
-            |  SELECT pr.query_id, fm.vec_id, ROW_NUMBER() OVER (
-            |    PARTITION BY pr.query_id
-            |    ORDER BY ${Exact.cosineSql("fm.qe", "pr.qqe")} DESC, fm.vec_id)
-            |    AS rnk
-            |  FROM fm JOIN pr ON fm.cid = pr.cid AND pr.prk <= 2)
-            |  WHERE rnk <= 10),
+            | $serveSqlCtes,
             | nn AS (SELECT query_id, vec_id AS nn_id FROM (
             |  SELECT qs.query_id, e.vec_id, ROW_NUMBER() OVER (
             |    PARTITION BY qs.query_id
@@ -740,8 +734,76 @@ object Retrieval {
             | FROM nn LEFT JOIN srv ON nn.query_id = srv.query_id
             |  AND nn.nn_id = srv.vec_id""".stripMargin.replaceAll("\n", "")))
 
+  /** The query ids served by BOTH stacks: q155's term batch carries ids
+    * 1–6 and q143's vector batch ids 0–4 — a hybrid endpoint fuses the
+    * intersection (declared before the spec whose oracle interpolates
+    * it: the q82 object-init-order rule).
+    */
+  private[graft] val HybridQueryIds = Seq(1L, 2L, 3L, 4L)
+  private val HybridQueryIdsSql = HybridQueryIds.mkString(", ")
+
+  /** q173 — batched hybrid serving: the request-batch form of q133's
+    * single-request fusion, over the two BATCHED serving paths the
+    * engine already gates — per query in the batch, RRF-fuse the q155
+    * lexical top-3 (from the persisted inverted index) with the q143
+    * dense top-10 (from the clustered ANN layout) and emit the fused
+    * top-5 with both source ranks (NULL where a doc appears in only one
+    * list). This is the plan a hybrid retrieval endpoint executes per
+    * request batch over exactly the two incremental layouts
+    * (IndexStream + AnnStream) this engine maintains.
+    *
+    * Scale shape: both inputs are the existing request-sized plans
+    * (q155: postings pruned to the batch's terms; q143: partition-
+    * pruned nprobe probe); the fusion is a full-outer join of two
+    * ≤ |batch|·k row frames and a per-query rank window over ≤ 13
+    * rows — O(batch · k) on top of the two retrievals regardless of
+    * corpus size. RRF stays exact-integer via [[RrfScale]].
+    */
+  val qHybridServeBatch: QuerySpec = QuerySpec(
+    "q173_hybrid_serve_batch",
+    (s, dir) => {
+      val lex = qBm25ServeBatch.build(s, dir)
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(col("query_id"), col("doc_id"), col("rk").as("lex_rank"))
+      val den = qAnnServe.build(s, dir)
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("dense_rank"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), col("lex_rank"),
+          col("dense_rank"),
+          (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale div ($RrfK + dense_rank)"), lit(0L)))
+            .as("rrf_scaled"))
+        .withColumn("frk", row_number().over(w).cast("long"))
+        .filter(col("frk") <= 5)
+    },
+    Some(s"""WITH $bm25ServeBatchSqlCtes,
+            | ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | $serveSqlCtes,
+            | lexf AS (SELECT query_id, doc_id, rk FROM lexb
+            |  WHERE rk <= 3 AND query_id IN ($HybridQueryIdsSql)),
+            | denf AS (SELECT query_id, vec_id AS doc_id, rnk FROM srv
+            |  WHERE query_id IN ($HybridQueryIdsSql)),
+            | fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+            |   COALESCE(l.doc_id, d.doc_id) AS doc_id,
+            |   l.rk AS lex_rank, d.rnk AS dense_rank,
+            |   CAST(COALESCE($RrfScale // ($RrfK + l.rk), 0) +
+            |    COALESCE($RrfScale // ($RrfK + d.rnk), 0) AS BIGINT)
+            |    AS rrf_scaled
+            |  FROM lexf l FULL JOIN denf d
+            |   ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+            | SELECT query_id, doc_id, lex_rank, dense_rank, rrf_scaled, frk
+            | FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            |   ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS frk
+            |  FROM fused)
+            | WHERE frk <= 5""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
-      qServeMrr)
+      qServeMrr, qHybridServeBatch)
 }

@@ -144,7 +144,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // quasi-identifier groups × literal k grid (q171), DupGraph-joined
       // cluster tf × windowed df lift ranking (q172; the DupGraph memo
       // is parallelism-keyed, so CC re-executes per partitioning)
-      Corpus.qManifestDiff, Curation.qKAnonymity, Dedup.qClusterLabels)) {
+      Corpus.qManifestDiff, Curation.qKAnonymity, Dedup.qClusterLabels,
+      // full-outer RRF fusion of two batched top-k plans (q173), exact
+      // distinct over low-cardinality bands (q174)
+      Retrieval.qHybridServeBatch, Curation.qLDiversity)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

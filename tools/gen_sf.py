@@ -33,6 +33,13 @@ Tiling rules (tile k of T):
   every LSH hyperplane sign, so every vector became C(T, 2) candidate
   pairs — generator-injected quadratic growth that surfaced as
   super-linear exponents on q25/q52/q64 at T=10.
+- customer.c_name, tile k>0: rewritten as Customer#%09d of the TILED
+  custkey — the name is DERIVED from the key, so tiling the key without
+  the name leaves T exact copies of every name (and T² copies of every
+  distance-1 name pair): the q169 fuzzy join's true output would grow
+  quadratically in T by generator fiat. With the rewrite, the name
+  space is the dense range a T-times-larger corpus really has, and
+  edit-distance pair density grows linearly.
 - events.ts: unchanged — T times the events in the same time range
   (denser windows, how an event stream actually scales).
 
@@ -132,6 +139,20 @@ def tile_documents(table):
     return pa.concat_tables(parts)
 
 
+def tile_customer(table):
+    parts = []
+    for k in range(tiles):
+        t = offset_keys(table, "customer", k)
+        if k > 0:
+            names = ["Customer#%09d" % key
+                     for key in t["c_custkey"].to_pylist()]
+            ni = t.schema.get_field_index("c_name")
+            t = t.set_column(ni, t.schema.field("c_name"),
+                             pa.array(names, type=t.schema.field("c_name").type))
+        parts.append(t)
+    return pa.concat_tables(parts)
+
+
 def tile_embeddings(table):
     parts = []
     vecs = table["embedding"].to_pylist()
@@ -156,10 +177,12 @@ def tile_embeddings(table):
 for name in ["region", "nation"]:
     pq.write_table(read(name), f"{out}/{name}.parquet")
 
-for name, table in [("customer", customer), ("supplier", supplier),
+for name, table in [("supplier", supplier),
                     ("part", part), ("orders", orders),
                     ("lineitem", read("lineitem")), ("events", events)]:
     pq.write_table(tile_plain(name, table), f"{out}/{name}.parquet")
+
+pq.write_table(tile_customer(customer), f"{out}/customer.parquet")
 
 pq.write_table(tile_documents(documents), f"{out}/documents.parquet")
 pq.write_table(tile_embeddings(embeddings), f"{out}/embeddings.parquet")
