@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables}
 import graft.functions.{PolyHash, WordShingleHashes, WordShingles}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level training-data operators: benchmark decontamination,
@@ -1892,6 +1892,197 @@ object Corpus {
             |   CAST(n_docs * bucket_max AS DOUBLE) AS pad_frac
             | FROM c""".stripMargin.replaceAll("\n", "")))
 
+  /** q177 — exact sorted-batch padding manifest: the per-batch
+    * refinement of q142's bucket-level plan. q142 upper-bounds waste by
+    * padding every batch to its power-of-two BUCKET max; the batcher a
+    * serving/SFT stack actually runs sorts by length and pads each
+    * `PadBatch`-sequence batch only to its OWN max. This query emits
+    * that batcher's exact manifest — per batch: sequence count, max
+    * length (the pad target), useful tokens, padded tokens, and the
+    * 1e-6 fixed-point waste fraction — under the deterministic
+    * (length asc, doc_id asc) admission order.
+    *
+    * The corpus is NEVER globally sorted. Same-length documents are
+    * interchangeable for padding purposes, so the batch-composition
+    * multiset is fully determined by the LENGTH HISTOGRAM: each length's
+    * docs occupy the contiguous global-rank range
+    * [cum_before, cum_before + count), which overlaps batch b on
+    * [b·B, (b+1)·B) by a closed-form integer amount. So: one map-side
+    * token-count pass → length histogram (map-side combine, ≤ distinct
+    * lengths rows), ONE cumulative window over that bounded histogram
+    * (the q39/q127 bounded-summary discipline), a `sequence()` explode
+    * of each length onto the ≤ count/B + 1 batches it spans (total
+    * explode rows ≈ N/B + distinct lengths), and a per-batch aggregate.
+    * Integer-exact throughout; output is the batch manifest
+    * (corpus/B rows — the artifact a batch scheduler consumes, the q56
+    * per-doc-output precedent).
+    */
+  val qPaddingWaste: QuerySpec = QuerySpec(
+    "q177_padding_waste",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = PadBatch
+      val hist = Tables.load(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+        .groupBy(col("len")).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("s", coalesce(sum(col("c")).over(wCum), lit(0L)))
+        .select(col("len"), col("c"), col("s"),
+          explode(sequence(expr(s"s div $b"), expr(s"(s + c - 1) div $b")))
+            .as("batch_id"))
+        .select(col("batch_id"), col("len"),
+          (least((col("batch_id") + 1) * b, col("s") + col("c"))
+            - greatest(col("batch_id") * b, col("s"))).as("ov"))
+        .groupBy(col("batch_id"))
+        .agg(sum(col("ov")).as("n_seqs"), max(col("len")).as("max_len"),
+          sum(col("len") * col("ov")).as("sum_tok"))
+        .select(col("batch_id"), col("n_seqs"), col("max_len"),
+          col("sum_tok"), (col("n_seqs") * col("max_len")).as("padded"),
+          expr("(1000000 * (n_seqs * max_len - sum_tok))"
+            + " div (n_seqs * max_len)").as("waste_e6"))
+    },
+    Some(s"""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+            |   AS len FROM documents),
+            | h AS (SELECT len, COUNT(*) AS c FROM t GROUP BY 1),
+            | w AS (SELECT len, c, CAST(COALESCE(SUM(c) OVER (ORDER BY len
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |    AS BIGINT) AS s FROM h),
+            | e AS (SELECT len, c, s,
+            |   CAST(unnest(range(s // $PadBatch,
+            |    (s + c - 1) // $PadBatch + 1)) AS BIGINT) AS batch_id
+            |  FROM w),
+            | o AS (SELECT batch_id, len,
+            |   LEAST((batch_id + 1) * $PadBatch, s + c)
+            |    - GREATEST(batch_id * $PadBatch, s) AS ov FROM e),
+            | a AS (SELECT batch_id, CAST(SUM(ov) AS BIGINT) AS n_seqs,
+            |   CAST(MAX(len) AS BIGINT) AS max_len,
+            |   CAST(SUM(len * ov) AS BIGINT) AS sum_tok
+            |  FROM o GROUP BY 1)
+            | SELECT batch_id, n_seqs, max_len, sum_tok,
+            |  n_seqs * max_len AS padded,
+            |  (1000000 * (n_seqs * max_len - sum_tok))
+            |   // (n_seqs * max_len) AS waste_e6
+            | FROM a""".stripMargin.replaceAll("\n", "")))
+
+  /** q182 — term burstiness (Church & Gale 1995, public literature):
+    * per term, the variance-to-mean ratio of its per-document frequency
+    * — the dispersion statistic that separates CONTENT terms (bursty:
+    * absent from most docs, repeated where present, VMR ≫ 1) from
+    * FUNCTION words (Poisson-like, VMR ≈ 1). The signal behind
+    * data-driven stopword lists and keyword weighting that df alone
+    * can't provide (two terms with equal df can differ 100× in
+    * burstiness). All-integer closed form over zeros-included moments:
+    * VMR = Var/Mean = (N·Σtf² − cf²) / (N·cf) with tf ≡ 0 on docs
+    * lacking the term contributing nothing to either sum — so the agg
+    * runs only over PRESENT (doc, term) pairs. Reported in 1e-6 fixed
+    * point as the DIFFERENCE of two truncating fixed-point divisions
+    * (`e6(Σtf²/cf) − e6(cf/N)` rather than the single-fraction form,
+    * whose `1e6·N·Σtf²` numerator would overflow 64 bits near 10⁸
+    * corpus tokens; the split form holds to ~10¹² tokens per term and
+    * is defined identically on both engines — within 2e-6 of the exact
+    * rational). df ≥ 5 keeps the report to recurring terms.
+    *
+    * Scale shape: one corpus token explode → (doc, term) map-side-
+    * combined tf agg → term-keyed moment agg (map-side combine) → one
+    * single-row N broadcast. BIGINT moments hold to ~3·10⁹ tokens per
+    * term (the q113 bound); past that the moments graduate to
+    * DECIMAL(38) per the q63 rule.
+    */
+  val qBurstiness: QuerySpec = QuerySpec(
+    "q182_burstiness",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.groupBy(col("term"))
+        .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"),
+          sum(col("tf") * col("tf")).as("tf2"))
+        .filter(col("df") >= 5)
+        .crossJoin(broadcast(n))
+        .select(col("term"), col("cf"), col("df"),
+          (expr("(1000000 * tf2) div cf") - expr("(1000000 * cf) div n_docs"))
+            .as("vmr_e6"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+           |   AS term FROM documents),
+           | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+           |  WHERE len(term) > 0 GROUP BY 1, 2),
+           | m AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+           |   COUNT(*) AS df, CAST(SUM(tf * tf) AS BIGINT) AS tf2
+           |  FROM tf GROUP BY term),
+           | n AS (SELECT COUNT(*) AS n_docs FROM documents)
+           | SELECT term, cf, CAST(df AS BIGINT) AS df,
+           |  CAST((1000000 * tf2) // cf - (1000000 * cf) // n_docs
+           |   AS BIGINT) AS vmr_e6
+           | FROM m CROSS JOIN n WHERE df >= 5""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** Continuation-byte thresholds for LEB128 varint sizing — byte count
+    * of value x ≥ 0 is `1 + Σ [x ≥ 2^(7k)]`, a branch-free sum of
+    * comparisons identical on both engines (no log).
+    */
+  private val VarintThresholds: Seq[Long] = (1 to 8).map(k => 1L << (7 * k))
+
+  /** q183 — posting-list storage sizing under delta + LEB128-varint
+    * encoding (the standard inverted-index compression layout —
+    * Zobel & Moffat 2006, public literature): doc-id gaps per term in
+    * posting order, each gap priced at its varint byte count, rolled up
+    * as a byte-class histogram (how many gaps encode in 1 byte, 2
+    * bytes, …) plus each class's raw-8-byte cost — the sizing estimate
+    * that says what the q154 persisted index will cost at rest and
+    * what delta-varint saves vs fixed-width ids BEFORE building it at
+    * 100 TB. First posting delta-encodes from 0; gaps are strictly
+    * positive afterwards (distinct sorted ids).
+    *
+    * Scale shape: token explode → distinct (doc, term) → the q89
+    * per-term posting window (lag) — the same shuffle the posting build
+    * itself pays — then a ≤9-row byte-class rollup with map-side
+    * combine. At 100 TB the gaps come FROM the maintained q154 store
+    * instead of a re-scan (the q172 swap note).
+    */
+  val qPostingSizing: QuerySpec = QuerySpec(
+    "q183_posting_sizing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byTerm = Window.partitionBy(col("term")).orderBy(col("doc_id").asc)
+      val gaps = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+          .as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("term"),
+          (col("doc_id") - coalesce(lag(col("doc_id"), 1).over(byTerm),
+            lit(0L))).as("gap"))
+      val bytesCol = VarintThresholds
+        .map(t => when(col("gap") >= t, 1L).otherwise(0L))
+        .foldLeft(lit(1L): Column)(_ + _)
+      gaps.select(bytesCol.as("gap_bytes"))
+        .groupBy(col("gap_bytes"))
+        .agg(count(lit(1)).as("n_gaps"))
+        .select(col("gap_bytes"), col("n_gaps"),
+          (col("gap_bytes") * col("n_gaps")).as("varint_bytes"),
+          (col("n_gaps") * 8L).as("raw_bytes"))
+    },
+    Some {
+      val bytesSql = "1 + " + VarintThresholds
+        .map(t => s"(CASE WHEN gap >= $t THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id,
+         |   unnest(string_split(text, ' ')) AS term FROM documents),
+         | g AS (SELECT term, doc_id - COALESCE(LAG(doc_id) OVER (
+         |   PARTITION BY term ORDER BY doc_id ASC), 0) AS gap
+         |  FROM tok WHERE len(term) > 0),
+         | b AS (SELECT CAST(($bytesSql) AS BIGINT) AS gap_bytes FROM g)
+         | SELECT gap_bytes, COUNT(*) AS n_gaps,
+         |  CAST(gap_bytes * COUNT(*) AS BIGINT) AS varint_bytes,
+         |  CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes
+         | FROM b GROUP BY gap_bytes""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDecontaminate, qSampleStratified, qRepetition, qVocabBigrams,
     qGroupedTopK, qSequencePack, qMixtureSample, qMixturePlanner, qShardShuffle,
@@ -1899,5 +2090,6 @@ object Corpus {
     qCollocations, qCountMin, qBloomDecontaminate, qSnapshotDiff,
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
-    qHeavyHitters, qShardChecksums, qManifestDiff)
+    qHeavyHitters, qShardChecksums, qManifestDiff, qPaddingWaste,
+    qBurstiness, qPostingSizing)
 }

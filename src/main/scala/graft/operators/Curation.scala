@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
 import graft.functions.{Exact, HashedLinearScore, PolyHash}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline — the composite query a
@@ -1382,9 +1382,165 @@ object Curation {
            |  COUNT(DISTINCT band) < 3 AS at_risk
            | FROM b GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
 
+  /** The ordered sensitive-value bins q175 measures distance over: the
+    * q174 1000-unit account-balance bands, clamped to the TPC-H balance
+    * domain [-999.99, 9999.99] → bands −1..9 (m = 11 bins, m−1 = 10).
+    * A literal grid (the q171 KAnonGrid discipline) so the dense
+    * cumulative frame never needs a data-dependent cross join.
+    */
+  private[graft] val TCloseBands: Seq[Long] = (-1L to 9L).toSeq
+
+  /** q175 — t-closeness audit (Li, Li & Venkatasubramanian 2007, public
+    * literature): the third leg of the privacy triad. A group can
+    * satisfy k-anonymity (q171) AND l-diversity (q174) and still leak:
+    * if its sensitive-value DISTRIBUTION skews far from the table-wide
+    * one, membership shifts an attacker's posterior. Per
+    * quasi-identifier group (nation, segment): Earth-Mover's Distance
+    * between the group's account-balance-band distribution and the
+    * global band distribution, the ordered-attribute distance the paper
+    * prescribes (EMD over m ordered bins with unit ground distance =
+    * Σᵢ |cumulative share difference| / (m−1)). Flagged at the paper's
+    * canonical t = 0.20.
+    *
+    * Exactness: shares are 1e-6 fixed-point integers (`(1e6·cnt) div n`,
+    * the q115/q165 TVD discipline — overflow-free at any corpus size
+    * where raw cross-products `cnt·N` would not be), the cumulative sum
+    * and |·| are integer ops, and the single final division is integer
+    * `div 10` — every byte identical on both engines and at any
+    * parallelism.
+    *
+    * Scale shape: ONE corpus scan into a (group × band) map-side-combined
+    * count frame (catalog-sized: |nations|·|segments|·11), group and
+    * global marginals derived from IT (no second scan), the dense grid
+    * from a ×11 literal explode, the global marginal broadcast, N a
+    * single-row broadcast; the cumulative window runs over 11-row
+    * partitions. Corpus-linear scan, constant-size everything after.
+    */
+  val qTCloseness: QuerySpec = QuerySpec(
+    "q175_t_closeness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.load(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          greatest(lit(-1L), least(lit(9L),
+            floor(col("c_acctbal") / lit(1000.0d)).cast("long"))).as("band"))
+      val gb = c.groupBy(col("c_nationkey"), col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("cnt"))
+      val g = gb.groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(sum(col("cnt")).as("n"))
+      val b = gb.groupBy(col("band")).agg(sum(col("cnt")).as("cnt_b"))
+      val tot = gb.agg(sum(col("cnt")).as("n_tot"))
+      val wCum = Window
+        .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+        .orderBy(col("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      g.select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          explode(typedlit(TCloseBands)).as("band"))
+        .join(gb, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .join(broadcast(b), Seq("band"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("band"),
+          (lit(1000000L) * coalesce(col("cnt"), lit(0L))).as("gnum"),
+          (lit(1000000L) * coalesce(col("cnt_b"), lit(0L))).as("bnum"),
+          col("n_tot"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("band"),
+          (expr("gnum div n") - expr("bnum div n_tot")).as("d"))
+        .withColumn("cdiff", sum(col("d")).over(wCum))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"))
+        .agg(expr("sum(abs(cdiff)) div 10").as("t_e6"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+          col("t_e6"), (col("t_e6") > 200000L).as("at_risk"))
+    },
+    Some("""WITH c AS (SELECT c_nationkey, c_mktsegment,
+           |   GREATEST(-1, LEAST(9, CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)))
+           |     AS band
+           |  FROM customer),
+           | gb AS (SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS cnt
+           |  FROM c GROUP BY 1, 2, 3),
+           | g AS (SELECT c_nationkey, c_mktsegment,
+           |   CAST(SUM(cnt) AS BIGINT) AS n FROM gb GROUP BY 1, 2),
+           | b AS (SELECT band, CAST(SUM(cnt) AS BIGINT) AS cnt_b
+           |  FROM gb GROUP BY 1),
+           | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM gb),
+           | grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n, bs.band
+           |  FROM g CROSS JOIN
+           |   (SELECT CAST(unnest(range(-1, 10)) AS BIGINT) AS band) bs),
+           | j AS (SELECT grid.c_nationkey, grid.c_mktsegment, grid.n,
+           |   grid.band,
+           |   (1000000 * COALESCE(gb.cnt, 0)) // grid.n
+           |    - (1000000 * COALESCE(b.cnt_b, 0)) // tot.n_tot AS d
+           |  FROM grid
+           |  LEFT JOIN gb ON grid.c_nationkey = gb.c_nationkey
+           |   AND grid.c_mktsegment = gb.c_mktsegment AND grid.band = gb.band
+           |  LEFT JOIN b ON grid.band = b.band
+           |  CROSS JOIN tot),
+           | cum AS (SELECT c_nationkey, c_mktsegment, n,
+           |   CAST(SUM(d) OVER (PARTITION BY c_nationkey, c_mktsegment
+           |    ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |    AS BIGINT) AS cdiff
+           |  FROM j)
+           | SELECT c_nationkey, c_mktsegment, n,
+           |  CAST(SUM(ABS(cdiff)) // 10 AS BIGINT) AS t_e6,
+           |  CAST(SUM(ABS(cdiff)) // 10 AS BIGINT) > 200000 AS at_risk
+           | FROM cum GROUP BY 1, 2, 3""".stripMargin.replaceAll("\n", "")))
+
+  /** q176 — differentially-private count release via the geometric
+    * mechanism (Ghosh, Roughgarden & Sundararajan 2009, public
+    * literature): per-nation customer counts released with two-sided
+    * geometric noise — the discrete analogue of the Laplace mechanism
+    * and its universally-optimal form for counting queries. Noise =
+    * G₁ − G₂ where each Gᵢ ~ Geometric(1/2) is the trailing-zero count
+    * of a salted [[PolyHash]] of the group key (a uniform bit field's
+    * trailing zeros are exactly Geometric(1/2)), giving α = 1/2 ⇒
+    * ε = ln 2 per released count at sensitivity 1. Released counts are
+    * clamped at 0 (post-processing preserves DP).
+    *
+    * The hash-derived draw is a deterministic PRF surrogate — it makes
+    * the release REPRODUCIBLE and oracle-able (the engine claim under
+    * test is the mechanism's arithmetic, not the entropy source); a
+    * production release swaps the salt for a keyed secret. The true `n`
+    * column ships here as the audit artifact; the released view drops
+    * it. Trailing zeros via the branch-free identity
+    * `bit_count(~x & (x−1))` — identical two's-complement semantics on
+    * both engines (probed: bit_count(-1) = 64 on both).
+    *
+    * Scale shape: ONE map-side-combined groupBy to a catalog-sized
+    * frame, then per-row integer bit math — corpus-linear scan,
+    * constant everything after.
+    */
+  val qDpRelease: QuerySpec = QuerySpec(
+    "q176_dp_release",
+    (s, dir) => {
+      def tz(c: Column): Column =
+        bit_count(bitwise_not(c).bitwiseAND(c - lit(1L))).cast("long")
+      def h(salt: String): Column =
+        PolyHash(concat(lit(salt + "|"), col("c_nationkey").cast("string")))
+      Tables.load(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("n"),
+          (tz(h("dp1")) - tz(h("dp2"))).as("noise"))
+        .select(col("c_nationkey"), col("n"), col("noise"),
+          greatest(lit(0L), col("n") + col("noise")).as("released"))
+    },
+    Some(s"""WITH g AS (SELECT c_nationkey, COUNT(*) AS n
+            |  FROM customer GROUP BY 1),
+            | h AS (SELECT c_nationkey, n,
+            |  ${PolyHash.oracleSql("'dp1|' || CAST(c_nationkey AS VARCHAR)")}
+            |    AS h1,
+            |  ${PolyHash.oracleSql("'dp2|' || CAST(c_nationkey AS VARCHAR)")}
+            |    AS h2
+            |  FROM g),
+            | t AS (SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+            |   CAST(bit_count(~h1 & (h1 - 1)) AS BIGINT)
+            |    - CAST(bit_count(~h2 & (h2 - 1)) AS BIGINT) AS noise
+            |  FROM h)
+            | SELECT c_nationkey, n, noise,
+            |  GREATEST(CAST(0 AS BIGINT), n + noise) AS released
+            | FROM t""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
     qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
-    qSelectionShift, qKAnonymity, qLDiversity)
+    qSelectionShift, qKAnonymity, qLDiversity, qTCloseness, qDpRelease)
 }

@@ -1750,6 +1750,96 @@ object Dedup {
             | FROM flags f JOIN taint t USING (cluster_id)
             | WHERE f.is_eval = 0""".stripMargin.replaceAll("\n", "")))
 
+  /** The (rows-per-band r, bands b) grid q181 scores — every banding of
+    * the SAME 16-hash signature budget (r·b = 16), i.e. the design
+    * choice available without recomputing signatures. Stored as
+    * (log₂ r, log₂ b) so both engines build the S-curve power
+    * `1 − (1 − jʳ)ᵇ` by repeated squaring — identical multiplication
+    * trees, bit-identical doubles.
+    */
+  private val PlannerConfigs: Seq[(Int, Int)] =
+    Seq((0, 4), (1, 3), (2, 2), (3, 1), (4, 0))
+
+  /** q181 — LSH banding planner: for every (r, b) banding of the
+    * 16-hash budget, the EXPECTED outcome of re-banding, scored against
+    * the MEASURED candidate-pair Jaccard distribution (the q92 frame):
+    * catch probability under banding is the S-curve
+    * P(j) = 1 − (1 − jʳ)ᵇ (MinHash banding theory — Leskovec/Rajaraman/
+    * Ullman, Mining of Massive Datasets, public literature), so
+    * Σ P(j) over true pairs (j ≥ 0.7, the q23 policy) is the expected
+    * kept-pair mass and Σ P(j) over below-threshold candidates is the
+    * expected false-candidate verification load. The table answers the
+    * tuning question "would (8,2) cut verification volume without
+    * losing dups?" from data already measured — no re-banding runs.
+    * Conditional on the current banding's candidates (pairs no banding
+    * of this budget catches are invisible to ANY (r,b) here — noted,
+    * not a bias between configs at fixed budget).
+    *
+    * Exactness: j = |∩|/|∪| (one IEEE division), powers by repeated
+    * squaring (identical trees both engines), and the sums are
+    * [[Exact.dsum]] decimal sums — order-insensitive, so the scores are
+    * bitwise stable at any parallelism.
+    *
+    * Scale shape: identical to q92 up to the verify join (banded
+    * candidates only — never all-pairs), then a ×5 literal config
+    * explode on the candidate frame (≪ corpus) and a 5-group
+    * map-side-combined rollup.
+    */
+  val qLshPlanner: QuerySpec = QuerySpec(
+    "q181_lsh_planner",
+    (s, dir) => {
+      def sq(c: Column, times: Int): Column =
+        (1 to times).foldLeft(c)((x, _) => x * x)
+      val docs = minhashAgg(
+        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val cand = lshCandidates(docs)
+      val sets = docs.select(col("doc_id"), col("H"))
+      val jp = cand
+        .join(sets.select(col("doc_id").as("doc_id_1"), col("H").as("H1")),
+          "doc_id_1")
+        .join(sets.select(col("doc_id").as("doc_id_2"), col("H").as("H2")),
+          "doc_id_2")
+        .select(jaccard(col("H1"), col("H2")).as("j"))
+      val scurves = PlannerConfigs.map { case (lr, lb) =>
+        val p = lit(1.0d) - sq(lit(1.0d) - sq(col("j"), lr), lb)
+        struct(lit(1 << lr).as("r"), lit(1 << lb).as("b"), p.as("p"))
+      }
+      jp.select(col("j"), explode(array(scurves: _*)).as("c"))
+        .select(col("j"), col("c.r").as("r"), col("c.b").as("b"),
+          col("c.p").as("p"))
+        .groupBy(col("r"), col("b"))
+        .agg(
+          sum(when(col("j") >= 0.7d, 1L).otherwise(0L)).as("n_true_pairs"),
+          Exact.dsum(when(col("j") >= 0.7d, col("p")).otherwise(0.0d))
+            .as("exp_caught_true"),
+          Exact.dsum(when(col("j") < 0.7d, col("p")).otherwise(0.0d))
+            .as("exp_false_candidates"))
+    },
+    Some {
+      def sqSql(e: String, times: Int): String =
+        (1 to times).foldLeft(e)((x, _) => s"($x * $x)")
+      val branches = PlannerConfigs.map { case (lr, lb) =>
+        val p = s"(CAST(1 AS DOUBLE) - ${sqSql(
+          s"(CAST(1 AS DOUBLE) - ${sqSql("j", lr)})", lb)})"
+        s"SELECT j, ${1 << lr} AS r, ${1 << lb} AS b, $p AS p FROM jp"
+      }.mkString(" UNION ALL ")
+      s"""WITH $lshCandSqlCtes,
+         | jp AS MATERIALIZED (SELECT
+         |   CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
+         |   CAST(len(list_distinct(list_concat(d1.H, d2.H))) AS DOUBLE) AS j
+         |  FROM cand JOIN ds d1 ON cand.doc_id_1 = d1.doc_id
+         |  JOIN ds d2 ON cand.doc_id_2 = d2.doc_id),
+         | px AS ($branches)
+         | SELECT r, b,
+         |  CAST(SUM(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true_pairs,
+         |  ${Exact.dsumSql("CASE WHEN j >= 0.7 THEN p ELSE 0.0 END")}
+         |    AS exp_caught_true,
+         |  ${Exact.dsumSql("CASE WHEN j < 0.7 THEN p ELSE 0.0 END")}
+         |    AS exp_false_candidates
+         | FROM px GROUP BY r, b""".stripMargin.replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
@@ -1757,5 +1847,5 @@ object Dedup {
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
-    qClusterLabels)
+    qClusterLabels, qLshPlanner)
 }

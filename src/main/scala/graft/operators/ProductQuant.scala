@@ -306,5 +306,106 @@ object ProductQuant {
          | $branches""".stripMargin.replaceAll("\n", "")
     })
 
-  val specs: Seq[QuerySpec] = Seq(qPqRecall)
+  /** The shortlist depths q180 sweeps — brackets the fixed `Rerank` (50)
+    * q74 ships as policy.
+    */
+  private val RerankDepths = Seq(10, 20, 50, 100)
+
+  /** q180 — ADC rerank-depth curve: recall@10 after exact-reranking the
+    * ADC top-k′ shortlist, for k′ ∈ {10, 20, 50, 100} at fixed
+    * nprobe = 2 — the OTHER serving knob next to q74's nprobe sweep.
+    * PQ scores are lossy, so the true top-10 hides below rank 10 in ADC
+    * order; the shortlist depth buys it back at the cost of k′ exact
+    * distance evaluations per query. This curve is the measurement a
+    * deployment reads to pick the smallest k′ clearing its recall
+    * target ("k′ = 50 recovers exact-search quality; 10 does not").
+    *
+    * Scale shape: q74's exact machinery unchanged — exact side one
+    * scan → 10-id literal; each depth is a TakeOrdered(k′) over the
+    * pruned ADC scan, the ≤k′-row shortlist broadcast against the
+    * pruned full-vector partitions, and a TakeOrdered(10) re-rank.
+    * Request-sized everything after the ADC scan.
+    */
+  val qRerankDepth: QuerySpec = QuerySpec(
+    "q180_rerank_depth",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      val cb = ensureTrained(s, dir)
+      val table = ensureCodes(s, dir)
+      val fullTable = Similarity.ensureClustered(s, dir)
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val q = emb.filter(col("vec_id") === 0).select(col("qe"))
+        .head().getSeq[Long](0)
+      val ranked = cents.zipWithIndex
+        .map { case (cq, cid) => (cid, l2(cq, q)) }
+        .sortBy { case (cid, d) => (d, cid) }.map(_._1)
+      val dt: Seq[Seq[Long]] = (0 until M).map(m =>
+        (0 until K).map(c => l2(q.slice(m * Ds, (m + 1) * Ds), cb(m)(c))))
+      val qq = dotL(q, q)
+      def exactDist(qe: org.apache.spark.sql.Column) =
+        graft.functions.QDot(qe, qe) -
+          lit(2L) * graft.functions.QDot(qe, typedlit(q)) + lit(qq)
+      val exactIds = emb
+        .select(col("vec_id"), exactDist(col("qe")).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id"))
+        .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val probeCids = ranked.take(2)
+      val scored = s.table(table)
+        .filter(col("cid").isin(probeCids: _*))
+        .select(col("vec_id"), PqAdc(col("codes"), dt).as("adc"))
+      RerankDepths.map { d =>
+        val shortlist = scored
+          .orderBy(col("adc").asc, col("vec_id")).limit(d)
+          .select(col("vec_id"))
+        broadcast(shortlist)
+          .join(s.table(fullTable).filter(col("cid").isin(probeCids: _*)),
+            "vec_id")
+          .select(col("vec_id"), exactDist(col("qe")).as("dist"))
+          .orderBy(col("dist").asc, col("vec_id")).limit(10)
+          .filter(col("vec_id").isin(exactIds: _*))
+          .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+          .select(lit(d).as("rerank_k"), col("recall_at_10"))
+      }.reduce(_ union _)
+    },
+    Some {
+      val rrCtes = RerankDepths.map { d =>
+        s" rr$d AS (SELECT e.vec_id FROM (SELECT vec_id FROM cand" +
+          s" ORDER BY adc ASC, vec_id ASC LIMIT $d) sl" +
+          s" JOIN e ON sl.vec_id = e.vec_id, q" +
+          s" ORDER BY ${l2Sql("e.qe", "q.qqe", M * Ds)} ASC, e.vec_id LIMIT 10)"
+      }.mkString(",")
+      val branches = RerankDepths.map { d =>
+        s"SELECT $d AS rerank_k, (SELECT CAST(COUNT(*) AS DOUBLE) / 10.0" +
+          s" FROM ex JOIN rr$d ON ex.vec_id = rr$d.vec_id) AS recall_at_10"
+      }.mkString(" UNION ALL ")
+      s"""WITH ${Similarity.trainSqlCtes},
+         | $pqSqlCtes,
+         | q AS (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+         | fa AS (SELECT e.vec_id, e.qe, c.cid, ROW_NUMBER() OVER (
+         |   PARTITION BY e.vec_id
+         |   ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid) AS rk
+         |  FROM e, c${Similarity.TrainIters} c),
+         | fm AS MATERIALIZED (SELECT vec_id, cid FROM fa WHERE rk = 1),
+         | probe AS MATERIALIZED (SELECT c.cid, ROW_NUMBER() OVER (
+         |   ORDER BY ${l2Sql("c.cqe", "q.qqe", M * Ds)} ASC, c.cid) AS prk
+         |  FROM c${Similarity.TrainIters} c, q),
+         | qsv AS (SELECT m, qqe[(m * $Ds + 1):(m * $Ds + $Ds)] AS s8
+         |  FROM q, range(0, $M) t(m)),
+         | dt AS MATERIALIZED (SELECT c.m, c.pc, ${l2Sql("qs.s8", "c.c8", Ds)} AS dist
+         |  FROM p$Iters c JOIN qsv qs ON c.m = qs.m),
+         | adc AS MATERIALIZED (SELECT fm.vec_id, fm.cid, CAST(SUM(dt.dist) AS BIGINT) AS adc
+         |  FROM fm JOIN codes ON fm.vec_id = codes.vec_id
+         |   JOIN dt ON codes.m = dt.m AND codes.code = dt.pc
+         |  GROUP BY fm.vec_id, fm.cid),
+         | ex AS MATERIALIZED (SELECT e.vec_id,
+         |   ${l2Sql("e.qe", "q.qqe", M * Ds)} AS dist
+         |  FROM e, q ORDER BY dist ASC, vec_id LIMIT 10),
+         | cand AS MATERIALIZED (SELECT adc.vec_id, adc.adc FROM adc JOIN probe
+         |  ON adc.cid = probe.cid AND probe.prk <= 2),
+         |$rrCtes
+         | $branches""".stripMargin.replaceAll("\n", "")
+    })
+
+  val specs: Seq[QuerySpec] = Seq(qPqRecall, qRerankDepth)
 }

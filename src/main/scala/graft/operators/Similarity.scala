@@ -1110,9 +1110,189 @@ object Similarity {
             |    AS BIGINT) AS n_outlier
             | FROM d GROUP BY cid""".stripMargin.replaceAll("\n", "")))
 
+  /** The prefix dimensions q178 sweeps — powers of two up to the full
+    * embedding width, the granularity matryoshka-trained models expose.
+    */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** q178 — matryoshka truncation-recall curve (Kusupati et al. 2022,
+    * public literature): recall@10 of cosine top-10 computed on the
+    * FIRST d dimensions against the full-width exact top-10, for
+    * d ∈ {8, 16, 32, 64}. Matryoshka-trained embeddings front-load
+    * information into prefixes, so serving stacks shrink index memory
+    * (and ADC bandwidth) by storing truncated vectors — this curve is
+    * the measurement that licenses the cut ("d = 16 keeps 0.9
+    * recall@10 at 4× compression"). Truncated cosine = the SAME
+    * fixed-point kernel over `slice(qe, 1, d)` — quantization commutes
+    * with truncation, so no second quantize pass and the oracle reuses
+    * the one cosine convention.
+    *
+    * Scale shape: the exact side is computed ONCE and collected to a
+    * 10-id literal (the q60b rule); each sweep point is one map-side
+    * prefix-cosine scan + distributed TakeOrdered(10) — 4 two-column
+    * pruned scans total, never a global sort, never a pairwise shape.
+    */
+  val qMatryoshkaRecall: QuerySpec = QuerySpec(
+    "q178_matryoshka_recall",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), Exact.quantize(col("embedding")).as("qe"))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("qe")).head().getSeq[Long](0)
+      val bfIds = q19CosineTopK.build(s, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      MrlDims.map { d =>
+        emb.select(col("vec_id"),
+            Exact.cosineFromQuantized(slice(col("qe"), 1, d),
+              typedlit(q.take(d))).as("cs"))
+          .orderBy(col("cs").desc, col("vec_id"))
+          .limit(10)
+          .filter(col("vec_id").isin(bfIds: _*))
+          .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
+          .select(lit(d).as("dim"), col("recall_at_10"))
+      }.reduce(_ union _)
+    },
+    Some {
+      val trCtes = MrlDims.map { d =>
+        s" tr$d AS (SELECT e.vec_id," +
+          s" ${Exact.cosineSql(s"(e.qe[1:$d])", s"(q.qqe[1:$d])")} AS cs" +
+          " FROM e, q ORDER BY cs DESC, vec_id LIMIT 10)"
+      }.mkString(",")
+      val branches = MrlDims.map { d =>
+        s"SELECT $d AS dim, (SELECT CAST(COUNT(*) AS DOUBLE) / 10.0" +
+          s" FROM bf JOIN tr$d ON bf.vec_id = tr$d.vec_id) AS recall_at_10"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |  ${Exact.quantizeSql("embedding")} AS qe FROM embeddings),
+         | q AS MATERIALIZED (SELECT qe AS qqe FROM e WHERE vec_id = 0),
+         | bf AS MATERIALIZED (SELECT e.vec_id,
+         |   ${Exact.cosineSql("e.qe", "q.qqe")} AS cos_sim
+         |  FROM e, q ORDER BY cos_sim DESC, vec_id LIMIT 10),
+         |$trCtes
+         | $branches""".stripMargin.replaceAll("\n", "")
+    })
+
+  /** Driver-side twin of [[bandHashCol]] (same [[planeWeight]] grid,
+    * same strict `> 0` sign rule) — the query's 4 band codes as
+    * literals, the q60b tiny-deterministic-results discipline.
+    */
+  private def bandHashesOf(q: Seq[Long]): Seq[Long] =
+    (0 until NumBands).map { b =>
+      (0 until PlanesPerBand).map { i =>
+        val dot = (0 until Dim).map(d => q(d) * planeWeight(b * PlanesPerBand + i, d)).sum
+        if (dot > 0) 1L << i else 0L
+      }.sum
+    }
+
+  /** q179 — multi-probe sign-LSH serving (Lv et al. 2007, public
+    * literature): probe the persisted q52 embedding index with the
+    * query's own band codes (t = 0) PLUS every 1-bit flip of each code
+    * (t = 1, the exhaustive depth-1 probing sequence — margin-ranked
+    * probing is the heuristic refinement; exhaustive is deterministic
+    * and oracle-able). Near-miss neighbors differ from the query on
+    * exactly one hyperplane per band, so single-probe LSH misses them
+    * while multi-probe recovers them WITHOUT more hash tables — the
+    * standard memory/recall trade. Output per depth: candidate count
+    * and recall@10 vs the exact top-10 — measuring exactly what the
+    * extra probes buy.
+    *
+    * Scale shape: probe keys are 4·17 literals broadcast against the
+    * (band, bh)-bucketed index — the store side never shuffles (q52's
+    * property) and reads only matching buckets; candidates are
+    * bucket-occupancy-bounded (~68·N/2^16 rows), so the min-t collapse,
+    * exact re-rank, and rank windows all run on a request-sized frame.
+    * The exact side is one scan collected to a 10-id literal (q60b).
+    */
+  val qMultiprobeLsh: QuerySpec = QuerySpec(
+    "q179_multiprobe_lsh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = graft.sources.EmbeddingIndex.ensure(s, dir)
+      val q = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") === 0)
+        .select(Exact.quantize(col("embedding")).as("qe"))
+        .head().getSeq[Long](0)
+      val bfIds = q19CosineTopK.build(s, dir)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      val codes = bandHashesOf(q)
+      val probes = codes.zipWithIndex.flatMap { case (bh, band) =>
+        (band, bh, 0) +: (0 until PlanesPerBand).map(i =>
+          (band, bh ^ (1L << i), 1))
+      }
+      import s.implicits._
+      val pframe = probes.toDF("pband", "pbh", "t")
+      val cand = s.table(idx)
+        .join(broadcast(pframe),
+          col("band") === col("pband") && col("bh") === col("pbh"))
+        .groupBy(col("vec_id"))
+        // cs is a pure function of (qe, q) and qe is identical across a
+        // vec_id's band rows, so min is just the deterministic pick
+        .agg(min(col("t")).as("t_min"),
+          min(Exact.cosineFromQuantized(col("qe"), typedlit(q))).as("cs"))
+      val r1 = Window.orderBy(col("cs").desc, col("vec_id"))
+      val r0 = Window.partitionBy(col("t_min"))
+        .orderBy(col("cs").desc, col("vec_id"))
+      val ranked = cand
+        .withColumn("rk1", row_number().over(r1))
+        .withColumn("rk0", row_number().over(r0))
+        .withColumn("in_bf", col("vec_id").isin(bfIds: _*))
+      ranked.agg(
+          sum(when(col("t_min") === 0, 1L).otherwise(0L)).as("c0"),
+          (sum(when(col("t_min") === 0 && col("rk0") <= 10 && col("in_bf"),
+            1L).otherwise(0L)).cast("double") / 10.0).as("rec0"),
+          count(lit(1)).as("c1"),
+          (sum(when(col("rk1") <= 10 && col("in_bf"), 1L).otherwise(0L))
+            .cast("double") / 10.0).as("rec1"))
+        .select(explode(array(
+          struct(lit(0).as("t"), col("c0").as("candidates"),
+            col("rec0").as("recall_at_10")),
+          struct(lit(1).as("t"), col("c1").as("candidates"),
+            col("rec1").as("recall_at_10")))).as("r"))
+        .select(col("r.t").as("t"), col("r.candidates"),
+          col("r.recall_at_10"))
+    },
+    Some(s"""WITH b AS MATERIALIZED (SELECT vec_id,
+            |  ${Exact.quantizeSql("embedding")} AS qe FROM embeddings),
+            | q AS MATERIALIZED (SELECT qe AS qqe FROM b WHERE vec_id = 0),
+            | bb AS MATERIALIZED (SELECT vec_id, qe, t.band AS band,
+            |   ${bandHashSql("qe", "t.band")} AS bh
+            |  FROM b, range(0, $NumBands) t(band)),
+            | qb AS MATERIALIZED (SELECT t.band AS band,
+            |   ${bandHashSql("q.qqe", "t.band")} AS bh
+            |  FROM q, range(0, $NumBands) t(band)),
+            | pk AS (SELECT band, bh AS pbh, 0 AS t FROM qb
+            |  UNION ALL SELECT band,
+            |   xor(bh, (CAST(1 AS BIGINT) << CAST(f.i AS INT))), 1
+            |  FROM qb, range(0, $PlanesPerBand) f(i)),
+            | cd AS (SELECT bb.vec_id, MIN(pk.t) AS t_min
+            |  FROM bb JOIN pk ON bb.band = pk.band AND bb.bh = pk.pbh
+            |  GROUP BY bb.vec_id),
+            | cs AS (SELECT cd.vec_id, cd.t_min,
+            |   ${Exact.cosineSql("b.qe", "q.qqe")} AS cs
+            |  FROM cd JOIN b ON cd.vec_id = b.vec_id, q),
+            | bf AS MATERIALIZED (SELECT b.vec_id,
+            |   ${Exact.cosineSql("b.qe", "q.qqe")} AS csim
+            |  FROM b, q ORDER BY csim DESC, vec_id LIMIT 10),
+            | rk AS (SELECT cs.vec_id, cs.t_min, cs.cs,
+            |   ROW_NUMBER() OVER (ORDER BY cs.cs DESC, cs.vec_id) AS rk1,
+            |   ROW_NUMBER() OVER (PARTITION BY cs.t_min
+            |    ORDER BY cs.cs DESC, cs.vec_id) AS rk0,
+            |   (cs.vec_id IN (SELECT vec_id FROM bf)) AS in_bf
+            |  FROM cs)
+            | SELECT 0 AS t,
+            |  CAST(SUM(CASE WHEN t_min = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS candidates,
+            |  CAST(SUM(CASE WHEN t_min = 0 AND rk0 <= 10 AND in_bf
+            |    THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall_at_10
+            | FROM rk
+            | UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT),
+            |  CAST(SUM(CASE WHEN rk1 <= 10 AND in_bf THEN 1 ELSE 0 END)
+            |    AS DOUBLE) / 10.0
+            | FROM rk""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qEmbedNearDupCapped, qAnnIvf, qKmeansStep,
     qAnnTrained, qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
     qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect,
-    qPrincipalComponent, qClusterQuality)
+    qPrincipalComponent, qClusterQuality, qMatryoshkaRecall, qMultiprobeLsh)
 }

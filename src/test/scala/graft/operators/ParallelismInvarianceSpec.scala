@@ -147,7 +147,20 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Corpus.qManifestDiff, Curation.qKAnonymity, Dedup.qClusterLabels,
       // full-outer RRF fusion of two batched top-k plans (q173), exact
       // distinct over low-cardinality bands (q174)
-      Retrieval.qHybridServeBatch, Curation.qLDiversity)) {
+      Retrieval.qHybridServeBatch, Curation.qLDiversity,
+      // fixed-point EMD over dense literal band grids (q175), bit-math
+      // geometric noise on a bounded group frame (q176), histogram-derived
+      // exact batch manifest with sequence explode (q177)
+      Curation.qTCloseness, Curation.qDpRelease, Corpus.qPaddingWaste,
+      // prefix-cosine TakeOrdered sweep vs a 10-id literal (q178),
+      // literal-probe-key bucketed index join + rank windows (q179)
+      Similarity.qMatryoshkaRecall, Similarity.qMultiprobeLsh,
+      // ADC shortlist TakeOrdered sweep + broadcast re-rank (q180),
+      // dsum'd S-curve expectations over the candidate join (q181)
+      ProductQuant.qRerankDepth, Dedup.qLshPlanner,
+      // split fixed-point moment divisions + N broadcast (q182),
+      // per-term lag window + comparison-sum varint pricing (q183)
+      Corpus.qBurstiness, Corpus.qPostingSizing)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
