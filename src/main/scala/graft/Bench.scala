@@ -44,10 +44,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // static conf, so set at session build: the default 100-entry
-      // generated-class cache evicts between interleaved passes (78
-      // queries × several codegen units each), recompiling every pass
-      // and inflating sub-second medians ~40%
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // generated-class cache evicts between interleaved passes (the
+      // suite is ~190 queries × several codegen units each), recompiling
+      // every pass and inflating sub-second medians ~40%. 5000 held to
+      // 180 queries; the 189-query suite uniformly inflated ~30% (two
+      // idle runs 95.6/98.9 s vs the 180-query 70.4 s) until the cache
+      // was widened — size it ~5× the suite's apparent unit count so
+      // the next 50 queries don't silently re-trip this.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
