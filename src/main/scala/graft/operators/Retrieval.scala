@@ -802,8 +802,113 @@ object Retrieval {
             |  FROM fused)
             | WHERE frk <= 5""".stripMargin.replaceAll("\n", "")))
 
+  /** q184 — lexical/dense rank agreement via truncated rank-biased
+    * overlap (Webber, Moffat & Zobel 2010, public literature): per
+    * served query, |lex top-d ∩ dense top-d| at d ∈ {1,2,3} and the
+    * depth-3 RBO at persistence p = 1/2 — the fusion DIAGNOSTIC next to
+    * q173's fusion: low agreement means the two arms retrieve different
+    * documents (fusion adds real coverage), RBO → 1 means the arms are
+    * redundant and the second one is paying latency for nothing. With
+    * p = 1/2 and depth 3 the RBO weight vector is exactly
+    * (1/2)·(1, 1/2, 1/4)/d — common denominator 24 — so the score ships
+    * as the EXACT integer `rbo_x24 = 12·ov₁ + 3·ov₂ + 2·ov₃` (24 ≡
+    * identical top-3 prefixes), no floating point anywhere.
+    *
+    * Two pairs ship per query: `lex|dense` (the arm-independence
+    * diagnostic — 0 on this corpus: synthetic text and embeddings are
+    * unrelated, so the arms retrieve disjoint docs, exactly why q173's
+    * fusion adds coverage) and `fused|dense` (how much the q173 fusion
+    * REORDERS the dense arm — nonzero by construction, so the pair
+    * doubles as the gate's control that the overlap machinery counts).
+    *
+    * Scale shape: all inputs are the existing request-sized serving
+    * plans (q155 lexical, q143 dense, q173 fused); agreement is one
+    * equi-join of ≤batch·6 vs ≤batch·10 frames, a per-(pair, query)
+    * rollup, and a left join back to the literal pair×query grid so
+    * zero-overlap rows report 0 rather than vanish.
+    */
+  val qRankAgreement: QuerySpec = QuerySpec(
+    "q184_rank_agreement",
+    (s, dir) => {
+      import s.implicits._
+      val lex = qBm25ServeBatch.build(s, dir)
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(lit("lex|dense").as("pair"), col("query_id"),
+          col("doc_id"), col("rk").as("ra"))
+      val fused = qHybridServeBatch.build(s, dir)
+        .filter(col("frk") <= 3)
+        .select(lit("fused|dense").as("pair"), col("query_id"),
+          col("doc_id"), col("frk").as("ra"))
+      val den = qAnnServe.build(s, dir)
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("rb"))
+      def ovAt(d: Int) =
+        sum(when(col("ra") <= d && col("rb") <= d, 1L).otherwise(0L))
+          .as(s"ov_at_$d")
+      val ov = lex.union(fused).join(den, Seq("query_id", "doc_id"))
+        .groupBy(col("pair"), col("query_id"))
+        .agg(ovAt(1), ovAt(2), ovAt(3))
+      val grid = Seq("lex|dense", "fused|dense")
+        .flatMap(p => HybridQueryIds.map(q => (p, q)))
+        .toDF("pair", "query_id")
+      broadcast(grid)
+        .join(ov, Seq("pair", "query_id"), "left")
+        .select(col("pair"), col("query_id"),
+          coalesce(col("ov_at_1"), lit(0L)).as("ov_at_1"),
+          coalesce(col("ov_at_2"), lit(0L)).as("ov_at_2"),
+          coalesce(col("ov_at_3"), lit(0L)).as("ov_at_3"))
+        .select(col("pair"), col("query_id"), col("ov_at_1"),
+          col("ov_at_2"), col("ov_at_3"),
+          (lit(12L) * col("ov_at_1") + lit(3L) * col("ov_at_2")
+            + lit(2L) * col("ov_at_3")).as("rbo_x24"))
+    },
+    Some(s"""WITH $bm25ServeBatchSqlCtes,
+            | ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | $serveSqlCtes,
+            | lexf AS MATERIALIZED (SELECT query_id, doc_id, rk FROM lexb
+            |  WHERE rk <= 3 AND query_id IN ($HybridQueryIdsSql)),
+            | denf AS MATERIALIZED (SELECT query_id, vec_id AS doc_id, rnk
+            |  FROM srv WHERE query_id IN ($HybridQueryIdsSql)),
+            | fsd AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+            |   COALESCE(l.doc_id, d.doc_id) AS doc_id,
+            |   CAST(COALESCE($RrfScale // ($RrfK + l.rk), 0) +
+            |    COALESCE($RrfScale // ($RrfK + d.rnk), 0) AS BIGINT)
+            |    AS rrf_scaled
+            |  FROM lexf l FULL JOIN denf d
+            |   ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+            | fr AS (SELECT 'fused|dense' AS pair, query_id, doc_id,
+            |   frk AS ra FROM (SELECT *, ROW_NUMBER() OVER (
+            |    PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id)
+            |    AS frk FROM fsd) t WHERE frk <= 3),
+            | arms AS (SELECT 'lex|dense' AS pair, query_id, doc_id,
+            |   rk AS ra FROM lexf UNION ALL SELECT * FROM fr),
+            | m AS (SELECT a.pair, a.query_id,
+            |   CAST(SUM(CASE WHEN a.ra <= 1 AND d.rnk <= 1 THEN 1 ELSE 0
+            |    END) AS BIGINT) AS ov1,
+            |   CAST(SUM(CASE WHEN a.ra <= 2 AND d.rnk <= 2 THEN 1 ELSE 0
+            |    END) AS BIGINT) AS ov2,
+            |   CAST(SUM(CASE WHEN a.ra <= 3 AND d.rnk <= 3 THEN 1 ELSE 0
+            |    END) AS BIGINT) AS ov3
+            |  FROM arms a JOIN denf d
+            |   ON a.query_id = d.query_id AND a.doc_id = d.doc_id
+            |  GROUP BY a.pair, a.query_id),
+            | qg AS (SELECT p.pair, CAST(q.query_id AS BIGINT) AS query_id
+            |  FROM (SELECT unnest(['lex|dense', 'fused|dense']) AS pair) p
+            |  CROSS JOIN (SELECT unnest([$HybridQueryIdsSql]) AS query_id) q)
+            | SELECT qg.pair, qg.query_id,
+            |  COALESCE(m.ov1, 0) AS ov_at_1,
+            |  COALESCE(m.ov2, 0) AS ov_at_2,
+            |  COALESCE(m.ov3, 0) AS ov_at_3,
+            |  12 * COALESCE(m.ov1, 0) + 3 * COALESCE(m.ov2, 0)
+            |   + 2 * COALESCE(m.ov3, 0) AS rbo_x24
+            | FROM qg LEFT JOIN m
+            |  ON qg.pair = m.pair AND qg.query_id = m.query_id""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
-      qServeMrr, qHybridServeBatch)
+      qServeMrr, qHybridServeBatch, qRankAgreement)
 }

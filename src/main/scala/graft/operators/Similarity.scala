@@ -1290,9 +1290,62 @@ object Similarity {
             |    AS DOUBLE) / 10.0
             | FROM rk""".stripMargin.replaceAll("\n", "")))
 
+  /** q186 — serving-layout parity audit: for each persisted embedding
+    * layout this engine maintains (the q52 sign-LSH index, the q26c
+    * clustered-at-rest table, the q74 PQ codes store), its row count,
+    * distinct-vector count, and the vectors MISSING from / EXTRA vs the
+    * raw embeddings corpus — the integrity check an index operator runs
+    * after every ingest/compaction cycle. Every layout is a
+    * deterministic function of the corpus (index = NumBands rows per
+    * vector, clustered/codes = one row per vector), so the oracle can
+    * state the healthy populations from the raw table alone — and the
+    * gate therefore proves the ACTUAL stores hold exactly them: a
+    * double-append (idempotence bug), a dropped partition, or a
+    * half-committed compaction all surface as nonzero missing/extra or
+    * a wrong row count here.
+    *
+    * Scale shape: per store one (distinct vec_id) projection — the
+    * stores' narrowest column — full-outer-joined against the corpus id
+    * set (ids-only frames, the cheapest corpus-keyed shuffle), rolled up
+    * to ONE report row per store, 3 rows total.
+    */
+  val qLayoutParity: QuerySpec = QuerySpec(
+    "q186_layout_parity",
+    (s, dir) => {
+      val corpus = Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      val stores: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "lsh_index" -> s.table(graft.sources.EmbeddingIndex.ensure(s, dir)),
+        "clustered" -> s.table(ensureClustered(s, dir)),
+        "pq_codes" -> s.table(ProductQuant.ensureCodes(s, dir)))
+      stores.map { case (name, t) =>
+        val rows = t.agg(count(lit(1)).as("n_rows"))
+        val ids = t.select(col("vec_id")).distinct()
+        val parity = corpus.select(col("vec_id"), lit(1L).as("in_corpus"))
+          .join(ids.select(col("vec_id"), lit(1L).as("in_store")),
+            Seq("vec_id"), "full_outer")
+          .agg(sum(coalesce(col("in_store"), lit(0L))).as("n_vecs"),
+            sum(when(col("in_store").isNull, 1L).otherwise(0L))
+              .as("missing"),
+            sum(when(col("in_corpus").isNull, 1L).otherwise(0L))
+              .as("extra"))
+        parity.crossJoin(broadcast(rows))
+          .select(lit(name).as("store"), col("n_rows"), col("n_vecs"),
+            col("missing"), col("extra"))
+      }.reduce(_ union _)
+    },
+    Some(s"""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv
+            |  FROM embeddings)
+            | SELECT 'lsh_index' AS store, $NumBands * nv AS n_rows,
+            |  nv AS n_vecs, CAST(0 AS BIGINT) AS missing,
+            |  CAST(0 AS BIGINT) AS extra FROM n
+            | UNION ALL SELECT 'clustered', nv, nv, 0, 0 FROM n
+            | UNION ALL SELECT 'pq_codes', nv, nv, 0, 0 FROM n""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q19CosineTopK, qEmbedNearDup, qEmbedNearDupCapped, qAnnIvf, qKmeansStep,
     qAnnTrained, qAnnPruned, qAnnRecall, qAnnRecallSweep, qTranslationPairs,
     qClusterCohesion, qEmbedDecontaminate, qHardNegatives, qMmrSelect,
-    qPrincipalComponent, qClusterQuality, qMatryoshkaRecall, qMultiprobeLsh)
+    qPrincipalComponent, qClusterQuality, qMatryoshkaRecall, qMultiprobeLsh,
+    qLayoutParity)
 }

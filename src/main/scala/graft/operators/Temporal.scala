@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -353,7 +354,120 @@ object Temporal {
            |  MAX(gap) AS max_us
            | FROM c GROUP BY event_type""".stripMargin.replaceAll("\n", "")))
 
+  /** q185 — RFM segmentation (recency / frequency / monetary, the
+    * classic behavioral-segmentation grid): per user over the events
+    * stream, R = days since last activity (vs the corpus max day),
+    * F = event count, M = value total in exact 1e-2 fixed point (the
+    * `round(x·100)` rule the vector quantizer already proves identical
+    * on both engines); each dimension scored into its exact QUARTILE
+    * (rank-⌈p·n⌉ lower-quantile semantics, the q39/q163 discipline) and
+    * the 3-digit segment code `100·r_q + 10·f_q + m_q` rolled up —
+    * 111 = most recent/most active/highest spend quartile … 444 the
+    * inverse, ≤64 report rows.
+    *
+    * Scale shape: the per-user agg (map-side combine, the ONE
+    * corpus-keyed shuffle) runs twice — once feeding the threshold
+    * histogram, once the final scoring pass. Quartile thresholds come
+    * from ONE unpivoted (dimension, value, count) histogram — R and F
+    * naturally low-cardinality, M bucketed to 10-unit bands (`div
+    * 1000` on the e2 total, the q104 bounded-grid discipline: quartile
+    * boundaries at band resolution, never a user-cardinality sort) —
+    * with the q163 per-partition cumulative/total windows over the
+    * bounded grid, collapsing to ONE single-row frame broadcast back
+    * onto users; the final rollup is a ≤64-group map-side-combined agg.
+    */
+  val qRfmSegments: QuerySpec = QuerySpec(
+    "q185_rfm_segments",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("v2"))
+      val dmax = ev.agg(max(col("day")).as("dmax"))
+      val u = ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("uday"), count(lit(1)).as("f"),
+          sum(col("v2")).as("m2"))
+        .crossJoin(broadcast(dmax))
+        .select(col("user_id"), (col("dmax") - col("uday")).as("r"),
+          col("f"), col("m2"), expr("m2 div 1000").as("mb"))
+      val byV = Window.partitionBy(col("dim")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.partitionBy(col("dim"))
+      def keyAt(dim: String, rank1: Column): Column =
+        min(when(col("dim") === dim && col("cum") >= rank1, col("v")))
+      val thCols = Seq("r", "f", "mb").flatMap { d =>
+        Seq(keyAt(d, expr("(n + 3) div 4")).as(s"${d}_t25"),
+          keyAt(d, expr("(n + 1) div 2")).as(s"${d}_t50"),
+          keyAt(d, expr("(3 * n + 3) div 4")).as(s"${d}_t75"))
+      }
+      val th = u
+        .select(explode(array(
+          struct(lit("r").as("dim"), col("r").as("v")),
+          struct(lit("f").as("dim"), col("f").as("v")),
+          struct(lit("mb").as("dim"), col("mb").as("v")))).as("x"))
+        .select(col("x.dim").as("dim"), col("x.v").as("v"))
+        .groupBy(col("dim"), col("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(byV))
+        .withColumn("n", sum(col("cnt")).over(whole))
+        .agg(thCols.head, thCols.tail: _*)
+      def quartile(dim: String): Column =
+        lit(1L) + when(col(dim) > col(s"${dim}_t25"), 1L).otherwise(0L) +
+          when(col(dim) > col(s"${dim}_t50"), 1L).otherwise(0L) +
+          when(col(dim) > col(s"${dim}_t75"), 1L).otherwise(0L)
+      u.crossJoin(broadcast(th))
+        .select(col("user_id"), col("m2"),
+          (quartile("r") * 100L + quartile("f") * 10L + quartile("mb"))
+            .as("segment"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m2")).as("m2_total"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+           |   CAST(ROUND(value * 100) AS BIGINT) AS v2 FROM events),
+           | dm AS (SELECT MAX(day) AS dmax FROM ev),
+           | u AS MATERIALIZED (SELECT user_id, dmax - MAX(day) AS r,
+           |   CAST(COUNT(*) AS BIGINT) AS f, CAST(SUM(v2) AS BIGINT) AS m2,
+           |   CAST(SUM(v2) AS BIGINT) // 1000 AS mb
+           |  FROM ev CROSS JOIN dm GROUP BY user_id, dmax),
+           | n AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+           | tr AS (SELECT MIN(CASE WHEN cum >= (n + 3) // 4 THEN r END)
+           |    AS r_t25,
+           |   MIN(CASE WHEN cum >= (n + 1) // 2 THEN r END) AS r_t50,
+           |   MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN r END) AS r_t75
+           |  FROM (SELECT r, CAST(SUM(COUNT(*)) OVER (ORDER BY r
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |     AS BIGINT) AS cum FROM u GROUP BY r) h CROSS JOIN n),
+           | tf AS (SELECT MIN(CASE WHEN cum >= (n + 3) // 4 THEN f END)
+           |    AS f_t25,
+           |   MIN(CASE WHEN cum >= (n + 1) // 2 THEN f END) AS f_t50,
+           |   MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN f END) AS f_t75
+           |  FROM (SELECT f, CAST(SUM(COUNT(*)) OVER (ORDER BY f
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |     AS BIGINT) AS cum FROM u GROUP BY f) h CROSS JOIN n),
+           | tm AS (SELECT MIN(CASE WHEN cum >= (n + 3) // 4 THEN mb END)
+           |    AS mb_t25,
+           |   MIN(CASE WHEN cum >= (n + 1) // 2 THEN mb END) AS mb_t50,
+           |   MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN mb END) AS mb_t75
+           |  FROM (SELECT mb, CAST(SUM(COUNT(*)) OVER (ORDER BY mb
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |     AS BIGINT) AS cum FROM u GROUP BY mb) h CROSS JOIN n),
+           | seg AS (SELECT
+           |   (1 + (CASE WHEN r > r_t25 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN r > r_t50 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN r > r_t75 THEN 1 ELSE 0 END)) * 100
+           |   + (1 + (CASE WHEN f > f_t25 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN f > f_t50 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN f > f_t75 THEN 1 ELSE 0 END)) * 10
+           |   + (1 + (CASE WHEN mb > mb_t25 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN mb > mb_t50 THEN 1 ELSE 0 END)
+           |      + (CASE WHEN mb > mb_t75 THEN 1 ELSE 0 END)) AS segment,
+           |   m2
+           |  FROM u CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm)
+           | SELECT CAST(segment AS BIGINT) AS segment,
+           |  CAST(COUNT(*) AS BIGINT) AS n_users,
+           |  CAST(SUM(m2) AS BIGINT) AS m2_total
+           | FROM seg GROUP BY segment""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
-      qEventCadence)
+      qEventCadence, qRfmSegments)
 }

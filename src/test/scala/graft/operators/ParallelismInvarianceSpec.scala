@@ -160,7 +160,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       ProductQuant.qRerankDepth, Dedup.qLshPlanner,
       // split fixed-point moment divisions + N broadcast (q182),
       // per-term lag window + comparison-sum varint pricing (q183)
-      Corpus.qBurstiness, Corpus.qPostingSizing)) {
+      Corpus.qBurstiness, Corpus.qPostingSizing,
+      // request-sized serving-plan joins + literal pair grid (q184),
+      // double-pass user agg + unpivoted quartile histogram (q185)
+      Retrieval.qRankAgreement, Temporal.qRfmSegments,
+      // ids-only full-outer parity rollups over the three layouts (q186)
+      Similarity.qLayoutParity)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

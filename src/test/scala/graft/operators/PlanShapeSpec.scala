@@ -145,6 +145,48 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q179_multiprobe_lsh: literal probe keys broadcast; the index side never shuffles below the probe join") {
+    withStaticPlans {
+      val plan = Similarity.qMultiprobeLsh.build(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.isEmpty, s"multiprobe serving must never nested-loop:\n$plan")
+      val probes = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(probes.nonEmpty,
+        "the 68-key probe frame must reach the index via broadcast hash join")
+      // the store side of the probe join reads the bucketed index in
+      // place — a shuffle under it means the bucketing stopped matching.
+      // (streamedPlan is protected: identify it as the child without a
+      // broadcast exchange in its subtree)
+      probes.foreach { j =>
+        val streamed = j.children.filter(c => c.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+        }.isEmpty)
+        val shuffled = streamed.flatMap(_.collect {
+          case e: ShuffleExchangeExec => e
+        })
+        assert(shuffled.isEmpty,
+          s"the index side of the probe join gained a shuffle:\n$j")
+      }
+    }
+  }
+
+  test("q180_rerank_depth: every shortlist reaches the full vectors via broadcast; never cartesian") {
+    withStaticPlans {
+      val plan = ProductQuant.qRerankDepth.build(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+      }.isEmpty, s"rerank must never cartesian:\n$plan")
+      val bcast = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bcast.size >= 4,
+        s"each of the 4 depth branches must broadcast its <=k' shortlist (${bcast.size} found)")
+    }
+  }
+
   test("q155_bm25_serve_batch: request frames broadcast; only the 1-row stats join nested-loops") {
     withStaticPlans {
       val plan = Retrieval.qBm25ServeBatch.build(spark, dir)
