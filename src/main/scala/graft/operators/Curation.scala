@@ -1538,9 +1538,64 @@ object Curation {
             |  GREATEST(CAST(0 AS BIGINT), n + noise) AS released
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
+  /** q190 — the quality/cost Pareto frontier of the corpus (the 2-D
+    * skyline operator): docs for which no other doc is both more
+    * natural AND cheaper — naturalness = stopword hits per 1000 words
+    * in exact e3 fixed point (the TextMetrics gate signal, integerized
+    * so `div` ≡ `//`), cost = whitespace token count (the q29
+    * definition). The frontier is what a budget-constrained selection
+    * sweeps along: every point off it is strictly worse on both axes
+    * than some point on it.
+    *
+    * Scale shape: the classic skyline trick — dominance only needs the
+    * BEST cost at each quality level, so the corpus collapses to a
+    * ≤1001-point (quality, min-cost) grid in one map-side-combined agg
+    * (the grid is bounded by the e3 RESOLUTION, not the corpus); the
+    * strictly-improving filter is a running-min window over that tiny
+    * grid, and frontier membership rejoins to docs by broadcast on the
+    * exact (q_e3, n_tok) pair — all docs tied at a frontier point are
+    * mutually non-dominated and all emit. No doc×doc dominance join
+    * exists anywhere in the plan.
+    */
+  val qParetoFrontier: QuerySpec = QuerySpec(
+    "q190_pareto_frontier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          TextMetrics.wordCount(col("text")).cast("long").as("w"),
+          TextMetrics.stopCount(col("text")).cast("long").as("st"))
+        .filter(col("w") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr("(st * 1000) div w").as("q_e3"))
+      val grid = d.groupBy(col("q_e3")).agg(min(col("n_tok")).as("m"))
+      val byQ = Window.orderBy(col("q_e3").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val frontier = grid.withColumn("pm", min(col("m")).over(byQ))
+        .filter(col("pm").isNull || col("m") < col("pm"))
+        .select(col("q_e3"), col("m").as("n_tok"))
+      d.join(broadcast(frontier), Seq("q_e3", "n_tok"))
+        .select(col("doc_id"), col("q_e3"), col("n_tok"))
+    },
+    Some(s"""WITH d AS MATERIALIZED (SELECT doc_id,
+            |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+            |   (CAST(${TextMetrics.stopCountSql("text")} AS BIGINT) * 1000)
+            |    // CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS q_e3
+            |  FROM documents
+            |  WHERE ${TextMetrics.wordCountSql("text")} > 0),
+            | g AS (SELECT q_e3, MIN(n_tok) AS m FROM d GROUP BY q_e3),
+            | f AS (SELECT q_e3, m, MIN(m) OVER (ORDER BY q_e3 DESC
+            |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g)
+            | SELECT d.doc_id AS doc_id, d.q_e3 AS q_e3, d.n_tok AS n_tok
+            | FROM d JOIN f ON d.q_e3 = f.q_e3 AND d.n_tok = f.m
+            | WHERE f.pm IS NULL OR f.m < f.pm""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
     qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
     qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
-    qSelectionShift, qKAnonymity, qLDiversity, qTCloseness, qDpRelease)
+    qSelectionShift, qKAnonymity, qLDiversity, qTCloseness, qDpRelease,
+    qParetoFrontier)
 }

@@ -649,8 +649,99 @@ object Profiling {
             |  CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
             | FROM c""".stripMargin.replaceAll("\n", "")))
 
+  /** q191 — MAD-based robust outlier screening per event type (median
+    * absolute deviation, the robust-statistics alternative to mean±3σ
+    * that a single corrupt burst cannot drag): per type, the exact
+    * median of `round(value·100)`, the exact median of |v − med|, and
+    * the count of rows beyond the 3·1.4826·MAD fence — the consistency
+    * scaling 1.4826 rides as the e4 integer 14826 so the fence test is
+    * pure integer arithmetic (`dev · 10⁴ > 3 · 14826 · mad`),
+    * bit-exact on both engines.
+    *
+    * Scale shape: the corpus is scanned ONCE into the (type, v2)
+    * histogram (map-side combine; grid bounded by the VALUE DOMAIN at
+    * e2 resolution, not the corpus — the q39/q104 exact-percentile
+    * discipline; a wider domain would band to coarser units first).
+    * Both medians, the deviation histogram, and the fence counts all
+    * derive from that histogram: the deviation histogram is a regroup
+    * of histogram ROWS around the broadcast per-type median, and the
+    * outlier count weighs histogram rows — no second corpus pass
+    * anywhere.
+    */
+  val qMadOutliers: QuerySpec = QuerySpec(
+    "q191_mad_outliers",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(ROUND(value * 100) AS BIGINT)").as("v2"))
+        .groupBy(col("event_type"), col("v2")).agg(count(lit(1)).as("cnt"))
+      def medianOf(hist: org.apache.spark.sql.DataFrame, v: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val byV = Window.partitionBy(col("event_type")).orderBy(col(v))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum", sum(col("cnt")).over(byV))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col(v))).as(out))
+      }
+      val med = medianOf(h, "v2", "med")
+      val devh = h
+        .join(broadcast(med.select(col("event_type"), col("med"))),
+          Seq("event_type"))
+        .select(col("event_type"), abs(col("v2") - col("med")).as("dev"),
+          col("cnt"))
+        .groupBy(col("event_type"), col("dev")).agg(sum(col("cnt")).as("cnt"))
+      val mad = medianOf(devh, "dev", "mad")
+        .select(col("event_type"), col("mad"))
+      devh.join(broadcast(mad), Seq("event_type"))
+        .join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"), col("med"), col("mad"))
+        .agg(sum(when(col("dev") * 10000L > lit(3L) * 14826L * col("mad"),
+          col("cnt")).otherwise(lit(0L))).as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med").as("med_e2"),
+          col("mad").as("mad_e2"), col("n_outliers"),
+          expr("(n_outliers * 1000000) div n").as("outlier_ppm"))
+    },
+    Some("""WITH h AS MATERIALIZED (SELECT event_type,
+           |   CAST(ROUND(value * 100) AS BIGINT) AS v2,
+           |   CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+           | c AS (SELECT event_type, v2, cnt,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY v2
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM h),
+           | med AS MATERIALIZED (SELECT event_type, MAX(n) AS n,
+           |   MIN(CASE WHEN cum >= (n + 1) // 2 THEN v2 END) AS med
+           |  FROM c GROUP BY event_type),
+           | dh AS MATERIALIZED (SELECT h.event_type,
+           |   ABS(v2 - med) AS dev, CAST(SUM(cnt) AS BIGINT) AS cnt
+           |  FROM h JOIN med ON h.event_type = med.event_type GROUP BY 1, 2),
+           | dc AS (SELECT event_type, dev, cnt,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum,
+           |   CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           |  FROM dh),
+           | mad AS (SELECT event_type,
+           |   MIN(CASE WHEN cum >= (n + 1) // 2 THEN dev END) AS mad
+           |  FROM dc GROUP BY event_type),
+           | f AS (SELECT dh.event_type AS event_type, med.n AS n,
+           |   med.med AS med_e2, mad.mad AS mad_e2,
+           |   CAST(SUM(CASE WHEN dh.dev * 10000 > 3 * 14826 * mad.mad
+           |    THEN dh.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+           |  FROM dh JOIN med ON dh.event_type = med.event_type
+           |  JOIN mad ON dh.event_type = mad.event_type
+           |  GROUP BY dh.event_type, med.n, med.med, mad.mad)
+           | SELECT event_type, n, med_e2, mad_e2, n_outliers,
+           |  CAST((n_outliers * 1000000) // n AS BIGINT) AS outlier_ppm
+           | FROM f""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
       qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
-      qDatasetCard, qVocabGrowth)
+      qDatasetCard, qVocabGrowth, qMadOutliers)
 }

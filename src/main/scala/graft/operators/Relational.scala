@@ -562,11 +562,150 @@ object Relational {
            |    sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
            | FROM m""".stripMargin.replaceAll("\n", "")))
 
+  /** q189 — market-basket association rules over order baskets (the
+    * classic co-occurrence mining operator, Agrawal & Srikant 1994):
+    * for every part pair co-ordered in ≥2 baskets, support count,
+    * directional confidences, and lift — all in exact e6 fixed point
+    * (every quantity is a non-negative integer count, so `div` ≡
+    * DuckDB `//` and the result is bit-exact, no double division).
+    *
+    * Scale shape: candidate pairs come ONLY from the per-basket
+    * self-equi-join on l_orderkey (a<b orientation halves it), bounded
+    * by basket size (≤13 distinct parts per TPC-H order → ≤78
+    * pairs/basket, independent of corpus size) — never an all-pairs
+    * item join. The pair rollup is a map-side-combinable hash agg; item
+    * supports join back on the pair's part keys (plain equi-joins that
+    * AQE broadcast-picks when the item table is small); the basket
+    * total is a single-row broadcast. BIGINT products hold to ~10^12
+    * baskets × e6 scaling; past that the lift numerator graduates to
+    * DECIMAL(38) — the q63 moment-sum rule.
+    */
+  val qMarketBasket: QuerySpec = QuerySpec(
+    "q189_market_basket",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nb = items.agg(count_distinct(col("ok")).as("n_baskets"))
+      val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+      items.select(col("ok"), col("pk").as("a"))
+        .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(cnt.toDF("a", "n_a"), Seq("a"))
+        .join(cnt.toDF("b", "n_b"), Seq("b"))
+        .crossJoin(broadcast(nb))
+        .select(col("a").as("part_a"), col("b").as("part_b"),
+          col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * 1000000) div n_a").as("conf_ab_e6"),
+          expr("(n_ab * 1000000) div n_b").as("conf_ba_e6"),
+          expr("(n_ab * n_baskets * 1000000) div (n_a * n_b)").as("lift_e6"))
+    },
+    Some("""WITH i AS MATERIALIZED (
+           |   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           | nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM i),
+           | c AS MATERIALIZED (
+           |   SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM i GROUP BY pk),
+           | p AS (SELECT a.pk AS a, b.pk AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           |   FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+           |   GROUP BY a.pk, b.pk)
+           | SELECT p.a AS part_a, p.b AS part_b, p.n_ab AS n_ab,
+           |  ca.n AS n_a, cb.n AS n_b,
+           |  CAST((p.n_ab * 1000000) // ca.n AS BIGINT) AS conf_ab_e6,
+           |  CAST((p.n_ab * 1000000) // cb.n AS BIGINT) AS conf_ba_e6,
+           |  CAST((p.n_ab * n_baskets * 1000000) // (ca.n * cb.n) AS BIGINT)
+           |    AS lift_e6
+           | FROM p JOIN c ca ON p.a = ca.pk JOIN c cb ON p.b = cb.pk
+           | CROSS JOIN nb
+           | WHERE p.n_ab >= 2""".stripMargin.replaceAll("\n", "")))
+
+  /** Hub cap for q188's wedge centers (declared before the oracle SQL
+    * that interpolates it — the object-init-order rule). Common-neighbor
+    * counting fans out as Σ C(deg(center), 2) wedges, so centers above
+    * this degree are excluded — the MaxSpanDf discipline applied to
+    * wedges: bounded per-center work at any corpus size, with the
+    * approximation (hub centers contribute no wedges) stated rather
+    * than silent. Co-order degrees at the gated scales peak at 51, so
+    * the cap only engages on pathological hubs.
+    */
+  private val LinkDegCap = 64L
+
+  /** q188 — co-purchase link prediction by wedge closure (item-based
+    * collaborative filtering, Sarwar et al. 2001 neighborhood method +
+    * the common-neighbors predictor of Liben-Nowell & Kleinberg 2003):
+    * over the co-order graph — parts are nodes, an edge means co-ordered
+    * in ≥2 baskets (q189's support floor) — every NON-adjacent part
+    * pair reachable through a shared neighbor gets its common-neighbor
+    * count and neighborhood-Jaccard `cn / (deg_a + deg_b − cn)` in
+    * exact e6 fixed point: the "customers who bought these also
+    * bought…" candidates, ranked.
+    *
+    * Scale shape: the edge list materializes ONCE through scratch (it
+    * is referenced four times downstream — degree table, both wedge
+    * scans, the adjacency anti-join — and per-branch re-execution of
+    * the basket self-join is the union-branch trap); wedges come ONLY
+    * from the hub-capped center equi-join (b<c orientation halves it),
+    * never an all-pairs part join; existing edges leave via one
+    * anti-join and degree lookups are node-sized equi-joins.
+    */
+  val qLinkPrediction: QuerySpec = QuerySpec(
+    "q188_link_prediction",
+    (s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val p = items.select(col("ok"), col("pk").as("a"))
+        .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("a"), col("b"))
+      val edges = Scratch.flush(s, "q188-edges",
+        p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+          .toDF("u", "v"))
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val ce = edges
+        .join(deg.filter(col("deg") <= LinkDegCap).select(col("u")), Seq("u"))
+      val cn = ce.toDF("a", "b").join(ce.toDF("a", "c"), Seq("a"))
+        .filter(col("b") < col("c"))
+        .groupBy(col("b"), col("c")).agg(count(lit(1)).as("cn"))
+      cn.join(edges.toDF("b", "c"), Seq("b", "c"), "left_anti")
+        .join(deg.toDF("b", "deg_b"), Seq("b"))
+        .join(deg.toDF("c", "deg_c"), Seq("c"))
+        .select(col("b").as("part_a"), col("c").as("part_b"), col("cn"),
+          expr("(cn * 1000000) div (deg_b + deg_c - cn)").as("jacc_e6"))
+    },
+    Some(s"""WITH i AS MATERIALIZED (
+            |   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            |   FROM lineitem),
+            | p AS (SELECT a.pk AS a, b.pk AS b
+            |  FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+            |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+            | edges AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+            |  UNION ALL SELECT b, a FROM p),
+            | deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            |  FROM edges GROUP BY u),
+            | ce AS MATERIALIZED (SELECT e.u, e.v FROM edges e
+            |  JOIN deg d ON e.u = d.u WHERE d.deg <= $LinkDegCap),
+            | cn AS MATERIALIZED (SELECT x.v AS b, y.v AS c,
+            |   CAST(COUNT(*) AS BIGINT) AS cn
+            |  FROM ce x JOIN ce y ON x.u = y.u AND x.v < y.v
+            |  GROUP BY x.v, y.v),
+            | m AS (SELECT b, c, cn FROM cn
+            |  WHERE NOT EXISTS (SELECT 1 FROM edges e
+            |   WHERE e.u = cn.b AND e.v = cn.c))
+            | SELECT m.b AS part_a, m.c AS part_b, m.cn AS cn,
+            |  CAST((m.cn * 1000000) // (db.deg + dc.deg - m.cn) AS BIGINT)
+            |   AS jacc_e6
+            | FROM m JOIN deg db ON m.b = db.u
+            | JOIN deg dc ON m.c = dc.u""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
     q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube,
-    q63Correlation)
+    q63Correlation, qMarketBasket, qLinkPrediction)
 }

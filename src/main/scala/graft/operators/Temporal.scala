@@ -467,7 +467,87 @@ object Temporal {
            |  CAST(SUM(m2) AS BIGINT) AS m2_total
            | FROM seg GROUP BY segment""".stripMargin.replaceAll("\n", "")))
 
+  /** q187 — peak session concurrency per day (the interval-stabbing /
+    * gauge operator: how many user sessions are simultaneously open):
+    * q38's gap-sessionized intervals become ±1 sweep-line deltas
+    * (+1 at start_us, −1 at end_us+1), the running delta sum at each
+    * change instant is the live-session gauge, and the per-day report
+    * is its max. The sweep-line is THE scalable shape for interval
+    * stabbing — no interval×interval overlap join exists anywhere in
+    * the plan, so there is nothing quadratic to cap.
+    *
+    * Scale shape: a naive `SUM OVER (ORDER BY t)` is a single-partition
+    * window; instead the prefix sum decomposes two-level exactly like
+    * q56's token offsets — deltas collapse per instant (map-side
+    * combine), the within-HOUR-bucket cumsum partitions by bucket, and
+    * the carry-in is a window over the bounded hour GRID (one row per
+    * hour with any session edge) broadcast back. The gate proves the
+    * decomposition ≡ the oracle's direct one-window prefix sum. At even
+    * larger per-hour volumes the bucket recurses to minutes — the q56
+    * rule.
+    */
+  val qConcurrency: QuerySpec = QuerySpec(
+    "q187_concurrency",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
+      val deltas = sess
+        .select(explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("d")),
+          struct((col("end_us") + 1).as("t"), lit(-1L).as("d")))).as("x"))
+        .select(col("x.t").as("t"), col("x.d").as("d"))
+        .groupBy(col("t")).agg(sum(col("d")).as("d"))
+        .withColumn("bucket", expr("t div 3600000000"))
+      val wIn = Window.partitionBy(col("bucket")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wBkt = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inB = deltas.withColumn("cum_in", sum(col("d")).over(wIn))
+      val carry = inB.groupBy(col("bucket")).agg(sum(col("d")).as("btot"))
+        .withColumn("carry", coalesce(sum(col("btot")).over(wBkt), lit(0L)))
+        .select(col("bucket"), col("carry"))
+      inB.join(broadcast(carry), Seq("bucket"))
+        .select(col("t"), (col("carry") + col("cum_in")).as("conc"))
+        .groupBy(expr("t div 86400000000").as("day"))
+        .agg(max(col("conc")).as("peak"), count(lit(1)).as("n_changes"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+           |  FROM events),
+           | l AS (SELECT *, lag(tus) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+           | n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+           |   THEN 1 ELSE 0 END AS new_sess FROM l),
+           | sq AS (SELECT *, CAST(SUM(new_sess) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |   AS session_seq FROM n),
+           | sess AS MATERIALIZED (SELECT user_id, session_seq,
+           |   MIN(tus) AS start_us, MAX(tus) AS end_us
+           |  FROM sq GROUP BY user_id, session_seq),
+           | d AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d FROM (
+           |   SELECT start_us AS t, CAST(1 AS BIGINT) AS d FROM sess
+           |   UNION ALL SELECT end_us + 1, CAST(-1 AS BIGINT) FROM sess) u
+           |  GROUP BY t),
+           | c AS (SELECT t, CAST(SUM(d) OVER (ORDER BY t
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |   AS conc FROM d)
+           | SELECT t // 86400000000 AS day, MAX(conc) AS peak,
+           |  CAST(COUNT(*) AS BIGINT) AS n_changes
+           | FROM c GROUP BY day""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
-      qEventCadence, qRfmSegments)
+      qEventCadence, qRfmSegments, qConcurrency)
 }

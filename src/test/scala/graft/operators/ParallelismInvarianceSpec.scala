@@ -165,7 +165,15 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // double-pass user agg + unpivoted quartile histogram (q185)
       Retrieval.qRankAgreement, Temporal.qRfmSegments,
       // ids-only full-outer parity rollups over the three layouts (q186)
-      Similarity.qLayoutParity)) {
+      Similarity.qLayoutParity,
+      // two-level sweep-line prefix decomposition (q187), scratch-flushed
+      // co-order edges + hub-capped wedge join (q188)
+      Temporal.qConcurrency, Relational.qLinkPrediction,
+      // basket self-join pair supports + broadcast basket total (q189),
+      // bounded quality-grid running-min frontier (q190), one-histogram
+      // double-median fence counts (q191)
+      Relational.qMarketBasket, Curation.qParetoFrontier,
+      Profiling.qMadOutliers)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
