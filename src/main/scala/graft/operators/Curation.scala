@@ -1561,14 +1561,17 @@ object Curation {
     "q190_pareto_frontier",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val d = Tables.load(s, dir, "documents")
+      // the two regexp passes run ONCE: d feeds both the grid agg and
+      // the frontier join-back, and per-branch re-execution would scan
+      // (and re-regex) the corpus twice
+      val d = Scratch.flush(s, "q190-docs", Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           TextMetrics.wordCount(col("text")).cast("long").as("w"),
           TextMetrics.stopCount(col("text")).cast("long").as("st"))
         .filter(col("w") > 0)
         .select(col("doc_id"), col("n_tok"),
-          expr("(st * 1000) div w").as("q_e3"))
+          expr("(st * 1000) div w").as("q_e3")))
       val grid = d.groupBy(col("q_e3")).agg(min(col("n_tok")).as("m"))
       val byQ = Window.orderBy(col("q_e3").desc)
         .rowsBetween(Window.unboundedPreceding, -1)

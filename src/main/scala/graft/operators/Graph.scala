@@ -302,6 +302,100 @@ object Graph {
          | GROUP BY e.u""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q193 — bridge-edge fragility audit per near-dup cluster: an edge
+    * in NO triangle is uncorroborated — a single LSH verification is
+    * the only evidence holding its two sides together, so a cluster
+    * whose spanning structure is mostly such edges is a chain merge
+    * that one false positive would have caused (the q86 over-merge
+    * audit from the edge side; q114's k-core finds the corroborated
+    * CORE, this scores what hangs off it). Per cluster: member count,
+    * edge count, triangle-free edge count, and fragility
+    * `bridges·10⁶ div edges` in exact e6 fixed point.
+    *
+    * Scale shape: triangle support reuses q107's degree-oriented wedge
+    * machinery verbatim (arboricity-bounded, oriented list flushed once
+    * — it is referenced three times); triangle edges explode 3-per-
+    * triangle and distinct-collapse; the bridge flag is one left join
+    * of the oriented edge list against that set; cluster labels come
+    * from the shared memoized [[DupGraph]] store, so the rollup is
+    * node/edge-sized throughout.
+    */
+  val qBridgeEdges: QuerySpec = QuerySpec(
+    "q193_bridge_edges",
+    (s, dir) => {
+      val edges = DupGraph.edges(s, dir)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val oriented = Scratch.flush(s, "q193-oriented", edges
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select(col("u"), col("v"), col("dv")))
+      val wedges = oriented.toDF("u", "b", "db")
+        .join(oriented.toDF("u", "c", "dc"), Seq("u"))
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+        .select(col("u").as("a"), col("b"), col("c"))
+      val triEdges = wedges
+        .join(oriented.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"))
+        .select(explode(array(
+          struct(col("a").as("x"), col("b").as("y")),
+          struct(col("a").as("x"), col("c").as("y")),
+          struct(col("b").as("x"), col("c").as("y")))).as("e"))
+        .select(least(col("e.x"), col("e.y")).as("u"),
+          greatest(col("e.x"), col("e.y")).as("v"))
+        .distinct()
+      val lab = DupGraph.labels(s, dir)
+      val members = lab.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      edges.filter(col("u") < col("v"))
+        .join(triEdges.withColumn("in_tri", lit(1L)), Seq("u", "v"), "left")
+        .join(lab, Seq("u"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("in_tri").isNull, 1L).otherwise(0L)).as("n_bridges"))
+        .join(members, Seq("cluster_id"))
+        .select(col("cluster_id"), col("n_members"), col("n_edges"),
+          col("n_bridges"),
+          expr("(n_bridges * 1000000) div n_edges").as("frag_e6"))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.ccSqlCtes},
+            | labels AS MATERIALIZED (SELECT u, MIN(r) AS cluster_id
+            |  FROM reach GROUP BY u),
+            | deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            |  FROM edges GROUP BY u),
+            | o AS MATERIALIZED (SELECT e.u, e.v, dv.deg AS dv
+            |  FROM edges e JOIN deg du ON e.u = du.u
+            |  JOIN deg dv ON e.v = dv.u
+            |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+            | tri AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+            |   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+            |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+            | te AS MATERIALIZED (SELECT DISTINCT LEAST(x, y) AS u,
+            |   GREATEST(x, y) AS v
+            |  FROM (SELECT a AS x, b AS y FROM tri
+            |   UNION ALL SELECT a, c FROM tri
+            |   UNION ALL SELECT b, c FROM tri) z),
+            | fl AS (SELECT e.u, e.v, l.cluster_id,
+            |   CASE WHEN te.u IS NULL THEN 1 ELSE 0 END AS is_bridge
+            |  FROM edges e
+            |  LEFT JOIN te ON te.u = e.u AND te.v = e.v
+            |  JOIN labels l ON l.u = e.u
+            |  WHERE e.u < e.v),
+            | mem AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT)
+            |   AS n_members FROM labels GROUP BY cluster_id),
+            | agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges,
+            |   CAST(SUM(is_bridge) AS BIGINT) AS n_bridges
+            |  FROM fl GROUP BY cluster_id)
+            | SELECT a.cluster_id AS cluster_id, m.n_members AS n_members,
+            |  a.n_edges AS n_edges, a.n_bridges AS n_bridges,
+            |  CAST((a.n_bridges * 1000000) // a.n_edges AS BIGINT) AS frag_e6
+            | FROM agg a JOIN mem m
+            |  ON a.cluster_id = m.cluster_id""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
-    Seq(qPageRank, qCentralCanonical, qTriangles, qKcore)
+    Seq(qPageRank, qCentralCanonical, qTriangles, qKcore, qBridgeEdges)
 }

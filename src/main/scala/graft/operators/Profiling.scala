@@ -672,10 +672,13 @@ object Profiling {
     "q191_mad_outliers",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val h = Tables.load(s, dir, "events")
+      // the one corpus scan: the histogram flushes through scratch
+      // because it feeds BOTH the median pass and the deviation regroup
+      // — per-branch re-execution would rescan events
+      val h = Scratch.flush(s, "q191-hist", Tables.load(s, dir, "events")
         .select(col("event_type"),
           expr("CAST(ROUND(value * 100) AS BIGINT)").as("v2"))
-        .groupBy(col("event_type"), col("v2")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"), col("v2")).agg(count(lit(1)).as("cnt")))
       def medianOf(hist: org.apache.spark.sql.DataFrame, v: String,
           out: String): org.apache.spark.sql.DataFrame = {
         val byV = Window.partitionBy(col("event_type")).orderBy(col(v))
@@ -740,8 +743,135 @@ object Profiling {
            |  CAST((n_outliers * 1000000) // n AS BIGINT) AS outlier_ppm
            | FROM f""".stripMargin.replaceAll("\n", "")))
 
+  /** q194 — mergeable HLL register cube (Flajolet et al. 2007, the
+    * register-level construction q96's builtin-tolerance check does not
+    * expose): per (event_type, day) a 64-register sketch of distinct
+    * users — the pre-aggregated distinct-count CUBE a 100 TB pipeline
+    * maintains so any date-range cardinality question is answered from
+    * register max-merge, never a rescan. The gate runs a 14-day range
+    * both ways — merged from the daily cube vs built directly from the
+    * range's rows — and pins them EQUAL (max-merge associativity made
+    * real in the implementation: dense-grid handling, zero registers,
+    * bucket math), alongside the exact distinct count for calibration.
+    *
+    * Everything is integer: register index = polyhash % 64, the
+    * remaining 25 hash bits give ρ = leading-zero rank via a 24-term
+    * comparison sum (the q183 branch-free discipline — no log), and
+    * the raw HLL estimator α·m²/Σ2^(−ρ) ships scaled by 2²⁶ with the
+    * bias constant as the e5 integer 70934, so `div` ≡ `//` end to end.
+    * 25-bit registers follow the 31-bit polyhash budget (documented
+    * saturation ≈ 2²⁵ distincts/bucket; a production 64-bit hash widens
+    * them — same plan shape).
+    *
+    * Scale shape: the cube build is ONE map-side-combinable max-agg to
+    * ≤ types × days × 64 rows; every downstream step (range merge,
+    * dense 64-bucket grid, estimator) runs on register-grid frames. The
+    * direct and exact sides exist only to gate the cube (the q84/q96
+    * accuracy-report convention) — at 100 TB only the cube path runs.
+    */
+  val qHllCube: QuerySpec = QuerySpec(
+    "q194_hll_cube",
+    (s, dir) => {
+      import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+      import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+      import graft.functions.PolyHash
+      def srl(x: Column, n: Column): Column = GraftShims.column(
+        ShiftRightUnsigned(GraftShims.expression(x), GraftShims.expression(n)))
+      val fl = (1 to 24)
+        .map(k => when(col("w") >= lit(1L << k), 1L).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val rows0 = Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          PolyHash(concat(lit("hll|"), col("user_id").cast("string")))
+            .as("h"))
+        .withColumn("bucket", col("h") % 64L)
+        .withColumn("w", expr("h div 64"))
+        .withColumn("rho",
+          when(col("w") === 0L, lit(26L)).otherwise(lit(25L) - fl))
+      val dmin = rows0.agg(min(col("day")).as("dmin"))
+      // the hashed/ranked range rows flush once: they feed the daily
+      // cube, the direct registers, and the exact count
+      val rows = Scratch.flush(s, "q194-rows",
+        rows0.crossJoin(broadcast(dmin))
+          .filter(col("day") < col("dmin") + 14))
+      val daily = rows.groupBy(col("event_type"), col("day"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      val gridKeys = rows.select(col("event_type")).distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0L), lit(63L))).as("bucket"))
+      val EstNum = 70934L * 4096L * 67108864L
+      def estimate(regs: DataFrame, out: String): DataFrame =
+        gridKeys.join(regs, Seq("event_type", "bucket"), "left")
+          .select(col("event_type"),
+            srl(lit(67108864L), coalesce(col("r"), lit(0L)).cast("int"))
+              .as("term"))
+          .groupBy(col("event_type")).agg(sum(col("term")).as("z"))
+          .select(col("event_type"),
+            expr(s"($EstNum) div (100000 * z)").as(out))
+      val merged = estimate(daily.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("r")).as("r")), "est_merged")
+      val direct = estimate(rows.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("r")), "est_direct")
+      rows.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(merged, Seq("event_type"))
+        .join(direct, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"), col("est_merged"),
+          col("est_direct"),
+          when(col("est_merged") === col("est_direct"), 1L).otherwise(0L)
+            .as("merge_ok"))
+    },
+    Some {
+      val flSql = (1 to 24)
+        .map(k => s"(CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val estNum = 70934L * 4096L * 67108864L
+      s"""WITH r0 AS MATERIALIZED (SELECT event_type, user_id,
+         |   epoch_us(ts) // 86400000000 AS day,
+         |   ${graft.functions.PolyHash.oracleSql(
+               "'hll|' || CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         | rr AS MATERIALIZED (SELECT event_type, user_id, day,
+         |   h % 64 AS bucket,
+         |   CAST(CASE WHEN w = 0 THEN 26 ELSE 25 - ($flSql) END AS BIGINT)
+         |    AS rho
+         |  FROM (SELECT *, h // 64 AS w FROM r0) r1
+         |  CROSS JOIN (SELECT MIN(day) AS dmin FROM r0) m
+         |  WHERE day < dmin + 14),
+         | daily AS (SELECT event_type, day, bucket, MAX(rho) AS r
+         |  FROM rr GROUP BY 1, 2, 3),
+         | gk AS MATERIALIZED (SELECT t.event_type,
+         |   CAST(g.range AS BIGINT) AS bucket
+         |  FROM (SELECT DISTINCT event_type FROM rr) t
+         |  CROSS JOIN range(64) g),
+         | zm AS (SELECT gk.event_type, CAST(SUM(
+         |    67108864 >> CAST(COALESCE(d.r, 0) AS INTEGER)) AS BIGINT) AS z
+         |  FROM gk LEFT JOIN (SELECT event_type, bucket, MAX(r) AS r
+         |    FROM daily GROUP BY 1, 2) d
+         |   ON gk.event_type = d.event_type AND gk.bucket = d.bucket
+         |  GROUP BY gk.event_type),
+         | zd AS (SELECT gk.event_type, CAST(SUM(
+         |    67108864 >> CAST(COALESCE(d.r, 0) AS INTEGER)) AS BIGINT) AS z
+         |  FROM gk LEFT JOIN (SELECT event_type, bucket, MAX(rho) AS r
+         |    FROM rr GROUP BY 1, 2) d
+         |   ON gk.event_type = d.event_type AND gk.bucket = d.bucket
+         |  GROUP BY gk.event_type),
+         | ex AS (SELECT event_type,
+         |   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         |  FROM rr GROUP BY event_type)
+         | SELECT ex.event_type AS event_type, ex.exact_users,
+         |  CAST($estNum // (100000 * zm.z) AS BIGINT) AS est_merged,
+         |  CAST($estNum // (100000 * zd.z) AS BIGINT) AS est_direct,
+         |  CASE WHEN $estNum // (100000 * zm.z) = $estNum // (100000 * zd.z)
+         |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS merge_ok
+         | FROM ex JOIN zm ON ex.event_type = zm.event_type
+         | JOIN zd ON ex.event_type = zd.event_type""".stripMargin
+        .replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
       qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
-      qDatasetCard, qVocabGrowth, qMadOutliers)
+      qDatasetCard, qVocabGrowth, qMadOutliers, qHllCube)
 }

@@ -583,9 +583,13 @@ object Relational {
   val qMarketBasket: QuerySpec = QuerySpec(
     "q189_market_basket",
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
+      // (ok, pk) distinct-collapses ONCE through scratch: it feeds the
+      // basket total, the item supports, and both sides of the pair
+      // join — four references that would each re-run the scan+distinct
+      // (the union-branch re-execution trap)
+      val items = Scratch.flush(s, "q189-items", t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .distinct())
       val nb = items.agg(count_distinct(col("ok")).as("n_baskets"))
       val cnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n"))
       items.select(col("ok"), col("pk").as("a"))
@@ -652,9 +656,9 @@ object Relational {
   val qLinkPrediction: QuerySpec = QuerySpec(
     "q188_link_prediction",
     (s, dir) => {
-      val items = t(s, dir, "lineitem")
+      val items = Scratch.flush(s, "q188-items", t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .distinct())
       val p = items.select(col("ok"), col("pk").as("a"))
         .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
         .filter(col("a") < col("b"))

@@ -503,22 +503,24 @@ object Temporal {
           byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
-      val deltas = sess
+      // the sessionize windows + instant collapse run ONCE: the delta
+      // frame feeds both the carry aggregate and the final join
+      val deltas = Scratch.flush(s, "q187-deltas", sess
         .select(explode(array(
           struct(col("start_us").as("t"), lit(1L).as("d")),
           struct((col("end_us") + 1).as("t"), lit(-1L).as("d")))).as("x"))
         .select(col("x.t").as("t"), col("x.d").as("d"))
         .groupBy(col("t")).agg(sum(col("d")).as("d"))
-        .withColumn("bucket", expr("t div 3600000000"))
+        .withColumn("bucket", expr("t div 3600000000")))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBkt = Window.orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val inB = deltas.withColumn("cum_in", sum(col("d")).over(wIn))
-      val carry = inB.groupBy(col("bucket")).agg(sum(col("d")).as("btot"))
+      val carry = deltas.groupBy(col("bucket")).agg(sum(col("d")).as("btot"))
         .withColumn("carry", coalesce(sum(col("btot")).over(wBkt), lit(0L)))
         .select(col("bucket"), col("carry"))
-      inB.join(broadcast(carry), Seq("bucket"))
+      deltas.withColumn("cum_in", sum(col("d")).over(wIn))
+        .join(broadcast(carry), Seq("bucket"))
         .select(col("t"), (col("carry") + col("cum_in")).as("conc"))
         .groupBy(expr("t div 86400000000").as("day"))
         .agg(max(col("conc")).as("peak"), count(lit(1)).as("n_changes"))
@@ -547,7 +549,97 @@ object Temporal {
            |  CAST(COUNT(*) AS BIGINT) AS n_changes
            | FROM c GROUP BY day""".stripMargin.replaceAll("\n", "")))
 
+  /** q192 — CUSUM changepoint detection on the daily event series
+    * (Page 1954, the classic sequential drift detector): per event
+    * type, the dense per-day count series (zero-filled — a silent day
+    * IS signal), one-sided upper/lower CUSUM statistics against the
+    * per-type mean with 5% drift allowance, and an alarm flag at the
+    * conventional 4k decision interval. This is the level-shift
+    * detector the distribution-drift family (q115/q128/q149) lacks: it
+    * localizes WHEN a source's volume broke, not just that two
+    * snapshots differ.
+    *
+    * The CUSUM recursion `s_d = max(0, s_{d−1} + e_d)` is not a plain
+    * window aggregate — it ships via the prefix-sum identity
+    * `s_d = p_d − min(0, min_{j≤d} p_j)` (p = running sum of e), two
+    * stacked windows over the SAME partitioning, so Catalyst plans one
+    * exchange. All arithmetic is integer (μ = total div days,
+    * k = max(μ div 20, 1)), bit-exact on both engines.
+    *
+    * Scale shape: one corpus-keyed (type, day) count agg (map-side
+    * combine) collapses everything to the bounded type×day GRID; the
+    * dense grid cross-join, the windows, and the single-row-per-type μ
+    * broadcast all run on that grid, never on events. The grid is
+    * bounded by the calendar, not the corpus.
+    */
+  val qCusumChangepoint: QuerySpec = QuerySpec(
+    "q192_cusum_changepoint",
+    (s, dir) => {
+      // ONE corpus agg; types/days derive from the flushed grid-sized
+      // count frame, so no branch rescans events
+      val counts = Scratch.flush(s, "q192-counts",
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(counts.select(col("day")).distinct()))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val mu = grid.groupBy(col("event_type"))
+        .agg(sum(col("x")).as("tot"), count(lit(1)).as("nd"))
+        .select(col("event_type"), expr("tot div nd").as("mu"))
+        .withColumn("k", greatest(expr("mu div 20"), lit(1L)))
+      val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(broadcast(mu), Seq("event_type"))
+        .withColumn("p_up", sum(col("x") - col("mu") - col("k")).over(wCum))
+        .withColumn("p_dn", sum(col("mu") - col("k") - col("x")).over(wCum))
+        .withColumn("cusum_up",
+          col("p_up") - least(lit(0L), min(col("p_up")).over(wCum)))
+        .withColumn("cusum_dn",
+          col("p_dn") - least(lit(0L), min(col("p_dn")).over(wCum)))
+        .select(col("event_type"), col("day"), col("x"),
+          col("cusum_up"), col("cusum_dn"),
+          when(col("cusum_up") > lit(4L) * col("k") ||
+            col("cusum_dn") > lit(4L) * col("k"), 1L).otherwise(0L)
+            .as("alarm"))
+    },
+    Some("""WITH e AS MATERIALIZED (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day FROM events),
+           | cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS x
+           |  FROM e GROUP BY 1, 2),
+           | grid AS MATERIALIZED (SELECT t.event_type, d.day,
+           |   COALESCE(c.x, CAST(0 AS BIGINT)) AS x
+           |  FROM (SELECT DISTINCT event_type FROM e) t
+           |  CROSS JOIN (SELECT DISTINCT day FROM e) d
+           |  LEFT JOIN cnt c ON c.event_type = t.event_type
+           |   AND c.day = d.day),
+           | mk AS (SELECT event_type,
+           |   CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mu,
+           |   GREATEST(CAST(SUM(x) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           |    // 20, CAST(1 AS BIGINT)) AS k
+           |  FROM grid GROUP BY event_type),
+           | p AS (SELECT g.event_type, g.day, g.x, m.k,
+           |   CAST(SUM(g.x - m.mu - m.k) OVER w AS BIGINT) AS p_up,
+           |   CAST(SUM(m.mu - m.k - g.x) OVER w AS BIGINT) AS p_dn
+           |  FROM grid g JOIN mk m ON g.event_type = m.event_type
+           |  WINDOW w AS (PARTITION BY g.event_type ORDER BY g.day
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           | c2 AS (SELECT event_type, day, x, k,
+           |   p_up - LEAST(CAST(0 AS BIGINT), MIN(p_up) OVER w) AS cusum_up,
+           |   p_dn - LEAST(CAST(0 AS BIGINT), MIN(p_dn) OVER w) AS cusum_dn
+           |  FROM p
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           | SELECT event_type, day, x, cusum_up, cusum_dn,
+           |  CASE WHEN cusum_up > 4 * k OR cusum_dn > 4 * k
+           |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
+           | FROM c2""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
-      qEventCadence, qRfmSegments, qConcurrency)
+      qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint)
 }

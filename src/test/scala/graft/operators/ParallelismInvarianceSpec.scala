@@ -173,7 +173,13 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // bounded quality-grid running-min frontier (q190), one-histogram
       // double-median fence counts (q191)
       Relational.qMarketBasket, Curation.qParetoFrontier,
-      Profiling.qMadOutliers)) {
+      Profiling.qMadOutliers,
+      // bounded-grid stacked CUSUM windows (q192), flushed oriented
+      // triangle-edge anti-join + memoized labels (q193; the DupGraph
+      // memo is parallelism-keyed, so the pipeline re-executes per
+      // partitioning), register max-merge + dense-grid estimator (q194)
+      Temporal.qCusumChangepoint, Graph.qBridgeEdges,
+      Profiling.qHllCube)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
