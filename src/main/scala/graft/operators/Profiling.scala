@@ -769,26 +769,71 @@ object Profiling {
     * direct and exact sides exist only to gate the cube (the q84/q96
     * accuracy-report convention) — at 100 TB only the cube path runs.
     */
+  /** Unsigned right shift with a COLUMN shift amount (the q85 shim —
+    * `functions.shiftrightunsigned` only takes a literal).
+    */
+  private def hllSrl(x: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
+    GraftShims.column(
+      ShiftRightUnsigned(GraftShims.expression(x), GraftShims.expression(n)))
+  }
+
+  /** HLL estimator numerator: α₆₄ (e5 integer 70934) · m² (64²) · 2²⁶
+    * (the ρ-term scale). Estimate = HllEstNum div (100000 · Z) where
+    * Z = Σ_b 2^(26−ρ_b).
+    */
+  private[operators] val HllEstNum = 70934L * 4096L * 67108864L
+
+  /** (event_type, user_id, day, bucket, rho) HLL register rows over
+    * events — shared by q194 (range cube gate) and q197 (rolling
+    * serving): register index = polyhash % 64, ρ = leading-zero rank of
+    * the remaining 25 hash bits via a 24-term comparison sum (no log).
+    */
+  private def hllRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.PolyHash
+    val fl = (1 to 24)
+      .map(k => when(col("w") >= lit(1L << k), 1L).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        PolyHash(concat(lit("hll|"), col("user_id").cast("string")))
+          .as("h"))
+      .withColumn("bucket", col("h") % 64L)
+      .withColumn("w", expr("h div 64"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(26L)).otherwise(lit(25L) - fl))
+      .select(col("event_type"), col("user_id"), col("day"), col("bucket"),
+        col("rho"))
+  }
+
+  /** The DuckDB twin of [[hllRows]]: CTEs ending in
+    * `hrows(event_type, user_id, day, bucket, rho)`.
+    */
+  private def hllRowsSql: String = {
+    val flSql = (1 to 24)
+      .map(k => s"(CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""r0 AS MATERIALIZED (SELECT event_type, user_id,
+       |   epoch_us(ts) // 86400000000 AS day,
+       |   ${graft.functions.PolyHash.oracleSql(
+             "'hll|' || CAST(user_id AS VARCHAR)")} AS h
+       |  FROM events),
+       | hrows AS MATERIALIZED (SELECT event_type, user_id, day,
+       |   h % 64 AS bucket,
+       |   CAST(CASE WHEN w = 0 THEN 26 ELSE 25 - ($flSql) END AS BIGINT)
+       |    AS rho
+       |  FROM (SELECT *, h // 64 AS w FROM r0) r1)""".stripMargin
+  }
+
   val qHllCube: QuerySpec = QuerySpec(
     "q194_hll_cube",
     (s, dir) => {
-      import org.apache.spark.sql.{Column, DataFrame, GraftShims}
-      import org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned
-      import graft.functions.PolyHash
-      def srl(x: Column, n: Column): Column = GraftShims.column(
-        ShiftRightUnsigned(GraftShims.expression(x), GraftShims.expression(n)))
-      val fl = (1 to 24)
-        .map(k => when(col("w") >= lit(1L << k), 1L).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val rows0 = Tables.load(s, dir, "events")
-        .select(col("event_type"), col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"),
-          PolyHash(concat(lit("hll|"), col("user_id").cast("string")))
-            .as("h"))
-        .withColumn("bucket", col("h") % 64L)
-        .withColumn("w", expr("h div 64"))
-        .withColumn("rho",
-          when(col("w") === 0L, lit(26L)).otherwise(lit(25L) - fl))
+      import org.apache.spark.sql.DataFrame
+      val rows0 = hllRows(s, dir)
       val dmin = rows0.agg(min(col("day")).as("dmin"))
       // the hashed/ranked range rows flush once: they feed the daily
       // cube, the direct registers, and the exact count
@@ -800,15 +845,14 @@ object Profiling {
       val gridKeys = rows.select(col("event_type")).distinct()
         .select(col("event_type"),
           explode(sequence(lit(0L), lit(63L))).as("bucket"))
-      val EstNum = 70934L * 4096L * 67108864L
       def estimate(regs: DataFrame, out: String): DataFrame =
         gridKeys.join(regs, Seq("event_type", "bucket"), "left")
           .select(col("event_type"),
-            srl(lit(67108864L), coalesce(col("r"), lit(0L)).cast("int"))
+            hllSrl(lit(67108864L), coalesce(col("r"), lit(0L)).cast("int"))
               .as("term"))
           .groupBy(col("event_type")).agg(sum(col("term")).as("z"))
           .select(col("event_type"),
-            expr(s"($EstNum) div (100000 * z)").as(out))
+            expr(s"($HllEstNum) div (100000 * z)").as(out))
       val merged = estimate(daily.groupBy(col("event_type"), col("bucket"))
         .agg(max(col("r")).as("r")), "est_merged")
       val direct = estimate(rows.groupBy(col("event_type"), col("bucket"))
@@ -822,22 +866,10 @@ object Profiling {
           when(col("est_merged") === col("est_direct"), 1L).otherwise(0L)
             .as("merge_ok"))
     },
-    Some {
-      val flSql = (1 to 24)
-        .map(k => s"(CASE WHEN w >= ${1L << k} THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val estNum = 70934L * 4096L * 67108864L
-      s"""WITH r0 AS MATERIALIZED (SELECT event_type, user_id,
-         |   epoch_us(ts) // 86400000000 AS day,
-         |   ${graft.functions.PolyHash.oracleSql(
-               "'hll|' || CAST(user_id AS VARCHAR)")} AS h
-         |  FROM events),
-         | rr AS MATERIALIZED (SELECT event_type, user_id, day,
-         |   h % 64 AS bucket,
-         |   CAST(CASE WHEN w = 0 THEN 26 ELSE 25 - ($flSql) END AS BIGINT)
-         |    AS rho
-         |  FROM (SELECT *, h // 64 AS w FROM r0) r1
-         |  CROSS JOIN (SELECT MIN(day) AS dmin FROM r0) m
+    Some(
+      s"""WITH $hllRowsSql,
+         | rr AS MATERIALIZED (SELECT h.* FROM hrows h
+         |  CROSS JOIN (SELECT MIN(day) AS dmin FROM hrows) m
          |  WHERE day < dmin + 14),
          | daily AS (SELECT event_type, day, bucket, MAX(rho) AS r
          |  FROM rr GROUP BY 1, 2, 3),
@@ -861,17 +893,263 @@ object Profiling {
          |   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
          |  FROM rr GROUP BY event_type)
          | SELECT ex.event_type AS event_type, ex.exact_users,
-         |  CAST($estNum // (100000 * zm.z) AS BIGINT) AS est_merged,
-         |  CAST($estNum // (100000 * zd.z) AS BIGINT) AS est_direct,
-         |  CASE WHEN $estNum // (100000 * zm.z) = $estNum // (100000 * zd.z)
+         |  CAST($HllEstNum // (100000 * zm.z) AS BIGINT) AS est_merged,
+         |  CAST($HllEstNum // (100000 * zd.z) AS BIGINT) AS est_direct,
+         |  CASE WHEN $HllEstNum // (100000 * zm.z)
+         |    = $HllEstNum // (100000 * zd.z)
          |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS merge_ok
          | FROM ex JOIN zm ON ex.event_type = zm.event_type
          | JOIN zd ON ex.event_type = zd.event_type""".stripMargin
-        .replaceAll("\n", "")
-    })
+        .replaceAll("\n", "")))
+
+  /** q195 — referential-integrity audit of the whole star schema (the
+    * ingest gate every warehouse drop runs before trusting joins): for
+    * each of the 8 foreign-key edges (lineitem→orders/part/supplier,
+    * orders→customer, customer→nation, supplier→nation, nation→region,
+    * events→customer), the child row count, the orphan row count
+    * (non-NULL FK with no parent), and orphans-per-million. A healthy
+    * drop is all-zeros; a nonzero row names the broken edge before a
+    * downstream inner join silently drops the orphans.
+    *
+    * Scale shape: each CHILD table is scanned exactly once for all its
+    * edges — lineitem's three FK probes ride ONE pass as three left
+    * joins against distinct-key parent projections (key-only columns,
+    * the narrowest possible shuffles; AQE broadcasts the dim sides) —
+    * and the per-child multi-edge counters unpivot from one aggregate
+    * row. 6 child scans cover 8 edges; nothing is scanned twice.
+    */
+  val qReferentialAudit: QuerySpec = QuerySpec(
+    "q195_referential_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      def keys(t: String, k: String): DataFrame =
+        Tables.load(s, dir, t).select(col(k)).distinct()
+      def audit(child: DataFrame,
+          edges: Seq[(String, String, DataFrame)]): DataFrame = {
+        var j = child
+        edges.zipWithIndex.foreach { case ((_, fk, parent), i) =>
+          j = j.join(
+            parent.toDF(fk).withColumn(s"hit$i", lit(1)), Seq(fk), "left")
+        }
+        val aggs = count(lit(1)).as("n_rows") +:
+          edges.zipWithIndex.map { case ((_, fk, _), i) =>
+            sum(when(col(fk).isNotNull && col(s"hit$i").isNull, 1L)
+              .otherwise(0L)).as(s"orph$i")
+          }
+        j.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(edges.zipWithIndex.map { case ((e, _, _), i) =>
+            struct(lit(e).as("edge"), col("n_rows"),
+              col(s"orph$i").as("n_orphans"))
+          }: _*)).as("x"))
+          .select(col("x.edge").as("edge"), col("x.n_rows").as("n_rows"),
+            col("x.n_orphans").as("n_orphans"))
+      }
+      val li = audit(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+        Seq(
+          ("lineitem.l_orderkey->orders", "l_orderkey",
+            keys("orders", "o_orderkey")),
+          ("lineitem.l_partkey->part", "l_partkey",
+            keys("part", "p_partkey")),
+          ("lineitem.l_suppkey->supplier", "l_suppkey",
+            keys("supplier", "s_suppkey"))))
+      val rest = Seq(
+        ("orders", "o_custkey", "orders.o_custkey->customer",
+          ("customer", "c_custkey")),
+        ("customer", "c_nationkey", "customer.c_nationkey->nation",
+          ("nation", "n_nationkey")),
+        ("supplier", "s_nationkey", "supplier.s_nationkey->nation",
+          ("nation", "n_nationkey")),
+        ("nation", "n_regionkey", "nation.n_regionkey->region",
+          ("region", "r_regionkey")),
+        ("events", "user_id", "events.user_id->customer",
+          ("customer", "c_custkey")))
+        .map { case (ct, fk, e, (pt, pk)) =>
+          audit(Tables.load(s, dir, ct).select(col(fk)),
+            Seq((e, fk, keys(pt, pk))))
+        }
+      rest.foldLeft(li)(_ unionByName _)
+        .withColumn("orphan_ppm", expr("(n_orphans * 1000000) div n_rows"))
+    },
+    Some("""WITH li AS (SELECT COUNT(*) AS n,
+           |   SUM(CASE WHEN l_orderkey IS NOT NULL AND o.k IS NULL
+           |    THEN 1 ELSE 0 END) AS o0,
+           |   SUM(CASE WHEN l_partkey IS NOT NULL AND p.k IS NULL
+           |    THEN 1 ELSE 0 END) AS o1,
+           |   SUM(CASE WHEN l_suppkey IS NOT NULL AND sp.k IS NULL
+           |    THEN 1 ELSE 0 END) AS o2
+           |  FROM lineitem
+           |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+           |   ON l_orderkey = o.k
+           |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+           |   ON l_partkey = p.k
+           |  LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) sp
+           |   ON l_suppkey = sp.k),
+           | oc AS (SELECT COUNT(*) AS n, SUM(CASE WHEN o_custkey IS NOT NULL
+           |    AND c.k IS NULL THEN 1 ELSE 0 END) AS o0 FROM orders
+           |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
+           |   ON o_custkey = c.k),
+           | cn AS (SELECT COUNT(*) AS n, SUM(CASE WHEN c_nationkey IS NOT
+           |    NULL AND nt.k IS NULL THEN 1 ELSE 0 END) AS o0 FROM customer
+           |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) nt
+           |   ON c_nationkey = nt.k),
+           | sn AS (SELECT COUNT(*) AS n, SUM(CASE WHEN s_nationkey IS NOT
+           |    NULL AND nt.k IS NULL THEN 1 ELSE 0 END) AS o0 FROM supplier
+           |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) nt
+           |   ON s_nationkey = nt.k),
+           | nr AS (SELECT COUNT(*) AS n, SUM(CASE WHEN n_regionkey IS NOT
+           |    NULL AND rg.k IS NULL THEN 1 ELSE 0 END) AS o0 FROM nation
+           |  LEFT JOIN (SELECT DISTINCT r_regionkey AS k FROM region) rg
+           |   ON n_regionkey = rg.k),
+           | ec AS (SELECT COUNT(*) AS n, SUM(CASE WHEN user_id IS NOT NULL
+           |    AND c.k IS NULL THEN 1 ELSE 0 END) AS o0 FROM events
+           |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
+           |   ON user_id = c.k),
+           | u AS (
+           |  SELECT 'lineitem.l_orderkey->orders' AS edge, n,
+           |   CAST(o0 AS BIGINT) AS n_orphans FROM li
+           |  UNION ALL SELECT 'lineitem.l_partkey->part', n,
+           |   CAST(o1 AS BIGINT) FROM li
+           |  UNION ALL SELECT 'lineitem.l_suppkey->supplier', n,
+           |   CAST(o2 AS BIGINT) FROM li
+           |  UNION ALL SELECT 'orders.o_custkey->customer', n,
+           |   CAST(o0 AS BIGINT) FROM oc
+           |  UNION ALL SELECT 'customer.c_nationkey->nation', n,
+           |   CAST(o0 AS BIGINT) FROM cn
+           |  UNION ALL SELECT 'supplier.s_nationkey->nation', n,
+           |   CAST(o0 AS BIGINT) FROM sn
+           |  UNION ALL SELECT 'nation.n_regionkey->region', n,
+           |   CAST(o0 AS BIGINT) FROM nr
+           |  UNION ALL SELECT 'events.user_id->customer', n,
+           |   CAST(o0 AS BIGINT) FROM ec)
+           | SELECT edge, CAST(n AS BIGINT) AS n_rows, n_orphans,
+           |  CAST((n_orphans * 1000000) // n AS BIGINT) AS orphan_ppm
+           | FROM u""".stripMargin.replaceAll("\n", "")))
+
+  /** q196 — token-mass Gini concentration per source (the Lorenz/Gini
+    * inequality audit of per-document token counts: G = 0 means every
+    * doc contributes equally, G → 1 means a few giants carry the
+    * source — the concentration signal a mixture designer reads before
+    * trusting doc-count-based source weights). Exact rational: with
+    * docs grouped by token-count value v (count c, prior cumulative p,
+    * source total n), the sorted-rank Gini numerator
+    * Σ (2·rank − n − 1)·x collapses per GROUP to
+    * v·(2·(c·p + c(c+1)/2) − c·(n+1)) — all integers — and ships as
+    * `num·10⁶ div (n · Σ tokens)`, non-negative because values are
+    * rank-sorted. BIGINT holds to ~10⁹ docs/source (n² in the rank
+    * sum); past that the numerator graduates to DECIMAL(38), the q63
+    * moment rule.
+    *
+    * Scale shape: ONE corpus scan collapses to the per-source
+    * token-count histogram (grid bounded by the length DOMAIN, the
+    * q104 discipline); ranks come from cumulative windows over that
+    * bounded grid, never a doc-cardinality sort.
+    */
+  val qTokenGini: QuerySpec = QuerySpec(
+    "q196_token_gini",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+        .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+      val byV = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h.withColumn("cum", sum(col("c")).over(byV))
+        .withColumn("p", col("cum") - col("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+        .withColumn("num_g",
+          expr("v * (2 * (c * p + (c * (c + 1)) div 2) - c * (n + 1))"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), sum(expr("v * c")).as("tok_total"),
+          sum(col("num_g")).as("num"))
+        .select(col("source"), col("n_docs"), col("tok_total"),
+          expr("(num * 1000000) div (n_docs * tok_total)").as("gini_e6"))
+    },
+    Some("""WITH h AS (SELECT source,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+           |   CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           | w AS (SELECT source, v, c,
+           |   CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    - c AS p,
+           |   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM h),
+           | g AS (SELECT source, MAX(n) AS n_docs,
+           |   CAST(SUM(v * c) AS BIGINT) AS tok_total,
+           |   CAST(SUM(v * (2 * (c * p + (c * (c + 1)) // 2)
+           |    - c * (n + 1))) AS BIGINT) AS num
+           |  FROM w GROUP BY source)
+           | SELECT source, n_docs, tok_total,
+           |  CAST((num * 1000000) // (n_docs * tok_total) AS BIGINT)
+           |   AS gini_e6
+           | FROM g""".stripMargin.replaceAll("\n", "")))
+
+  /** q197 — rolling 7-day distinct users per (event_type, day), served
+    * ENTIRELY from q194's daily HLL register cube: per day, the
+    * trailing-week registers max-merge in a range window and the
+    * estimator runs on the merged grid — the "weekly active users"
+    * time series at sketch cost, no day re-scanned, no distinct
+    * recomputed (the query answered from the cube that the q194 gate
+    * proved ≡ direct construction).
+    *
+    * Scale shape: ONE corpus pass builds the daily cube (flushed — the
+    * dense grid and the join both read it); everything after is
+    * register-grid-sized: the dense (type × day × 64) frame, the
+    * RANGE-windowed max-merge (range, not rows, so calendar gaps merge
+    * correctly), and the per-(type, day) estimator rollup.
+    */
+  val qRollingDistinct: QuerySpec = QuerySpec(
+    "q197_rolling_distinct",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Scratch.flush(s, "q197-daily",
+        hllRows(s, dir)
+          .groupBy(col("event_type"), col("day"), col("bucket"))
+          .agg(max(col("rho")).as("r")))
+      val dense = daily.select(col("event_type")).distinct()
+        .crossJoin(broadcast(daily.select(col("day")).distinct()))
+        .select(col("event_type"), col("day"),
+          explode(sequence(lit(0L), lit(63L))).as("bucket"))
+        .join(daily, Seq("event_type", "day", "bucket"), "left")
+        .select(col("event_type"), col("day"), col("bucket"),
+          coalesce(col("r"), lit(0L)).as("r"))
+      val wRoll = Window.partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      dense.withColumn("rr", max(col("r")).over(wRoll))
+        .select(col("event_type"), col("day"),
+          hllSrl(lit(67108864L), col("rr").cast("int")).as("term"))
+        .groupBy(col("event_type"), col("day")).agg(sum(col("term")).as("z"))
+        .select(col("event_type"), col("day"),
+          expr(s"($HllEstNum) div (100000 * z)").as("est_users_7d"))
+    },
+    Some(
+      s"""WITH $hllRowsSql,
+         | daily AS MATERIALIZED (SELECT event_type, day, bucket,
+         |   MAX(rho) AS r FROM hrows GROUP BY 1, 2, 3),
+         | dense AS (SELECT t.event_type, d.day,
+         |   CAST(g.range AS BIGINT) AS bucket, COALESCE(dl.r, 0) AS r
+         |  FROM (SELECT DISTINCT event_type FROM daily) t
+         |  CROSS JOIN (SELECT DISTINCT day FROM daily) d
+         |  CROSS JOIN range(64) g
+         |  LEFT JOIN daily dl ON dl.event_type = t.event_type
+         |   AND dl.day = d.day AND dl.bucket = g.range),
+         | rolled AS (SELECT event_type, day,
+         |   MAX(r) OVER (PARTITION BY event_type, bucket ORDER BY day
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rr
+         |  FROM dense),
+         | zz AS (SELECT event_type, day, CAST(SUM(
+         |    67108864 >> CAST(rr AS INTEGER)) AS BIGINT) AS z
+         |  FROM rolled GROUP BY event_type, day)
+         | SELECT event_type, day,
+         |  CAST($HllEstNum // (100000 * z) AS BIGINT) AS est_users_7d
+         | FROM zz""".stripMargin.replaceAll("\n", "")))
 
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
       qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
-      qDatasetCard, qVocabGrowth, qMadOutliers, qHllCube)
+      qDatasetCard, qVocabGrowth, qMadOutliers, qHllCube, qReferentialAudit,
+      qTokenGini, qRollingDistinct)
 }

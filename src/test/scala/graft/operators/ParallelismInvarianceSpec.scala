@@ -179,7 +179,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // memo is parallelism-keyed, so the pipeline re-executes per
       // partitioning), register max-merge + dense-grid estimator (q194)
       Temporal.qCusumChangepoint, Graph.qBridgeEdges,
-      Profiling.qHllCube)) {
+      Profiling.qHllCube,
+      // single-pass multi-FK left joins unpivoted (q195), histogram-rank
+      // Gini moments (q196), flushed register cube + range-windowed
+      // max-merge (q197)
+      Profiling.qReferentialAudit, Profiling.qTokenGini,
+      Profiling.qRollingDistinct)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

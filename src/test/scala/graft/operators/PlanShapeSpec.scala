@@ -253,4 +253,36 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
         }
       }
     }
+
+  // ---- materialize-once pins (round 14, q187+): the scaladocs claim the
+  // expensive corpus pass runs ONCE through scratch and every returned-
+  // plan branch reads the flushed copy — so the RETURNED plan must
+  // contain ZERO scans of the raw table (build() itself pays the one
+  // scan inside the flush action). A regression that drops the flush
+  // re-appears here as a raw-table scan per branch.
+  private def rawScans(q: graft.QuerySpec, table: String) = withStaticPlans {
+    q.build(spark, dir).queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains(table)) =>
+        s
+    }
+  }
+
+  for ((name, q, table) <- Seq(
+      ("q187_concurrency", graft.operators.Temporal.qConcurrency, "events"),
+      ("q189_market_basket", Relational.qMarketBasket, "lineitem"),
+      ("q190_pareto_frontier", Curation.qParetoFrontier, "documents"),
+      ("q191_mad_outliers", Profiling.qMadOutliers, "events"),
+      ("q197_rolling_distinct", Profiling.qRollingDistinct, "events")))
+    test(s"$name serves from its flushed frame — no raw $table scan in the returned plan") {
+      val scans = rawScans(q, table)
+      assert(scans.isEmpty,
+        s"$name re-scans $table ${scans.size}x — the flush-once discipline regressed")
+    }
+
+  test("q195_referential_audit scans lineitem exactly once for its three FK edges") {
+    val scans = rawScans(Profiling.qReferentialAudit, "lineitem")
+    assert(scans.size == 1,
+      s"expected ONE lineitem pass covering all three edges, found ${scans.size}")
+  }
 }
