@@ -3,7 +3,7 @@ package graft
 import graft.streaming.{OrderedProcessor, Payloads, RepublishPipeline}
 import graft.streaming.broker.{BrokerTopic, InMemoryBroker}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum}
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Streaming throughput measurement for the per-round bench artifact:
@@ -40,6 +40,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    ([[graft.streaming.FreqStream]]) ingesting the sf0.001 documents
   *    with a per-batch heavy-hitter report (the summed token sentinels
   *    double as a loss check)
+  *  - `distinct_ingest_rows_per_sec`: the streaming HLL register cube
+  *    (DistinctStream) ingesting the sf0.001 events in 100-row
+  *    micro-batches with in-stream compaction — events/s through the
+  *    register summary → guarded fold → rolling report path (the cube
+  *    ≡ batch-cube count is the loss check).
   *  - `index_ingest_rows_per_sec`: the inverted-index ingest front door
   *    ([[graft.streaming.IndexStream]]) indexing the sf0.001 documents
   *    (the manifest count doubles as a loss check)
@@ -278,6 +283,42 @@ object StreamBench {
       require(nTok == expect,
         s"freq_ingest leg accounted $nTok of $expect tokens")
       (docs.length.toLong, sec)
+    }
+
+    leg("distinct_ingest") {
+      import graft.streaming.{DistinctStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val events = Tables.load(spark, srcDir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts)").as("tus"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._3, t._2)).toSeq
+      val store = DistinctStream.build(spark, "sbench")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(String, Long, Long)](spark)
+      val t0 = System.nanoTime()
+      val query = DistinctStream.startIncremental(
+        spark, src.toDS().toDF("event_type", "user_id", "tus"), store, ckpt,
+        onBatch = _ => (), compactEvery = 3)
+      try {
+        events.grouped(100).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: the streamed cube max-merges to exactly the batch
+      // register cube of the same events
+      val streamedCube = DistinctStream.dailyCube(spark, store).count()
+      val batchCube = DistinctStream.batchRegisters(
+        events.toDF("event_type", "user_id", "tus")).count()
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(streamedCube == batchCube,
+        s"distinct_ingest leg cube $streamedCube != batch $batchCube")
+      (events.length.toLong, sec)
     }
 
     leg("index_ingest") {

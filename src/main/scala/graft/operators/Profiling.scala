@@ -786,20 +786,20 @@ object Profiling {
     */
   private[operators] val HllEstNum = 70934L * 4096L * 67108864L
 
-  /** (event_type, user_id, day, bucket, rho) HLL register rows over
-    * events — shared by q194 (range cube gate) and q197 (rolling
-    * serving): register index = polyhash % 64, ρ = leading-zero rank of
-    * the remaining 25 hash bits via a 24-term comparison sum (no log).
+  /** (event_type, user_id, day, bucket, rho) HLL register rows over an
+    * arbitrary (event_type, user_id, day) frame — shared by q194 (range
+    * cube gate), q197 (rolling serving) and the streaming front door
+    * ([[graft.streaming.DistinctStream]]): register index =
+    * polyhash % 64, ρ = leading-zero rank of the remaining 25 hash bits
+    * via a 24-term comparison sum (no log).
     */
-  private def hllRows(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def hllRegisterRows(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.PolyHash
     val fl = (1 to 24)
       .map(k => when(col("w") >= lit(1L << k), 1L).otherwise(lit(0L)))
       .reduce(_ + _)
-    Tables.load(s, dir, "events")
-      .select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day"),
+    e.select(col("event_type"), col("user_id"), col("day"),
         PolyHash(concat(lit("hll|"), col("user_id").cast("string")))
           .as("h"))
       .withColumn("bucket", col("h") % 64L)
@@ -808,6 +808,39 @@ object Profiling {
         when(col("w") === 0L, lit(26L)).otherwise(lit(25L) - fl))
       .select(col("event_type"), col("user_id"), col("day"), col("bucket"),
         col("rho"))
+  }
+
+  /** [[hllRegisterRows]] over the events table. */
+  private def hllRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    hllRegisterRows(Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day")))
+
+  /** The rolling 7-day estimate plan over a daily register cube
+    * (event_type, day, bucket, r) — ONE definition shared by q197 and
+    * the streaming store's serve so the two can never fork: dense
+    * (type × day × 64) grid, RANGE-windowed max-merge, integer
+    * estimator.
+    */
+  private[graft] def hllRolling(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dense = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(daily.select(col("day")).distinct()))
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(63L))).as("bucket"))
+      .join(daily, Seq("event_type", "day", "bucket"), "left")
+      .select(col("event_type"), col("day"), col("bucket"),
+        coalesce(col("r"), lit(0L)).as("r"))
+    val wRoll = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("day")).rangeBetween(-6, 0)
+    dense.withColumn("rr", max(col("r")).over(wRoll))
+      .select(col("event_type"), col("day"),
+        hllSrl(lit(67108864L), col("rr").cast("int")).as("term"))
+      .groupBy(col("event_type"), col("day")).agg(sum(col("term")).as("z"))
+      .select(col("event_type"), col("day"),
+        expr(s"($HllEstNum) div (100000 * z)").as("est_users_7d"))
   }
 
   /** The DuckDB twin of [[hllRows]]: CTEs ending in
@@ -1103,28 +1136,11 @@ object Profiling {
     */
   val qRollingDistinct: QuerySpec = QuerySpec(
     "q197_rolling_distinct",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Scratch.flush(s, "q197-daily",
+    (s, dir) =>
+      hllRolling(Scratch.flush(s, "q197-daily",
         hllRows(s, dir)
           .groupBy(col("event_type"), col("day"), col("bucket"))
-          .agg(max(col("rho")).as("r")))
-      val dense = daily.select(col("event_type")).distinct()
-        .crossJoin(broadcast(daily.select(col("day")).distinct()))
-        .select(col("event_type"), col("day"),
-          explode(sequence(lit(0L), lit(63L))).as("bucket"))
-        .join(daily, Seq("event_type", "day", "bucket"), "left")
-        .select(col("event_type"), col("day"), col("bucket"),
-          coalesce(col("r"), lit(0L)).as("r"))
-      val wRoll = Window.partitionBy(col("event_type"), col("bucket"))
-        .orderBy(col("day")).rangeBetween(-6, 0)
-      dense.withColumn("rr", max(col("r")).over(wRoll))
-        .select(col("event_type"), col("day"),
-          hllSrl(lit(67108864L), col("rr").cast("int")).as("term"))
-        .groupBy(col("event_type"), col("day")).agg(sum(col("term")).as("z"))
-        .select(col("event_type"), col("day"),
-          expr(s"($HllEstNum) div (100000 * z)").as("est_users_7d"))
-    },
+          .agg(max(col("rho")).as("r")))),
     Some(
       s"""WITH $hllRowsSql,
          | daily AS MATERIALIZED (SELECT event_type, day, bucket,
@@ -1147,9 +1163,72 @@ object Profiling {
          |  CAST($HllEstNum // (100000 * z) AS BIGINT) AS est_users_7d
          | FROM zz""".stripMargin.replaceAll("\n", "")))
 
+  /** q198 — token-mass-weighted length percentiles per source: the
+    * count-median of doc length answers "what does a typical DOCUMENT
+    * look like", the mass-median answers "what does a typical TOKEN's
+    * document look like" — the quantity a packing/curriculum designer
+    * actually budgets against (a source can be count-short but
+    * mass-long when a few giants carry it; q196's Gini says HOW
+    * concentrated, this says WHERE the mass sits). Exact rank-⌈p·W⌉
+    * lower-percentile semantics (the q39/q163 discipline) applied to
+    * the token-mass cumulative instead of the row cumulative — same
+    * histogram, two weightings, one pass.
+    *
+    * Scale shape: ONE corpus scan collapses to the per-source length
+    * histogram (grid bounded by the length DOMAIN); both cumulative
+    * weightings are windows over that bounded grid; output is
+    * source-cardinality.
+    */
+  val qWeightedPercentiles: QuerySpec = QuerySpec(
+    "q198_weighted_percentiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+        .groupBy(col("source"), col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("w", expr("v * c"))
+      val byV = Window.partitionBy(col("source")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val whole = Window.partitionBy(col("source"))
+      h.withColumn("cumc", sum(col("c")).over(byV))
+        .withColumn("cumw", sum(col("w")).over(byV))
+        .withColumn("n", sum(col("c")).over(whole))
+        .withColumn("tw", sum(col("w")).over(whole))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), max(col("tw")).as("tok_total"),
+          min(when(col("cumc") >= expr("(n + 1) div 2"), col("v")))
+            .as("p50_len_docs"),
+          min(when(col("cumw") >= expr("(tw + 1) div 2"), col("v")))
+            .as("p50_len_mass"),
+          min(when(col("cumw") >= expr("(9 * tw + 9) div 10"), col("v")))
+            .as("p90_len_mass"))
+    },
+    Some("""WITH h AS (SELECT source,
+           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+           |   CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM documents GROUP BY 1, 2),
+           | w AS (SELECT source, v, c, v * c AS w FROM h),
+           | cw AS (SELECT source, v,
+           |   CAST(SUM(c) OVER win AS BIGINT) AS cumc,
+           |   CAST(SUM(w) OVER win AS BIGINT) AS cumw,
+           |   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+           |   CAST(SUM(w) OVER (PARTITION BY source) AS BIGINT) AS tw
+           |  FROM w
+           |  WINDOW win AS (PARTITION BY source ORDER BY v
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           | SELECT source, MAX(n) AS n_docs, MAX(tw) AS tok_total,
+           |  MIN(CASE WHEN cumc >= (n + 1) // 2 THEN v END)
+           |   AS p50_len_docs,
+           |  MIN(CASE WHEN cumw >= (tw + 1) // 2 THEN v END)
+           |   AS p50_len_mass,
+           |  MIN(CASE WHEN cumw >= (9 * tw + 9) // 10 THEN v END)
+           |   AS p90_len_mass
+           | FROM cw GROUP BY source""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qProfile, qEmbeddingQuality, qHllAccuracy, qJoinCardinality,
       qQuantileSketch, qTrend, qBootstrap, qTrimmedMean, qIngestionDrift,
       qDatasetCard, qVocabGrowth, qMadOutliers, qHllCube, qReferentialAudit,
-      qTokenGini, qRollingDistinct)
+      qTokenGini, qRollingDistinct, qWeightedPercentiles)
 }

@@ -639,7 +639,140 @@ object Temporal {
            |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alarm
            | FROM c2""".stripMargin.replaceAll("\n", "")))
 
+  /** q199 — top session paths (sequence mining over q38's sessions):
+    * each session's first three event types, in exact time order, as a
+    * `a>b>c` path string; the 10 most frequent paths with exact counts
+    * — the entry-flow report behind every "how do users start a
+    * session" dashboard, and the prefix-path complement of q109's
+    * Markov transition pairs (q109 says which step follows which, this
+    * says which whole OPENINGS dominate).
+    *
+    * Scale shape: one sessionize window (the q38 shuffle), a row_number
+    * ≤ 3 filter that drops everything past each session's third event
+    * BEFORE the per-session collapse, a conditional-min pivot (no
+    * collect_list — order is explicit, never array-encoding-dependent),
+    * a map-side-combinable path count, and a distributed TakeOrdered 10
+    * with the path string as the unique tiebreak.
+    */
+  val qSessionPaths: QuerySpec = QuerySpec(
+    "q199_session_paths",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val sess = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("prev", lag(col("tus"), 1).over(byTime))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_seq", sum(col("new_sess")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("session_seq"))
+            .orderBy(col("tus"), col("event_id"))))
+        .filter(col("rn") <= 3)
+      val paths = sess
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(when(col("rn") === 1, col("event_type"))).as("e1"),
+          min(when(col("rn") === 2, col("event_type"))).as("e2"),
+          min(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      paths
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_sessions").desc, col("path"))))
+        .filter(col("rank") <= 10)
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |   epoch_us(ts) AS tus FROM events),
+           | l AS (SELECT *, lag(tus) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id) AS prev FROM e),
+           | n AS (SELECT *, CASE WHEN prev IS NULL OR tus - prev > 1800000000
+           |   THEN 1 ELSE 0 END AS new_sess FROM l),
+           | sq AS (SELECT *, CAST(SUM(new_sess) OVER (
+           |   PARTITION BY user_id ORDER BY tus, event_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |   AS session_seq FROM n),
+           | r AS (SELECT *, row_number() OVER (
+           |   PARTITION BY user_id, session_seq ORDER BY tus, event_id)
+           |   AS rn FROM sq),
+           | p AS (SELECT concat_ws('>',
+           |    MIN(CASE WHEN rn = 1 THEN event_type END),
+           |    MIN(CASE WHEN rn = 2 THEN event_type END),
+           |    MIN(CASE WHEN rn = 3 THEN event_type END)) AS path
+           |  FROM r WHERE rn <= 3 GROUP BY user_id, session_seq),
+           | c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+           |  FROM p GROUP BY path),
+           | t AS (SELECT path, n_sessions, CAST(row_number() OVER (
+           |   ORDER BY n_sessions DESC, path) AS INTEGER) AS rank FROM c)
+           | SELECT path, n_sessions, rank FROM t
+           | WHERE rank <= 10""".stripMargin.replaceAll("\n", "")))
+
+  /** q200 — conversion-lag percentiles (how long from first view to
+    * first purchase): per converting user the exact µs lag between
+    * their earliest view and the earliest purchase strictly after it
+    * (q53's chaining rule — a purchase BEFORE any view is not a
+    * conversion), then exact p50/p90 of the lag distribution plus the
+    * converting-user count — the time-to-convert report a funnel (q53,
+    * which counts stages) doesn't give.
+    *
+    * Scale shape: two per-user min-aggregates (map-side combine) and
+    * one user-keyed equi-join; the percentile pass is the q39/q163
+    * histogram discipline over lags bucketed to SECONDS (the q104
+    * bounded-grid rule: percentile resolution at 1 s, never a
+    * user-cardinality sort).
+    */
+  val qConversionLag: QuerySpec = QuerySpec(
+    "q200_conversion_lag",
+    (s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+      val firstView = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("v"))
+      val lags = e.filter(col("event_type") === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter(col("tus") > col("v"))
+        .groupBy(col("user_id")).agg(min(expr("tus - v")).as("lag_us"))
+        .select(expr("lag_us div 1000000").as("lag_s"))
+      val byLag = Window.orderBy(col("lag_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      lags.groupBy(col("lag_s")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(byLag))
+        .withColumn("n", sum(col("c")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .agg(max(col("n")).as("n_converted"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("lag_s")))
+            .as("p50_lag_s"),
+          min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lag_s")))
+            .as("p90_lag_s"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+           |  FROM events),
+           | fv AS (SELECT user_id, MIN(tus) AS v FROM e
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           | lg AS (SELECT (MIN(e.tus - fv.v)) // 1000000 AS lag_s
+           |  FROM e JOIN fv ON e.user_id = fv.user_id
+           |  WHERE e.event_type = 'purchase' AND e.tus > fv.v
+           |  GROUP BY e.user_id),
+           | h AS (SELECT lag_s, CAST(COUNT(*) AS BIGINT) AS c FROM lg
+           |  GROUP BY lag_s),
+           | cw AS (SELECT lag_s, c,
+           |   CAST(SUM(c) OVER (ORDER BY lag_s
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS cum,
+           |   CAST(SUM(c) OVER () AS BIGINT) AS n FROM h)
+           | SELECT CAST(SUM(c) AS BIGINT) AS n_converted,
+           |  MIN(CASE WHEN cum >= (n + 1) // 2 THEN lag_s END) AS p50_lag_s,
+           |  MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN lag_s END)
+           |   AS p90_lag_s
+           | FROM cw""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
-      qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint)
+      qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
+      qSessionPaths, qConversionLag)
 }

@@ -184,7 +184,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // Gini moments (q196), flushed register cube + range-windowed
       // max-merge (q197)
       Profiling.qReferentialAudit, Profiling.qTokenGini,
-      Profiling.qRollingDistinct)) {
+      Profiling.qRollingDistinct,
+      // dual-weighted histogram percentiles (q198), conditional-min path
+      // pivot + tie-broken top-10 (q199), two min-aggs + bounded lag
+      // histogram (q200)
+      Profiling.qWeightedPercentiles, Temporal.qSessionPaths,
+      Temporal.qConversionLag)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
