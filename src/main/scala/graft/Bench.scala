@@ -51,7 +51,7 @@ object Bench {
       // idle runs 95.6/98.9 s vs the 180-query 70.4 s) until the cache
       // was widened — size it ~5× the suite's apparent unit count so
       // the next 50 queries don't silently re-trip this.
-      .config("spark.sql.codegen.cache.maxEntries", "20000")
+      .config("spark.sql.codegen.cache.maxEntries", "50000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
