@@ -771,8 +771,137 @@ object Temporal {
            |   AS p90_lag_s
            | FROM cw""".stripMargin.replaceAll("\n", "")))
 
+  /** q201 — daily-count autocorrelation at lags 1 and 7 (the
+    * seasonality detector beside q192's level-shift detector: lag-1
+    * says momentum/burstiness day-to-day, lag-7 says weekly cycle):
+    * per event type over the dense zero-filled day grid, the exact
+    * integer-rational ACF — multiply the textbook estimator through by
+    * n² so every term is integer: with T = Σx,
+    * `num = Σ (n·x_t − T)(n·x_{t+k} − T)`, `den = Σ (n·x_t − T)²`,
+    * shipped as `num·10⁶ div den`. num may be negative — Spark `div`
+    * and DuckDB integer `//` BOTH truncate toward zero (the probed
+    * q110 rule), so the gate stays bit-exact. BIGINT holds to
+    * n·x ≈ 3·10⁹ per day-cell; past that the moments graduate to
+    * DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: ONE corpus-keyed (type, day) count agg (flushed — it
+    * feeds the grid, the totals, and both lag joins); the dense grid,
+    * the single-row-per-type totals broadcast, and the lag-k
+    * equi-joins (day+k, never a window spill) all run on the
+    * calendar-bounded grid.
+    */
+  val qDailyAutocorr: QuerySpec = QuerySpec(
+    "q201_daily_autocorr",
+    (s, dir) => {
+      val counts = Scratch.flush(s, "q201-counts",
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(counts.select(col("day")).distinct()))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val tot = grid.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
+      val g = grid.join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          expr("n * x - t").as("d"))
+      val lags = Seq(1L, 7L).map { k =>
+        g.join(g.select(col("event_type"), (col("day") - k).as("day"),
+            col("d").as("d2")), Seq("event_type", "day"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_days"), sum(expr("d * d2")).as("num"))
+          .withColumn("lag", lit(k))
+      }
+      val den = g.groupBy(col("event_type"))
+        .agg(sum(expr("d * d")).as("den"))
+      lags.reduce(_ unionByName _)
+        .join(broadcast(den), Seq("event_type"))
+        .select(col("event_type"), col("lag"), col("n_days"),
+          when(col("den") > 0, expr("(num * 1000000) div den"))
+            .as("acf_e6"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day FROM events),
+           | cnt AS MATERIALIZED (SELECT event_type, day,
+           |   CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+           | grid AS (SELECT t.event_type, d.day,
+           |   COALESCE(c.x, CAST(0 AS BIGINT)) AS x
+           |  FROM (SELECT DISTINCT event_type FROM cnt) t
+           |  CROSS JOIN (SELECT DISTINCT day FROM cnt) d
+           |  LEFT JOIN cnt c ON c.event_type = t.event_type
+           |   AND c.day = d.day),
+           | tt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |   CAST(SUM(x) AS BIGINT) AS t FROM grid GROUP BY 1),
+           | g AS MATERIALIZED (SELECT grid.event_type, day, n,
+           |   n * x - t AS d
+           |  FROM grid JOIN tt ON grid.event_type = tt.event_type),
+           | den AS (SELECT event_type, CAST(SUM(d * d) AS BIGINT) AS den
+           |  FROM g GROUP BY 1),
+           | nums AS (
+           |  SELECT a.event_type, CAST(1 AS BIGINT) AS lag,
+           |   MAX(a.n) AS n_days, CAST(SUM(a.d * b.d) AS BIGINT) AS num
+           |  FROM g a JOIN g b ON a.event_type = b.event_type
+           |   AND b.day = a.day + 1 GROUP BY a.event_type
+           |  UNION ALL
+           |  SELECT a.event_type, CAST(7 AS BIGINT), MAX(a.n),
+           |   CAST(SUM(a.d * b.d) AS BIGINT)
+           |  FROM g a JOIN g b ON a.event_type = b.event_type
+           |   AND b.day = a.day + 7 GROUP BY a.event_type)
+           | SELECT nums.event_type AS event_type, lag, n_days,
+           |  CASE WHEN den > 0
+           |   THEN CAST((num * 1000000) // den AS BIGINT) END AS acf_e6
+           | FROM nums JOIN den
+           |  ON nums.event_type = den.event_type""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q202 — day-of-week activity profile (the seasonality REPORT next
+    * to q201's seasonality test): per (event_type, weekday) the event
+    * count and exact e6 share of the type's volume, plus a peak-day
+    * flag — the shape a capacity planner and an anomaly baseline both
+    * read. Weekday is derived arithmetically from the epoch-day index
+    * (`(day + 4) % 7`, day 0 = Thursday ⇒ 0 = Monday… 6 = Sunday), not
+    * from locale-dependent date functions, so both engines agree by
+    * construction.
+    *
+    * Scale shape: one corpus-keyed (type, dow) count agg (map-side
+    * combine, ≤ types×7 groups); shares and the peak flag are windows
+    * over that bounded grid.
+    */
+  val qDowProfile: QuerySpec = QuerySpec(
+    "q202_dow_profile",
+    (s, dir) => {
+      val h = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("((unix_micros(ts) div 86400000000) + 4) % 7").as("dow"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"))
+      val whole = Window.partitionBy(col("event_type"))
+      h.withColumn("tot", sum(col("n")).over(whole))
+        .withColumn("mx", max(col("n")).over(whole))
+        .select(col("event_type"), col("dow"), col("n"),
+          expr("(n * 1000000) div tot").as("share_e6"),
+          when(col("n") === col("mx"), 1L).otherwise(0L).as("is_peak"))
+    },
+    Some("""WITH h AS (SELECT event_type,
+           |   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+           |   CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           | w AS (SELECT event_type, dow, n,
+           |   CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+           |   CAST(MAX(n) OVER (PARTITION BY event_type) AS BIGINT) AS mx
+           |  FROM h)
+           | SELECT event_type, dow, n,
+           |  CAST((n * 1000000) // tot AS BIGINT) AS share_e6,
+           |  CASE WHEN n = mx THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           |   END AS is_peak
+           | FROM w""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
-      qSessionPaths, qConversionLag)
+      qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile)
 }

@@ -189,7 +189,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // pivot + tie-broken top-10 (q199), two min-aggs + bounded lag
       // histogram (q200)
       Profiling.qWeightedPercentiles, Temporal.qSessionPaths,
-      Temporal.qConversionLag)) {
+      Temporal.qConversionLag,
+      // flushed day-grid lag joins with signed truncating div (q201),
+      // bounded dow-grid share windows (q202)
+      Temporal.qDailyAutocorr, Temporal.qDowProfile)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
