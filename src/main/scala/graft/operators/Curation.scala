@@ -1539,13 +1539,17 @@ object Curation {
             | FROM t""".stripMargin.replaceAll("\n", "")))
 
   /** q190 — the quality/cost Pareto frontier of the corpus (the 2-D
-    * skyline operator): docs for which no other doc is both more
-    * natural AND cheaper — naturalness = stopword hits per 1000 words
-    * in exact e3 fixed point (the TextMetrics gate signal, integerized
-    * so `div` ≡ `//`), cost = whitespace token count (the q29
-    * definition). The frontier is what a budget-constrained selection
-    * sweeps along: every point off it is strictly worse on both axes
-    * than some point on it.
+    * skyline operator), in its STRICT form: the frontier keeps, per
+    * quality level, only the min-cost point, and only quality levels
+    * that strictly improve on cost as quality decreases — so
+    * weakly-dominated ties (equal cost at lower quality, equal quality
+    * at higher cost) are dropped too, not just strictly-dominated
+    * points. Naturalness = stopword hits per 1000 words in exact e3
+    * fixed point (the TextMetrics gate signal, integerized so `div` ≡
+    * `//`), cost = whitespace token count (the q29 definition). The
+    * strict frontier is what a budget-constrained selection sweeps
+    * along: each retained point is the unique cheapest way to reach at
+    * least its quality level.
     *
     * Scale shape: the classic skyline trick — dominance only needs the
     * BEST cost at each quality level, so the corpus collapses to a

@@ -863,7 +863,7 @@ object Temporal {
     * count and exact e6 share of the type's volume, plus a peak-day
     * flag — the shape a capacity planner and an anomaly baseline both
     * read. Weekday is derived arithmetically from the epoch-day index
-    * (`(day + 4) % 7`, day 0 = Thursday ⇒ 0 = Monday… 6 = Sunday), not
+    * (`(day + 4) % 7`, day 0 = Thursday ⇒ 0 = Sunday… 6 = Saturday), not
     * from locale-dependent date functions, so both engines agree by
     * construction.
     *
