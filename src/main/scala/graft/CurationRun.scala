@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *   3. `mixture/`   — q132 temperature-weighted mixture plan over the
   *                     surviving documents;
   *   4. `shards/`    — q56 two-level sequence packing of the survivors;
+  *   4c. `tokens/`   — q203 token-id shard materialization: the trained
+  *                     BPE merges applied to every survivor, vocabulary
+  *                     ids packed into the 4096-budget layout — the
+  *                     tensor-ready artifact a training loader reads;
   *   4b. `selection/` — q161 mixture-constrained importance selection
   *                     over the survivors (which kept docs a
   *                     target-domain-matched run would draw, per the
@@ -33,7 +37,8 @@ import org.apache.spark.sql.functions._
   * Every stage is the SAME code path its gated query runs
   * ([[Dedup.substringRemove]], [[Dedup.verifiedPairs]],
   * [[Dedup.qualityCollapse]], [[Corpus.mixturePlan]],
-  * [[Corpus.sequencePack]], [[Curation.mixtureSelect]],
+  * [[Corpus.sequencePack]], [[Corpus.tokenShards]],
+  * [[Curation.mixtureSelect]],
   * [[Curation.sourceScorecard]]) — the
   * pipeline cannot drift from the certified operators
   * (CurationRunSpec pins each stage's output against them).
@@ -51,7 +56,7 @@ object CurationRun {
 
   final case class Summary(
       nDocs: Long, tokensRemoved: Long, nKept: Long, nSources: Long,
-      nFlagged: Long, nSelected: Long)
+      nFlagged: Long, nSelected: Long, nTokens: Long)
 
   // per-JVM run nonce: CC scratch generations flush under this tag, and
   // two runs in one JVM (spec + reuse) must never share one
@@ -90,6 +95,15 @@ object CurationRun {
     write(Corpus.mixturePlan(kept), s"$outDir/mixture")
     write(Corpus.sequencePack(kept), s"$outDir/shards")
 
+    // 4c. tokens — the q203 token-id shard materialization over the
+    // survivors: the trained tokenizer (a LAYOUT, trained once on the
+    // input corpus) applied to every shipped doc, ids packed into the
+    // same 4096 budget the shards stage lays out — the tensor-ready
+    // artifact a training loader reads (q56/q140 only plan it)
+    write(Corpus.tokenShards(spark, kept,
+      Corpus.ensureBpeMerges(spark, inDir), 4096L, s"$tag-tokens"),
+      s"$outDir/tokens")
+
     // 4b. selection — the q161 mixture-constrained cut over the
     // survivors: which kept docs a target-domain-matched training run
     // would actually draw, per the plan's token quotas (advisory
@@ -127,7 +141,8 @@ object CurationRun {
       nKept = spark.read.parquet(s"$outDir/shards").count(),
       nSources = spark.read.parquet(s"$outDir/scorecard").count(),
       nFlagged = spark.read.parquet(s"$outDir/provenance").count(),
-      nSelected = spark.read.parquet(s"$outDir/selection").count())
+      nSelected = spark.read.parquet(s"$outDir/selection").count(),
+      nTokens = spark.read.parquet(s"$outDir/tokens").count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,6 +162,7 @@ object CurationRun {
     println(s"""{"n_docs":${sm.nDocs},"tokens_removed":${sm.tokensRemoved},""" +
       s""""n_kept":${sm.nKept},"n_sources":${sm.nSources},""" +
       s""""n_flagged":${sm.nFlagged},"n_selected":${sm.nSelected},""" +
+      s""""n_tokens":${sm.nTokens},""" +
       f""""sec":$sec%.3f}""")
     spark.stop()
   }

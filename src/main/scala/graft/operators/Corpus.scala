@@ -206,7 +206,16 @@ object Corpus {
     * frame — shared by the gated query and [[graft.CurationRun]]'s
     * shard-layout stage.
     */
-  private[graft] def sequencePack(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+  private[graft] def sequencePack(docs: DataFrame, budget: Long = 4096L): DataFrame =
+    packOffsets(docs.select(col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")), budget)
+
+  /** The q56 two-level offset assignment over a precomputed
+    * (source, doc_id, n_tok) frame — the packing machinery with the
+    * token-count definition factored out, so q203's SUBWORD counts pack
+    * through the identical plan the whitespace counts do.
+    */
+  private[graft] def packOffsets(counts: DataFrame, budget: Long): DataFrame = {
       val wIn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source"), col("block"))
         .orderBy(col("doc_id"))
@@ -215,9 +224,8 @@ object Corpus {
         .partitionBy(col("source"))
         .orderBy(col("block"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val inBlock = docs
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
+      val inBlock = counts
+        .select(col("source"), col("doc_id"), col("n_tok"),
           expr("doc_id div 1024").as("block"))
         .withColumn("in_off", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
       // last doc's exclusive offset + its tokens = the block total; the
@@ -808,6 +816,145 @@ object Corpus {
          |  CAST(symbols_after AS DOUBLE) / CAST(symbols_before AS DOUBLE)
          |    AS compression
          | FROM t""".stripMargin.replaceAll("\n", "")
+    })
+
+  /** Sequence budget for q203's token shards — smaller than q56's 4096
+    * production budget so the GATE corpus cuts a genuinely multi-sequence
+    * shard layout (the layout math is budget-parametric; q56/q140 gate
+    * the 4096 form). Declared before the query so the oracle
+    * interpolation sees it (object-init-order rule).
+    */
+  private[operators] val TokenShardBudget = 512L
+
+  /** Subword tokens for one word column under the trained merge table:
+    * guarded words (`^[a-z]+$`, q75's vocabulary domain) ride the
+    * bracketed form through the merge chain as literal `replace`s
+    * (greedy leftmost non-overlapping on both engines) and split into
+    * their subword tokens; anything else becomes the single `<unk>`
+    * token — so every whitespace token emits ≥ 1 subword and the stream
+    * covers the corpus exactly. The merges are driver-side literals (a
+    * trained LAYOUT, like the k-means codebooks), so the whole chain is
+    * codegen'd string ops — no per-row lambda.
+    */
+  private def bpeTokenArr(
+      merges: Seq[(Long, String, String, Long)], w: Column): Column = {
+    val merged = merges.foldLeft(regexp_replace(w, "([a-z])", "[$1]")) {
+      case (c, (_, l, r, _)) => replace(c, lit(s"[$l][$r]"), lit(s"[$l$r]"))
+    }
+    when(w.rlike("^[a-z]+$"),
+      split(merged.substr(lit(2), length(merged) - 2), "\\]\\["))
+      .otherwise(array(lit("<unk>")))
+  }
+
+  /** The q203 pipeline over an arbitrary (source, doc_id, text) frame —
+    * shared by the gated query and [[graft.CurationRun]]'s token-shard
+    * stage. `tag` must discriminate the input corpus (the Scratch-tag
+    * rule): the token stream is materialized ONCE and its three
+    * consumers (shard rows, per-doc counts, vocabulary) read the
+    * parquet, not three re-executions of the explode pipeline.
+    */
+  private[graft] def tokenShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)], budget: Long,
+      tag: String): DataFrame = {
+    val words = docs.select(col("source"), col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("doc_id"))
+      .orderBy(col("wpos"), col("spos"))
+    val toks = Scratch.flush(s, tag, words
+      .select(col("source"), col("doc_id"), col("wpos"),
+        posexplode(bpeTokenArr(merges, col("w"))).as(Seq("spos", "tok")))
+      .withColumn("tok_idx", row_number().over(wDoc).cast("long") - 1L)
+      .select(col("source"), col("doc_id"), col("tok"), col("tok_idx")))
+    val offs = packOffsets(
+      toks.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("n_tok")), budget)
+      .select(col("source"), col("doc_id"), col("start_tok"))
+    // vocab-sized (≪ corpus; ~100k rows at 100 TB): the single-task
+    // global window is the codebook-scale exception, like q75's argmax
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("tok")))
+        .cast("long") - 1L)
+    toks.join(offs, Seq("source", "doc_id"))
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("source"),
+        expr(s"(start_tok + tok_idx) div ${budget}L").as("seq_id"),
+        ((col("start_tok") + col("tok_idx")) % budget).as("pos_in_seq"),
+        col("doc_id"), col("token_id"))
+  }
+
+  /** q203 — token-id shard MATERIALIZATION: the end artifact a training
+    * loader actually consumes, which q75/q75b/q56/q140 stop short of —
+    * apply the TRAINED merge table ([[ensureBpeMerges]]) to every
+    * document, assign each distinct subword its vocabulary id
+    * (lexicographic rank — deterministic on both engines' binary
+    * collations), and lay the id stream into the q56 two-level packed
+    * layout: one row per token with its (source, seq_id, pos_in_seq)
+    * shard address. `GROUP BY source, seq_id` tiles every non-final
+    * sequence to exactly [[TokenShardBudget]]; the row set IS the
+    * tensor-ready shard content.
+    *
+    * Scale shape: the token stream (explode → codegen'd merge chain →
+    * per-doc row_number, partitioned by doc — parallel across docs) is
+    * scratch-materialized once and read by its three consumers; the
+    * per-doc counts ride the q56 two-level prefix sum ([[packOffsets]] —
+    * no per-source serialization); the vocabulary is catalog-sized and
+    * broadcast; the only corpus-scale shuffles are the doc-keyed count
+    * agg and the (source, doc_id) offset join.
+    */
+  val qTokenShards: QuerySpec = QuerySpec(
+    "q203_token_shards",
+    (s, dir) => {
+      val merges = ensureBpeMerges(s, dir)
+      tokenShards(s, Tables.load(s, dir, "documents"), merges,
+        TokenShardBudget,
+        s"q203-toks-${java.lang.Long.toHexString(PolyHash.hash(dir))}")
+    },
+    Some {
+      val gsteps = (1 to BpeMergeSteps).map { k =>
+        s""" g$k AS MATERIALIZED (SELECT source, doc_id, wpos, w,
+           |   replace(ws, '[' || lhs || '][' || rhs || ']',
+           |     '[' || lhs || rhs || ']') AS ws
+           |  FROM g${k - 1}, m$k)""".stripMargin
+      }.mkString(",")
+      s"""WITH $bpeSqlCtes,
+         | wrd AS MATERIALIZED (SELECT source, doc_id,
+         |   unnest(string_split(text, ' ')) AS w,
+         |   CAST(unnest(range(1, len(string_split(text, ' ')) + 1))
+         |     AS BIGINT) - 1 AS wpos
+         |  FROM documents),
+         | g0 AS MATERIALIZED (SELECT source, doc_id, wpos, w,
+         |   CASE WHEN regexp_matches(w, '^[a-z]+$$')
+         |    THEN regexp_replace(w, '([a-z])', '[\\1]', 'g') END AS ws
+         |  FROM wrd),
+         |$gsteps,
+         | tk AS MATERIALIZED (SELECT source, doc_id, wpos,
+         |   unnest(tks) AS tok,
+         |   CAST(unnest(range(1, len(tks) + 1)) AS BIGINT) - 1 AS spos
+         |  FROM (SELECT source, doc_id, wpos,
+         |    CASE WHEN ws IS NULL THEN ['<unk>']
+         |     ELSE string_split(ws[2:length(ws) - 1], '][') END AS tks
+         |   FROM g$BpeMergeSteps)),
+         | ix AS MATERIALIZED (SELECT source, doc_id, tok,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY source, doc_id
+         |     ORDER BY wpos, spos) AS BIGINT) - 1 AS tok_idx
+         |  FROM tk),
+         | cnt AS (SELECT source, doc_id, COUNT(*) AS n_tok
+         |  FROM ix GROUP BY source, doc_id),
+         | off AS (SELECT source, doc_id, CAST(COALESCE(SUM(n_tok) OVER (
+         |   PARTITION BY source ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |   AS start_tok FROM cnt),
+         | vc AS (SELECT tok,
+         |   CAST(ROW_NUMBER() OVER (ORDER BY tok) AS BIGINT) - 1 AS token_id
+         |  FROM (SELECT DISTINCT tok FROM ix))
+         | SELECT i.source AS source,
+         |  (o.start_tok + i.tok_idx) // $TokenShardBudget AS seq_id,
+         |  (o.start_tok + i.tok_idx) % $TokenShardBudget AS pos_in_seq,
+         |  i.doc_id AS doc_id, v.token_id AS token_id
+         | FROM ix i JOIN off o ON i.source = o.source AND i.doc_id = o.doc_id
+         |  JOIN vc v ON i.tok = v.tok""".stripMargin.replaceAll("\n", "")
     })
 
   /** q83 — collocation mining: the 20 most associated word bigrams by
@@ -2091,5 +2238,5 @@ object Corpus {
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
     qHeavyHitters, qShardChecksums, qManifestDiff, qPaddingWaste,
-    qBurstiness, qPostingSizing)
+    qBurstiness, qPostingSizing, qTokenShards)
 }

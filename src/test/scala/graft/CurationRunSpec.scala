@@ -110,6 +110,37 @@ class CurationRunSpec extends AnyFunSuite with SparkTestSession {
       .count() == 0)
   }
 
+  test("the token shards cover exactly the survivors and tile the shard layout") {
+    val (o, sm) = out
+    val toks = spark.read.parquet(s"$o/tokens")
+    assert(toks.count() == sm.nTokens && sm.nTokens > 0)
+    // every survivor contributes ≥1 token (each whitespace token emits
+    // ≥1 subword — the <unk> guarantee), and nothing else does
+    val keptIds = spark.read.parquet(s"$o/collapse")
+      .filter(col("kept") === 1L).select(col("doc_id"))
+    assert(toks.select("doc_id").distinct().count() == sm.nKept)
+    assert(toks.join(keptIds, Seq("doc_id"), "left_anti").count() == 0)
+    // shard addresses are a bijection onto the packed token stream:
+    // (source, seq_id, pos_in_seq) unique, every non-final sequence
+    // tiles to exactly the 4096 budget, positions in [0, 4096)
+    assert(toks.select("source", "seq_id", "pos_in_seq").distinct().count()
+      == sm.nTokens)
+    assert(toks.filter(col("pos_in_seq") < 0L || col("pos_in_seq") >= 4096L)
+      .count() == 0)
+    val lastSeq = toks.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("last"))
+    val short = toks.groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n"))
+      .join(lastSeq, Seq("source"))
+      .filter(col("seq_id") =!= col("last") && col("n") =!= 4096L)
+    assert(short.count() == 0, "a non-final sequence is not budget-tiled")
+    // token ids are a dense 0-based vocabulary
+    val ids = toks.select(col("token_id")).distinct()
+    val mx = ids.agg(max("token_id"), count(lit(1))).first()
+    assert(mx.getLong(0) == mx.getLong(1) - 1)
+    assert(toks.filter(col("token_id") < 0L).count() == 0)
+  }
+
   test("the selection stage is the gated q161 cut over exactly the survivors") {
     val (o, sm) = out
     val sel = spark.read.parquet(s"$o/selection")
