@@ -233,6 +233,100 @@ object Retrieval {
             | FROM gg LEFT JOIN ex ON gg.vec_id = ex.vec_id""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q204 — the q137-vs-q134 AGREEMENT GATE: bounded SemDeDup's removal
+    * recall and precision against the exact cluster-bounded pass, as a
+    * gated one-row report — the measured number that justifies shipping
+    * q137 at 100 TB scale (where q134's Σ_c C(n_c,2) candidate volume is
+    * quadratic by definition; the sf1 probe measured exp 1.94 vs q137's
+    * 0.45). Because q137's candidate pairs are a strict SUBSET of
+    * q134's (same cid, plus the subgroup equality), every bounded
+    * removal is an exact removal — precision_e6 = 1 000 000 is pinned by
+    * construction and the gate proves it; recall_e6 is the information:
+    * the fraction of exact removals the subgroup split retains
+    * (expected ≈ 1/m per split cluster). Policy: deployments at fixed K
+    * should run q137 and read THIS number for what the bound costs; see
+    * the [[graft.CurationRun]] scale note.
+    *
+    * Scale shape: both pipelines are the already-gated plans; the
+    * comparison joins two corpus-scale (vec_id, kept) frames on vec_id
+    * and collapses to ONE row map-side. Exactness: pure integer counts;
+    * the e6 ratios are integer `div` ≡ DuckDB `//` on nonnegatives.
+    */
+  val qSemDedupAgreement: QuerySpec = QuerySpec(
+    "q204_semdedup_agreement",
+    (s, dir) => {
+      val e = qSemDedup.build(s, dir)
+        .select(col("vec_id"), col("exemplar_id").as("ex_e"),
+          col("kept").as("kept_e"))
+      val b = semDedupBounded(s, dir, SemGroup)
+        .select(col("vec_id"), col("exemplar_id").as("ex_b"),
+          col("kept").as("kept_b"))
+      e.join(b, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(lit(1L) - col("kept_e")).as("n_removed_exact"),
+          sum(lit(1L) - col("kept_b")).as("n_removed_bounded"),
+          sum((lit(1L) - col("kept_e")) * (lit(1L) - col("kept_b")))
+            .as("n_agree"),
+          sum(when(col("kept_e") === 0L && col("kept_b") === 0L
+            && col("ex_e") === col("ex_b"), 1L).otherwise(0L))
+            .as("n_same_exemplar"))
+        .select(col("n_vecs"), col("n_removed_exact"),
+          col("n_removed_bounded"), col("n_agree"), col("n_same_exemplar"),
+          when(col("n_removed_exact") > 0L,
+            expr("(n_agree * 1000000L) div n_removed_exact"))
+            .as("recall_e6"),
+          when(col("n_removed_bounded") > 0L,
+            expr("(n_agree * 1000000L) div n_removed_bounded"))
+            .as("precision_e6"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | pr AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+            |  FROM fm a JOIN fm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+            | ex AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+            |  FROM pr GROUP BY vec_id),
+            | ev AS (SELECT fm.vec_id,
+            |   COALESCE(ex.exemplar_lo, fm.vec_id) AS ex_e,
+            |   CASE WHEN ex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS kept_e
+            |  FROM fm LEFT JOIN ex ON fm.vec_id = ex.vec_id),
+            | mm AS (SELECT cid,
+            |   CAST((COUNT(*) + ${SemGroup - 1}) // $SemGroup AS BIGINT) AS m
+            |  FROM fm GROUP BY cid),
+            | gg AS (SELECT fm.vec_id, fm.cid, fm.qe,
+            |   ${PolyHash.oracleSql("'sem|' || CAST(fm.vec_id AS VARCHAR)")}
+            |    % mm.m AS sub
+            |  FROM fm JOIN mm ON fm.cid = mm.cid),
+            | prb AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+            |  FROM gg a JOIN gg b ON a.cid = b.cid AND a.sub = b.sub
+            |   AND a.vec_id < b.vec_id
+            |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+            | exb AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+            |  FROM prb GROUP BY vec_id),
+            | bv AS (SELECT gg.vec_id,
+            |   COALESCE(exb.exemplar_lo, gg.vec_id) AS ex_b,
+            |   CASE WHEN exb.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS kept_b
+            |  FROM gg LEFT JOIN exb ON gg.vec_id = exb.vec_id),
+            | j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            |   CAST(SUM(1 - kept_e) AS BIGINT) AS n_removed_exact,
+            |   CAST(SUM(1 - kept_b) AS BIGINT) AS n_removed_bounded,
+            |   CAST(SUM((1 - kept_e) * (1 - kept_b)) AS BIGINT) AS n_agree,
+            |   CAST(SUM(CASE WHEN kept_e = 0 AND kept_b = 0
+            |     AND ex_e = ex_b THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_same_exemplar
+            |  FROM ev JOIN bv ON ev.vec_id = bv.vec_id)
+            | SELECT n_vecs, n_removed_exact, n_removed_bounded, n_agree,
+            |  n_same_exemplar,
+            |  CASE WHEN n_removed_exact > 0
+            |   THEN CAST((n_agree * 1000000) // n_removed_exact AS BIGINT)
+            |   END AS recall_e6,
+            |  CASE WHEN n_removed_bounded > 0
+            |   THEN CAST((n_agree * 1000000) // n_removed_bounded AS BIGINT)
+            |   END AS precision_e6
+            | FROM j""".stripMargin.replaceAll("\n", "")))
+
   /** Multi-query ANN serving against the clustered-at-rest IVF layout —
     * the request-batch form of q26c's single-query probe, and the ONE
     * definition [[graft.streaming.RetrievalStream]]'s per-trigger
@@ -908,7 +1002,8 @@ object Retrieval {
       .replaceAll("\n", "")))
 
   val specs: Seq[QuerySpec] =
-    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qAnnServe, qServeRecall,
+    Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qSemDedupAgreement,
+      qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
       qServeMrr, qHybridServeBatch, qRankAgreement)
 }
