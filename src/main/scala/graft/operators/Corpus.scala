@@ -123,6 +123,75 @@ object Corpus {
          | FROM dt""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q206 — INTRA-document repetition TRIM (q48's rewrite twin, the Rae
+    * et al. 2021 repetition-removal step; q130 splices CROSS-doc shared
+    * passages, this trims WITHIN-doc repeats): every word position
+    * covered by a repeated trigram occurrence — a trigram position p
+    * whose gram already occurred at a lower position in the SAME doc —
+    * is removed, keeping each repeated run's first occurrence; the doc
+    * is re-emitted with removed-token accounting. The rule is a closed
+    * form (no greedy left-to-right state): removed positions =
+    * ⋃ {p..p+2 : gram(p) = gram(p') for some p' < p}, which both
+    * engines compute identically from a (doc, gram, position) frame.
+    * Trigram strings join tokens with single spaces — injective, since
+    * whitespace-split tokens never contain spaces.
+    *
+    * Scale shape: one gram explosion (3 rows/word), a (doc_id, gram)
+    * first-occurrence aggregate whose join back reuses the SAME
+    * partitioning, an extent explode bounded by 3× the repeat count
+    * collapsed map-side via distinct, and the one-pass q130 splice
+    * ([[Dedup.spliceTokens]] — the per-doc token filter is the shared
+    * rewrite-pass HOF exception). Per-doc windows never appear; nothing
+    * is corpus-quadratic — candidates are (doc, gram)-keyed, intra-doc
+    * only.
+    */
+  val qRepetitionTrim: QuerySpec = QuerySpec(
+    "q206_repetition_trim",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val g = docs.select(col("doc_id"),
+        posexplode(WordShingles(col("text"), 3)).as(Seq("p", "gram")))
+      val first = g.groupBy(col("doc_id"), col("gram"))
+        .agg(min(col("p")).as("fp"))
+      val rpos = g.join(first, Seq("doc_id", "gram"))
+        .filter(col("p") > col("fp"))
+        .select(col("doc_id"),
+          explode(sequence(col("p").cast("long"),
+            col("p").cast("long") + 2L)).as("wp"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(collect_list(col("wp")).as("rpos"))
+      Dedup.spliceTokens(docs, rpos)
+        .select(col("doc_id"), col("n_tokens_before"), col("n_removed"),
+          col("clean_text").as("trimmed_text"))
+    },
+    // DuckDB positions are 1-based end-to-end (range(1,…) grams,
+    // list_filter's 1-based index) where Spark is 0-based end-to-end
+    // (posexplode, filter's 0-based index) — each side self-consistent,
+    // and no position column reaches the output (the q130 convention)
+    Some("""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           | g AS (SELECT doc_id,
+           |   unnest(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+           |     i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS gram,
+           |   CAST(unnest(range(1, greatest(len(tk) - 2, 0) + 1))
+           |     AS BIGINT) AS p
+           |  FROM dt),
+           | f AS (SELECT doc_id, gram, MIN(p) AS fp
+           |  FROM g GROUP BY doc_id, gram),
+           | rem AS (SELECT DISTINCT doc_id, wp FROM (
+           |   SELECT g.doc_id, CAST(unnest(range(g.p, g.p + 3)) AS BIGINT)
+           |     AS wp
+           |   FROM g JOIN f ON g.doc_id = f.doc_id AND g.gram = f.gram
+           |   WHERE g.p > f.fp)),
+           | rp AS (SELECT doc_id, list(wp) AS rpos FROM rem GROUP BY doc_id),
+           | dt2 AS (SELECT d.doc_id, string_split(d.text, ' ') AS tk, rp.rpos
+           |  FROM documents d LEFT JOIN rp ON d.doc_id = rp.doc_id)
+           | SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens_before,
+           |  CAST(COALESCE(len(rpos), 0) AS BIGINT) AS n_removed,
+           |  COALESCE(array_to_string(list_filter(tk, (x, xi) ->
+           |    rpos IS NULL OR NOT list_contains(rpos, xi)), ' '), '')
+           |   AS trimmed_text
+           | FROM dt2""".stripMargin.replaceAll("\n", "")))
+
   /** q49 — corpus vocabulary: the 20 most frequent word bigrams with a
     * unique tiebreak on the gram itself. [[WordShingles]] keeps
     * duplicate occurrences (unlike the dedup kernels) — frequency is the
@@ -2238,5 +2307,5 @@ object Corpus {
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
     qHeavyHitters, qShardChecksums, qManifestDiff, qPaddingWaste,
-    qBurstiness, qPostingSizing, qTokenShards)
+    qBurstiness, qPostingSizing, qTokenShards, qRepetitionTrim)
 }

@@ -350,6 +350,68 @@ object Curation {
            |    AS BIGINT) AS n_digit_redacted
            | FROM c GROUP BY doc_id""".stripMargin.replaceAll("\n", "")))
 
+  /** q205 — PII REDACTION rewrite (q78's twin): the operator a curation
+    * pass actually runs after reading q78's audit — every email-like
+    * token is replaced by `<EMAIL>`, every long-digit-run token by
+    * `<NUMBER>` (email wins when both match, q78's precedence), and the
+    * document is re-emitted with per-doc redaction counts. Same
+    * regex-free classification closed form as q78 (`instr`/`strpos` for
+    * '@', `length − translate`-stripped length for digit runs — no
+    * backtracking surface, no Java-vs-RE2 divergence); the placeholders
+    * cannot collide with content (corpus tokens are a-z + the salted PII
+    * forms). split → per-token CASE → join on ' ' round-trips untouched
+    * text byte-identically (the q130 splice discipline — empty tokens
+    * preserve space runs and are never redacted: length 0 matches
+    * neither class).
+    *
+    * Scale shape: ONE map-side pass — no shuffle at all; the per-token
+    * rewrite is a higher-order transform evaluated once per document
+    * (the q130 rewrite-pass exception to the no-HOF rule: corpus-linear,
+    * never inside an iterated hot loop), and the counts fall out of the
+    * same transformed array.
+    */
+  val qPiiRedact: QuerySpec = QuerySpec(
+    "q205_pii_redact",
+    (s, dir) => {
+      val salted = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" user"), col("doc_id").cast("string"), lit("@ex.org "),
+            ((col("doc_id") * 7919) % 10000000 + 10000000).cast("string"))
+            .as("text"))
+      val redact = (t: Column) =>
+        when(instr(t, "@") > 0, lit("<EMAIL>"))
+          .when(length(t) - length(translate(t, "0123456789", "")) >= 7,
+            lit("<NUMBER>"))
+          .otherwise(t)
+      salted
+        .select(col("doc_id"),
+          transform(split(col("text"), " "), redact).as("rt"))
+        .select(col("doc_id"),
+          size(col("rt")).cast("long").as("n_tokens"),
+          size(filter(col("rt"), t => t === "<EMAIL>")).cast("long")
+            .as("n_email_redacted"),
+          size(filter(col("rt"), t => t === "<NUMBER>")).cast("long")
+            .as("n_digit_redacted"),
+          array_join(col("rt"), " ").as("redacted_text"))
+    },
+    Some("""WITH salted AS (SELECT doc_id,
+           |   text || ' user' || CAST(doc_id AS VARCHAR) || '@ex.org ' ||
+           |   CAST((doc_id * 7919) % 10000000 + 10000000 AS VARCHAR) AS text
+           |  FROM documents),
+           | r AS (SELECT doc_id, list_transform(string_split(text, ' '),
+           |   t -> CASE WHEN strpos(t, '@') > 0 THEN '<EMAIL>'
+           |    WHEN length(t) - length(translate(t, '0123456789', '')) >= 7
+           |     THEN '<NUMBER>' ELSE t END) AS rt
+           |  FROM salted)
+           | SELECT doc_id, CAST(len(rt) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(rt, t -> t = '<EMAIL>')) AS BIGINT)
+           |    AS n_email_redacted,
+           |  CAST(len(list_filter(rt, t -> t = '<NUMBER>')) AS BIGINT)
+           |    AS n_digit_redacted,
+           |  array_to_string(rt, ' ') AS redacted_text
+           | FROM r""".stripMargin.replaceAll("\n", "")))
+
   /** q87 — per-source corpus scorecard: the one-scan health dashboard a
     * curation run ends with, rolling the per-document signals up to the
     * feed level — document count, total characters, classifier keep
@@ -1600,7 +1662,8 @@ object Curation {
       .replaceAll("\n", "")))
 
   val specs: Seq[QuerySpec] = Seq(qCuration, qCurationFromStore, qCurationClusters,
-    qQualityYield, qDomainBlocklist, qPiiScrub, qSourceScorecard, qCurriculum,
+    qQualityYield, qDomainBlocklist, qPiiScrub, qPiiRedact,
+    qSourceScorecard, qCurriculum,
     qGopherRules, qLengthMatchedSample, qFilterAgreement, qImportanceWeights,
     qRejectionReasons, qScoreCalibration, qBudgetSelection, qMixtureSelection,
     qSelectionShift, qKAnonymity, qLDiversity, qTCloseness, qDpRelease,
