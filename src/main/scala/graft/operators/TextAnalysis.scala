@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables, TextMetrics}
-import graft.functions.{CdcChunkStrings, HashedLinearScore, PolyHash}
+import graft.functions.{CdcChunkStrings, HashedLinearScore, PolyHash, WordShingleHashes}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -386,6 +386,224 @@ object TextAnalysis {
        |   CAST(len(U) + len(B) AS BIGINT) AS n_features
        |  FROM fs)""".stripMargin.replaceAll("\n", "")
 
+  /** q207's training geometry — declared before the query so the
+    * oracle interpolation sees them (object-init-order rule): hashed
+    * feature dimension (the bias feature rides at index
+    * [[PerceptronDim]], so vectors have D+1 entries), deterministic
+    * shard count, and fixed mixing epochs.
+    */
+  private[graft] val PerceptronDim = 64
+  private[graft] val PerceptronShards = 8
+  private[graft] val PerceptronIters = 4
+
+  /** q207 — TRAINED quality classifier: an integer averaged perceptron
+    * trained by ITERATIVE PARAMETER MIXING (McDonald, Hall & Mann,
+    * NAACL 2010 — the published distributed perceptron: shard the
+    * corpus deterministically, run the sequential Rosenblatt update
+    * within each shard in parallel, average the shard weight vectors,
+    * repeat), distilled from the stop-ratio teacher. This closes q80's
+    * gap: q80 runs hash-derived stand-in weights, this learns real ones
+    * (a pure BATCH update was tried first and measured useless here —
+    * near-balanced classes make the aggregate update flip the whole
+    * decision each round, a period-2 oscillation; IPM's within-shard
+    * sequential updates are what break it).
+    *
+    * Features: per-doc PER-MIL occurrence shares of
+    * [[PerceptronDim]]-bucketed unigram + bigram hashes
+    * (`(1000·cnt) div total` — integer-normalized so update magnitude
+    * is length-independent; raw counts let long documents swamp the
+    * mix) plus a constant bias feature (value 100 at index D). Teacher
+    * label y = +1 iff 50·stop_hits ≥ 3·words (stop-ratio ≥ 0.06 — the
+    * corpus median, so the teacher genuinely splits the data; a
+    * natural-text 0.25 cut degenerates to all-negative on this
+    * synthetic corpus); docs with no words abstain. Per epoch, each of
+    * the [[PerceptronShards]] `doc_id % S` shards folds its documents
+    * in doc_id order from the previous epoch's mixed vector (mistake
+    * rule y·⟨w,x⟩ ≤ 0 → w += y·x), and the mix is the truncating
+    * integer mean (Scala `/` ≡ DuckDB `//` toward zero — the q110
+    * rule). Output is the weight TABLE (D+1 rows): w_final plus the
+    * averaged running sum w_sum over epochs (Freund & Schapire 1999;
+    * Σ_e w_e classifies identically to the mean) — the artifact a
+    * scoring pass swaps into q80's plumbing in place of hash weights
+    * (PerceptronSpec pins that the trained filter beats both the
+    * majority class and q80's untrained baseline on teacher agreement).
+    *
+    * Scale shape: the per-doc feature frame is scratch-materialized
+    * ONCE; each epoch is ONE distributed pass — `groupByKey(shard)` +
+    * `flatMapSortedGroups(doc_id)` streams every shard through its
+    * sequential fold without materializing it (the ONE
+    * genuinely-imperative per-partition loop in the engine, which is
+    * exactly the case the charter reserves typed group-folds for: IPM's
+    * within-shard pass IS sequential by definition), emitting S
+    * (D+1)-vectors; the driver mixes S×(D+1) numbers (the q75
+    * argmax/codebook discipline — bounded by geometry, never by corpus)
+    * and re-broadcasts through the next epoch's closure. At 100 TB, S
+    * scales with the cluster and each shard is still one streamed pass.
+    * The oracle runs the identical fold as one RECURSIVE CTE per epoch
+    * (all shards advancing one doc per step in parallel rows, weight
+    * vector as BIGINT[] state), epochs chained like the q26b Lloyd
+    * unroll; see the oracle comment for why `list_reduce` is unusable
+    * here.
+    */
+  /** q207's scratch-materialized per-doc training frame
+    * (shard, doc_id, y, bs, cs) — bucket list + aligned per-mil feature
+    * values with the bias appended — shared by the gated training query
+    * and PerceptronSpec's scoring checks.
+    */
+  private[graft] def perceptronDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = PerceptronDim
+    val docs = Tables.load(s, dir, "documents")
+    val lab = docs
+      .select(col("doc_id"),
+        TextMetrics.wordCount(col("text")).as("nw"),
+        TextMetrics.stopCount(col("text")).as("ns"))
+      .filter(col("nw") > 0)
+      .select(col("doc_id"),
+        when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(-1L).as("y"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    Scratch.flush(s,
+      s"q207-fy-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+      docs.select(col("doc_id"),
+          explode(graft.functions.WordShingles(col("text"), 1)).as("g"))
+        .union(docs.select(col("doc_id"),
+          explode(graft.functions.WordShingles(col("text"), 2)).as("g")))
+        .select(col("doc_id"), (PolyHash(col("g")) % d).as("bucket"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(wDoc))
+        .select(col("doc_id"), col("bucket"),
+          expr("(1000 * c) div tot").as("nf"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("nf"))))
+          .as("fs"))
+        .join(lab, Seq("doc_id"))
+        .select((col("doc_id") % PerceptronShards).as("shard"), col("doc_id"),
+          col("y"),
+          concat(expr("transform(fs, x -> x.bucket)"),
+            array(lit(d.toLong))).as("bs"),
+          concat(expr("transform(fs, x -> x.nf)"),
+            array(lit(100L))).as("cs")))
+  }
+
+  val qPerceptronTrain: QuerySpec = QuerySpec(
+    "q207_perceptron_train",
+    (s, dir) => {
+      import s.implicits._
+      val d = PerceptronDim
+      val nShards = PerceptronShards
+      val perDoc = perceptronDocs(s, dir)
+        .as[(Long, Long, Long, Seq[Long], Seq[Long])]
+      var w = Array.fill(d + 1)(0L)
+      val wSum = Array.fill(d + 1)(0L)
+      for (_ <- 1 to PerceptronIters) {
+        val w0 = w.clone()
+        val shardW = perDoc.groupByKey(_._1)
+          .flatMapSortedGroups(col("doc_id")) { (shard, it) =>
+            val v = w0.clone()
+            it.foreach { case (_, _, y, bs, cs) =>
+              var sc = 0L
+              var i = 0
+              while (i < bs.length) { sc += v(bs(i).toInt) * cs(i); i += 1 }
+              if (y * sc <= 0L) {
+                i = 0
+                while (i < bs.length) { v(bs(i).toInt) += y * cs(i); i += 1 }
+              }
+            }
+            Iterator.single((shard, v.toSeq))
+          }.collect()
+        val mixed = Array.fill(d + 1)(0L)
+        shardW.foreach { case (_, v) =>
+          var b = 0; while (b <= d) { mixed(b) += v(b); b += 1 } }
+        w = mixed.map(_ / nShards)
+        var b = 0
+        while (b <= d) { wSum(b) += w(b); b += 1 }
+      }
+      (0 to d).map(b => (b.toLong, w(b), wSum(b)))
+        .toDF("bucket", "w_final", "w_sum")
+    },
+    Some {
+      val d = PerceptronDim
+      val nS = PerceptronShards
+      // Each epoch is a RECURSIVE CTE advancing one document per step
+      // within every shard in parallel rows — NOT a list_reduce fold:
+      // DuckDB v1.0's list_reduce mis-evaluates when the input relation
+      // has multiple rows with unequal list lengths (probed: each shard
+      // folded alone is correct, the 8-row fold is wrong and differs
+      // between materialized and plain), while per-row
+      // list_transform/list_sum/list_position are the primitives the
+      // rest of the oracle suite already trusts.
+      val epochs = (1 to PerceptronIters).map { k =>
+        s""" r$k(shard, j, st) AS (
+           |  SELECT ns.shard, CAST(0 AS BIGINT), m${k - 1}.w
+           |   FROM ns, m${k - 1}
+           |  UNION ALL
+           |  SELECT r.shard, r.j + 1,
+           |   CASE WHEN d.y * CAST(list_sum(list_transform(
+           |       range(1, len(d.bs) + 1),
+           |       i -> r.st[d.bs[i] + 1] * d.cs[i])) AS BIGINT) <= 0
+           |    THEN list_transform(range(0, ${d + 1}),
+           |     b -> r.st[b + 1] + d.y * COALESCE(
+           |      d.cs[list_position(d.bs, CAST(b AS BIGINT))], 0))
+           |    ELSE r.st END
+           |  FROM r$k r JOIN pdn d ON d.shard = r.shard
+           |   AND d.seq = r.j + 1),
+           | f$k AS MATERIALIZED (SELECT r.shard, r.st AS wv
+           |  FROM r$k r JOIN ns ON r.shard = ns.shard AND r.j = ns.n),
+           | m$k AS MATERIALIZED (SELECT list_transform(range(0, ${d + 1}),
+           |   b -> CAST(CAST(list_sum(list_transform(vs, v -> v[b + 1]))
+           |    AS BIGINT) // $nS AS BIGINT)) AS w
+           |  FROM (SELECT list(wv) AS vs FROM f$k))""".stripMargin
+      }.mkString(",")
+      val wsum = (1 to PerceptronIters).map(k => s"m$k.w[b + 1]")
+        .mkString(" + ")
+      val mrefs = (1 to PerceptronIters).map(k => s"m$k").mkString(", ")
+      s"""WITH RECURSIVE tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         | lab AS (SELECT doc_id,
+         |   CASE WHEN 50 * ${TextMetrics.stopCountSql("text")}
+         |     >= 3 * ${TextMetrics.wordCountSql("text")}
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM documents WHERE ${TextMetrics.wordCountSql("text")} > 0),
+         | fs AS (SELECT doc_id,
+         |   list_transform(w, s -> ${PolyHash.oracleSql("s")} % $d) AS U,
+         |   list_transform(
+         |     list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j + 1]),
+         |     s -> ${PolyHash.oracleSql("s")} % $d) AS B
+         |  FROM tk),
+         | fb AS (SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+         |   CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |   SELECT doc_id, unnest(U) AS bucket FROM fs
+         |   UNION ALL
+         |   SELECT doc_id, unnest(B) AS bucket FROM fs)
+         |  GROUP BY doc_id, bucket),
+         | nf AS (SELECT doc_id, bucket,
+         |   CAST((1000 * c) // CAST(SUM(c) OVER (PARTITION BY doc_id)
+         |    AS BIGINT) AS BIGINT) AS nf
+         |  FROM fb),
+         | pd AS MATERIALIZED (SELECT nf.doc_id,
+         |   CAST(nf.doc_id % $nS AS BIGINT) AS shard, lab.y,
+         |   list_append(list(nf.bucket ORDER BY nf.bucket),
+         |     CAST($d AS BIGINT)) AS bs,
+         |   list_append(list(nf.nf ORDER BY nf.bucket),
+         |     CAST(100 AS BIGINT)) AS cs
+         |  FROM nf JOIN lab ON nf.doc_id = lab.doc_id
+         |  GROUP BY nf.doc_id, lab.y),
+         | pdn AS MATERIALIZED (SELECT shard, y, bs, cs,
+         |   CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+         |    AS BIGINT) AS seq
+         |  FROM pd),
+         | ns AS MATERIALIZED (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM pdn GROUP BY shard),
+         | m0 AS (SELECT list_transform(range(0, ${d + 1}),
+         |   b -> CAST(0 AS BIGINT)) AS w),
+         |$epochs
+         | SELECT CAST(t.b AS BIGINT) AS bucket,
+         |  CAST(m$PerceptronIters.w[b + 1] AS BIGINT) AS w_final,
+         |  CAST($wsum AS BIGINT) AS w_sum
+         | FROM range(0, ${d + 1}) t(b), $mrefs""".stripMargin
+        .replaceAll("\n", "")
+    })
+
   /** q113 — Gini–Simpson lexical diversity per source: 1 − Σ(c/T)², the
     * probability two random tokens differ. The LOG-FREE diversity index
     * (Shannon entropy needs `ln`, which the libm-divergence rule bans
@@ -671,5 +889,6 @@ object TextAnalysis {
 
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
-    qDiversity, qSourceDrift, qWassersteinDrift, qChunkDedup)
+    qDiversity, qSourceDrift, qWassersteinDrift, qChunkDedup,
+    qPerceptronTrain)
 }
