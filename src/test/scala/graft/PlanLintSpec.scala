@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide plan lint — automates what PlanAudit leaves to the eye:
+  * every gated query's physical plan is built at sf0.001 and asserted
+  * free of the two shapes that do not survive a 100× scale-up unless
+  * both sides are bounded:
+  *
+  *  - `CartesianProductExec` (a non-broadcast cross join) is banned
+  *    outright — no gated query may ever compile to one;
+  *  - `BroadcastNestedLoopJoinExec` is allowed ONLY for the documented
+  *    whitelist (single-row corpus totals / bounded-summary grids
+  *    cross-joined under an explicit `broadcast()` — the q83-style
+  *    shapes the round-14 audit spot-checked), pinned per query name so
+  *    a NEW unintended BNLJ anywhere in the suite fails this spec.
+  *
+  * AQE is disabled for the build (the AnnPrunedSpec discipline: AQE
+  * wraps the tree in unexecuted query stages and hides exec nodes from
+  * `collect`; the static shapes asserted here don't depend on it), and
+  * subquery plans are traversed too.
+  */
+class PlanLintSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plan legitimately carries BNLJs, with the EXACT
+    * count pinned: every entry is a `crossJoin(broadcast(...))` of a
+    * SINGLE-ROW aggregate (corpus total, global histogram row) or a
+    * bounded literal/summary grid — never data×data (the round-14 audit
+    * spot-checked each). A new BNLJ inside a whitelisted query bumps
+    * its count and fails here too. Additions require the same
+    * justification in the query's scaladoc.
+    */
+  private val bnljWhitelist: Map[String, Int] = Map(
+    "q61_mixture_sample" -> 1, "q74_pq_recall" -> 4,
+    "q83_collocations" -> 1, "q93_bm25_topk" -> 1,
+    "q94_sq8_recall" -> 1, "q97_join_cardinality" -> 1,
+    "q104_quantile_sketch" -> 1, "q115_source_drift" -> 2,
+    "q119_dup_mass" -> 1, "q128_ingestion_drift" -> 1,
+    "q132_mixture_planner" -> 1, "q133_hybrid_rrf" -> 1,
+    "q139_dataset_card" -> 1, "q145_vocab_growth" -> 2,
+    "q148_curation_impact" -> 2, "q149_wasserstein_drift" -> 2,
+    "q150_length_matched_sample" -> 4, "q154_bm25_index" -> 2,
+    "q155_bm25_serve_batch" -> 1, "q156_importance_weights" -> 1,
+    "q160_budget_selection" -> 4, "q161_mixture_selection" -> 5,
+    "q165_selection_shift" -> 5, "q172_cluster_labels" -> 1,
+    "q173_hybrid_serve_batch" -> 1, "q175_t_closeness" -> 1,
+    "q182_burstiness" -> 1, "q184_rank_agreement" -> 1,
+    "q185_rfm_segments" -> 3, "q186_layout_parity" -> 3,
+    "q189_market_basket" -> 1, "q192_cusum_changepoint" -> 2,
+    "q197_rolling_distinct" -> 1, "q201_daily_autocorr" -> 5)
+
+  test("no cartesian product anywhere; BNLJ only on the documented whitelist") {
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val carts = Seq.newBuilder[String]
+      val bnljs = Seq.newBuilder[String]
+      Queries.all.foreach { q =>
+        val plan = q.build(spark, dir).queryExecution.executedPlan
+        val nCart = plan.collectWithSubqueries {
+          case c: CartesianProductExec => c }.size
+        val nBnlj = plan.collectWithSubqueries {
+          case b: BroadcastNestedLoopJoinExec => b }.size
+        if (nCart > 0) carts += s"${q.name}($nCart)"
+        if (nBnlj != bnljWhitelist.getOrElse(q.name, 0))
+          bnljs += s"${q.name}($nBnlj, whitelisted " +
+            s"${bnljWhitelist.getOrElse(q.name, 0)})"
+      }
+      assert(carts.result().isEmpty,
+        s"cartesian products: ${carts.result().mkString(", ")}")
+      assert(bnljs.result().isEmpty,
+        s"unwhitelisted BroadcastNestedLoopJoin: ${bnljs.result().mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
