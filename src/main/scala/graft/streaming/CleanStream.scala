@@ -89,9 +89,13 @@ object CleanStream {
   /** Process one batch: clean its NEW docs against the store + earlier
     * in-batch docs, return the materialized cleaned frame (empty for a
     * fully-replayed batch), and ingest the originals. The returned
-    * frame is collected BEFORE the store append — a lazy frame consumed
-    * after it would re-probe the post-append store and self-match every
-    * doc (the ChunkStream report lesson).
+    * frame is scratch-parquet-materialized BEFORE the store append — a
+    * lazy frame consumed after it would re-probe the post-append store
+    * and self-match every doc (the ChunkStream report lesson) — and
+    * read back as a plain scan, so full document text never transits
+    * the driver (the write is an executor-side action; the old
+    * `collect()` form put every batch's doc text through driver memory
+    * for no reason).
     */
   def cleanAndIngest(s: SparkSession, t: Store, docs: DataFrame,
       minWords: Int, maxStoredDf: Long = Long.MaxValue): DataFrame = {
@@ -147,11 +151,9 @@ object CleanStream {
               && col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
               col("a.pos").as("p1"), col("b.pos").as("p2")))
-        val cleanedPlan = Dedup.spliceTokens(
-          newDocs, Dedup.removalPositions(m, minWords))
-        val cleaned = s.createDataFrame(
-          java.util.Arrays.asList(cleanedPlan.collect(): _*),
-          cleanedPlan.schema)
+        val cleaned = graft.operators.Scratch.flush(
+          s, s"cleanstream-${t.posTable}",
+          Dedup.spliceTokens(newDocs, Dedup.removalPositions(m, minWords)))
         spNew.write.bucketBy(Buckets, "h").sortBy("h")
           .mode("append").saveAsTable(t.posTable)
         newDocs.select(col("doc_id"))
