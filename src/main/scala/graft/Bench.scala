@@ -126,6 +126,34 @@ object Bench {
       }
       rep += 1
     }
+    // Noise hardening: one interference burst can poison a single rep
+    // into a 10×+ outlier (q101's r14 artifact carried a 68 s max
+    // against a 2.6 s min), and with 3 reps one poisoned rep drags the
+    // median whenever a second rep wobbles. Any query whose max/min
+    // rep spread exceeds 5× earns 2 extra reps — interleaved over the
+    // flagged set, the same burst-dodging rationale as the main passes
+    // — and records the median of 5. Skipped for focused REPS<3 probes.
+    if (reps >= 3) {
+      val flagged = headline.filter { q =>
+        val r = runs(q.name)
+        r.size >= 2 && r.min > 0 && r.max / r.min > 5.0
+      }
+      var extra = 0
+      while (extra < 2 && flagged.nonEmpty) {
+        flagged.foreach { q =>
+          try {
+            val t0 = System.nanoTime()
+            q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            runs(q.name) += (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          }
+        }
+        extra += 1
+      }
+    }
     headline.foreach { q =>
       // -1 only when NO rep succeeded; a query with both timings and an
       // error entry had a transient failure (the error stays visible)
