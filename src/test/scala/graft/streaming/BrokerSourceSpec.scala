@@ -137,7 +137,11 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
     val topic = freshTopic("delay")
-    val due = System.currentTimeMillis() + 700L
+    // wide margin: a loaded host can take >1 s from publish to the
+    // first trigger, and a margin the trigger can overrun makes the
+    // held-entry assertion flaky (700 ms tripped exactly once in 15
+    // rounds, on an interfered host)
+    val due = System.currentTimeMillis() + 3000L
     topic.publish(Seq(("early", 0)).toDF("name", "numPublishes")
       .withColumn("not_before", lit(due)))
 
@@ -147,8 +151,12 @@ class BrokerSourceSpec extends AnyFunSuite with SparkTestSession {
     try {
       // "all available" excludes the held entry: admission stops before it
       query.processAllAvailable()
-      assert(spark.table(name).count() == 0,
-        "a not-yet-due entry must be held at the source, not delivered early")
+      // belt-and-braces: only assert the hold if it was still observable
+      // when the trigger finished — if the host stalled past `due`, the
+      // early-delivery property is indistinguishable from due delivery
+      if (System.currentTimeMillis() < due)
+        assert(spark.table(name).count() == 0,
+          "a not-yet-due entry must be held at the source, not delivered early")
       // once due, a later trigger admits it — no re-enqueue involved
       val deadline = System.currentTimeMillis() + 5000L
       while (spark.table(name).count() == 0
