@@ -32,6 +32,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *  - `clean_ingest_capped_rows_per_sec`: the same leg with the
   *    hot-hash tombstone guard on (`maxStoredDf = 25`) — the
   *    throughput delta the bound buys/costs per trigger.
+  *  - `tokens_ingest_rows_per_sec`: the token-shard ingest front door
+  *    ([[graft.streaming.TokenStream]]) tokenizing the sf0.001 corpus
+  *    under the trained merge table in micro-batches — TOKENS/s through
+  *    tokenize → probe → bucketed append (merge training is an untimed
+  *    layout; the deterministic token count doubles as a loss check).
   *  - `drift_ingest_rows_per_sec`: the online drift monitor
   *    ([[graft.streaming.DriftStream]]) ingesting the sf0.001 documents
   *    with a per-batch W₁ report (the histogram-mass count doubles as a
@@ -191,6 +196,44 @@ object StreamBench {
     // the delta is what the maxStoredDf bound buys/costs per trigger
     cleanIngestLeg("clean_ingest", Long.MaxValue)
     cleanIngestLeg("clean_ingest_capped", 25L)
+
+    leg("tokens_ingest") {
+      import graft.streaming.{Sources, TokenStream}
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("source"), col("doc_id"), col("text")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._2)
+      // the merge table is a trained LAYOUT (the codebook rule):
+      // memoized by ensureBpeMerges, pre-trained in the untimed warmup
+      val merges = graft.operators.Corpus.ensureBpeMerges(spark, srcDir)
+      val store = TokenStream.build(spark, s"sbench_$tag")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(String, Long, String)](spark)
+      val t0 = System.nanoTime()
+      val query = TokenStream.startIncremental(
+        spark, src.toDS().toDF("source", "doc_id", "text"), merges, store,
+        ckpt, onBatch = _ => ())
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g.toSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ingested = spark.table(store.table)
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.countDistinct(col("doc_id")))
+        .collect().head
+      val (rows, nDocs) = (ingested.getLong(0), ingested.getLong(1))
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(nDocs == docs.length.toLong,
+        s"tokens_ingest leg stored $nDocs of ${docs.length} docs")
+      (rows, sec) // rows/s = TOKENS per second through tokenize+append
+    }
 
     leg("drift_ingest") {
       import graft.streaming.{DriftStream, Sources}

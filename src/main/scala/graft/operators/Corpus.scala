@@ -893,7 +893,7 @@ object Corpus {
     * the 4096 form). Declared before the query so the oracle
     * interpolation sees it (object-init-order rule).
     */
-  private[operators] val TokenShardBudget = 512L
+  private[graft] val TokenShardBudget = 512L
 
   /** Subword tokens for one word column under the trained merge table:
     * guarded words (`^[a-z]+$`, q75's vocabulary domain) ride the
@@ -915,26 +915,34 @@ object Corpus {
       .otherwise(array(lit("<unk>")))
   }
 
-  /** The q203 pipeline over an arbitrary (source, doc_id, text) frame —
-    * shared by the gated query and [[graft.CurationRun]]'s token-shard
-    * stage. `tag` must discriminate the input corpus (the Scratch-tag
-    * rule): the token stream is materialized ONCE and its three
-    * consumers (shard rows, per-doc counts, vocabulary) read the
-    * parquet, not three re-executions of the explode pipeline.
+  /** The per-doc subword token stream (source, doc_id, tok, tok_idx)
+    * for an arbitrary (source, doc_id, text) frame under a trained merge
+    * table — the EXPENSIVE half of q203 (word explode → codegen'd merge
+    * chain → per-doc position), factored out so the incremental
+    * [[graft.streaming.TokenStream]] store runs it exactly once per
+    * arriving batch while the gated query runs it once per corpus.
     */
-  private[graft] def tokenShards(s: SparkSession, docs: DataFrame,
-      merges: Seq[(Long, String, String, Long)], budget: Long,
-      tag: String): DataFrame = {
-    val words = docs.select(col("source"), col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+  private[graft] def tokenize(docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)]): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("doc_id"))
       .orderBy(col("wpos"), col("spos"))
-    val toks = Scratch.flush(s, tag, words
+    docs.select(col("source"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
       .select(col("source"), col("doc_id"), col("wpos"),
         posexplode(bpeTokenArr(merges, col("w"))).as(Seq("spos", "tok")))
       .withColumn("tok_idx", row_number().over(wDoc).cast("long") - 1L)
-      .select(col("source"), col("doc_id"), col("tok"), col("tok_idx")))
+      .select(col("source"), col("doc_id"), col("tok"), col("tok_idx"))
+  }
+
+  /** Shard addressing over a MATERIALIZED token stream — the cheap,
+    * arrival-order-insensitive half of q203: two-level pack offsets from
+    * the per-doc counts, lexicographic vocabulary ids, and the (seq_id,
+    * pos_in_seq) address per token. Reading an incrementally-built
+    * [[graft.streaming.TokenStream]] store through this IS the batch
+    * q203 result (TokenStreamSpec pins the bit-equality).
+    */
+  private[graft] def addressToks(toks: DataFrame, budget: Long): DataFrame = {
     val offs = packOffsets(
       toks.groupBy(col("source"), col("doc_id"))
         .agg(count(lit(1)).as("n_tok")), budget)
@@ -952,6 +960,18 @@ object Corpus {
         ((col("start_tok") + col("tok_idx")) % budget).as("pos_in_seq"),
         col("doc_id"), col("token_id"))
   }
+
+  /** The q203 pipeline over an arbitrary (source, doc_id, text) frame —
+    * shared by the gated query and [[graft.CurationRun]]'s token-shard
+    * stage. `tag` must discriminate the input corpus (the Scratch-tag
+    * rule): the token stream is materialized ONCE and its three
+    * consumers (shard rows, per-doc counts, vocabulary) read the
+    * parquet, not three re-executions of the explode pipeline.
+    */
+  private[graft] def tokenShards(s: SparkSession, docs: DataFrame,
+      merges: Seq[(Long, String, String, Long)], budget: Long,
+      tag: String): DataFrame =
+    addressToks(Scratch.flush(s, tag, tokenize(docs, merges)), budget)
 
   /** q203 — token-id shard MATERIALIZATION: the end artifact a training
     * loader actually consumes, which q75/q75b/q56/q140 stop short of —
@@ -1024,6 +1044,81 @@ object Corpus {
          |  i.doc_id AS doc_id, v.token_id AS token_id
          | FROM ix i JOIN off o ON i.source = o.source AND i.doc_id = o.doc_id
          |  JOIN vc v ON i.tok = v.tok""".stripMargin.replaceAll("\n", "")
+    })
+
+  /** q209 — tokenizer COVERAGE per source: how well the trained BPE
+    * vocabulary fits each feed — subword volume, `<unk>` fallback volume
+    * (per-mil), and how much of the subword inventory the feed actually
+    * exercises. The per-feed acceptance readout for a trained tokenizer:
+    * q118's fertility says how many subwords a word costs, q75b's
+    * compression scores the corpus as a whole; this is the number that
+    * flags ONE source (a new scrape, a different language mix) blowing
+    * out the unk rate while the corpus average still looks fine — read
+    * next to q115's drift before reweighting or retraining.
+    *
+    * Exactness: integer counts; the one division is `div` ≡ `//` on
+    * non-negatives. Every whitespace token emits ≥ 1 subword (non-guard
+    * words become `<unk>`), so n_subwords > 0 for every source.
+    *
+    * Scale shape: the merge chain runs over DISTINCT (source, word)
+    * pairs — the (source, word) count agg collapses the Zipf head
+    * map-side BEFORE the 8 chained literal replaces, so the codegen'd
+    * chain touches each distinct word once per source, not once per
+    * occurrence (the same vocabulary-collapse q75b applies); the final
+    * agg is source-keyed over the weighted token rows. `vocab_used`
+    * rides the same agg as a distinct count over the
+    * vocabulary-sized token space.
+    */
+  val qTokenizerCoverage: QuerySpec = QuerySpec(
+    "q209_tokenizer_coverage",
+    (s, dir) => {
+      val merges = ensureBpeMerges(s, dir)
+      Tables.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("source"), col("c"),
+          explode(bpeTokenArr(merges, col("w"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_subwords"),
+          sum(when(col("tok") === "<unk>", col("c")).otherwise(0L))
+            .as("n_unk"),
+          countDistinct(when(col("tok") =!= "<unk>", col("tok")))
+            .as("vocab_used"))
+        .select(col("source"), col("n_subwords"), col("n_unk"),
+          col("vocab_used"),
+          expr("(1000000 * n_unk) div n_subwords").as("unk_per_mil"))
+    },
+    Some {
+      val gsteps = (1 to BpeMergeSteps).map { k =>
+        s""" g$k AS MATERIALIZED (SELECT source, w, c,
+           |   replace(ws, '[' || lhs || '][' || rhs || ']',
+           |     '[' || lhs || rhs || ']') AS ws
+           |  FROM g${k - 1}, m$k)""".stripMargin
+      }.mkString(",")
+      s"""WITH $bpeSqlCtes,
+         | wc AS MATERIALIZED (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+         |   FROM documents)
+         |  GROUP BY source, w),
+         | g0 AS MATERIALIZED (SELECT source, w, c,
+         |   CASE WHEN regexp_matches(w, '^[a-z]+$$')
+         |    THEN regexp_replace(w, '([a-z])', '[\\1]', 'g') END AS ws
+         |  FROM wc),
+         |$gsteps,
+         | tkc AS (SELECT source, c,
+         |   unnest(CASE WHEN ws IS NULL THEN ['<unk>']
+         |    ELSE string_split(ws[2:length(ws) - 1], '][') END) AS tok
+         |  FROM g$BpeMergeSteps),
+         | ag AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_subwords,
+         |   CAST(SUM(CASE WHEN tok = '<unk>' THEN c ELSE 0 END) AS BIGINT)
+         |     AS n_unk,
+         |   CAST(COUNT(DISTINCT CASE WHEN tok <> '<unk>' THEN tok END)
+         |     AS BIGINT) AS vocab_used
+         |  FROM tkc GROUP BY source)
+         | SELECT source, n_subwords, n_unk, vocab_used,
+         |  CAST((1000000 * n_unk) // n_subwords AS BIGINT) AS unk_per_mil
+         | FROM ag""".stripMargin.replaceAll("\n", "")
     })
 
   /** q83 — collocation mining: the 20 most associated word bigrams by
@@ -2307,5 +2402,6 @@ object Corpus {
     qPostingLists, qBm25TopK, qFertility, qNgramNovelty, qLmHitrate,
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
     qHeavyHitters, qShardChecksums, qManifestDiff, qPaddingWaste,
-    qBurstiness, qPostingSizing, qTokenShards, qRepetitionTrim)
+    qBurstiness, qPostingSizing, qTokenShards, qRepetitionTrim,
+    qTokenizerCoverage)
 }

@@ -604,6 +604,119 @@ object TextAnalysis {
         .replaceAll("\n", "")
     })
 
+  /** q208 — classifier evaluation SLICED BY SOURCE: exact ROC-AUC and the
+    * best-F1 operating point of the q80 hashed-linear scorer against
+    * q207's stop-ratio teacher, per source plus the `*` corpus row. The
+    * missing step after q207 trains and q80 scores: no gated number said
+    * how well a score RANKS the labels, overall or per feed (a scorer
+    * that is fine on average but inverted on one source is exactly what a
+    * slice report exists to catch; cf. the per-source drift q115).
+    *
+    * Exactness (no trapezoids, no floats): AUC with midrank tie handling
+    * is, in grouped form over the distinct-score grid, U = Σ_g p_g·
+    * (cumN_below,g + n_g/2); doubling clears the half — u2 = p·(2·
+    * cumN_below + n), auc_e6 = (10⁶·Σu2) div (2·P·N). F1 at threshold
+    * "predict positive iff score ≥ s_g" is 2·TP/(2·TP+FP+FN) =
+    * 2·TP/(TP+FP+P) with TP = P − cumP_below, FP = N − cumN_below; the
+    * sweep maxes (f1_e6, −score) lexicographically so ties break toward
+    * the LOWEST threshold (highest recall at equal F1). All integer, all
+    * non-negative where divided (`div` ≡ `//`); slices missing a class
+    * are dropped on both sides (AUC is undefined there). BIGINT holds to
+    * ~10⁹ docs/slice at the e6 scale; past that the moments graduate to
+    * DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: ONE document scan (codegen'd HashedLinearScore +
+    * regexp counts) into a (source, score) hash agg — map-side combine
+    * absorbs the corpus — flushed once for its two grid consumers (the
+    * per-source branch and the `*` re-agg; the union re-execution trap).
+    * Everything after is windows over the distinct-score grid,
+    * partitioned by source, then a source-keyed agg: nothing
+    * corpus-sized crosses an exchange after the first agg.
+    */
+  val qClassifierEval: QuerySpec = QuerySpec(
+    "q208_classifier_eval",
+    (s, dir) => {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val bySrc = Scratch.flush(s,
+        s"q208-grid-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        Tables.load(s, dir, "documents")
+          .select(col("source"),
+            element_at(
+              HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
+              1).as("score"),
+            TextMetrics.wordCount(col("text")).as("nw"),
+            TextMetrics.stopCount(col("text")).as("ns"))
+          .filter(col("nw") > 0)
+          .select(col("source"), col("score"),
+            when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(0L).as("y"))
+          .groupBy(col("source"), col("score"))
+          .agg(sum(col("y")).as("p"),
+            (count(lit(1)) - sum(col("y"))).as("n")))
+      bySrc
+        .unionByName(bySrc.groupBy(col("score"))
+          .agg(sum(col("p")).as("p"), sum(col("n")).as("n"))
+          .select(lit("*").as("source"), col("score"), col("p"), col("n")))
+        .withColumn("cumP", sum(col("p")).over(wAsc))
+        .withColumn("cumN", sum(col("n")).over(wAsc))
+        .withColumn("totP", sum(col("p")).over(wAll))
+        .withColumn("totN", sum(col("n")).over(wAll))
+        .select(col("source"), col("score"), col("totP"), col("totN"),
+          (col("p") * ((col("cumN") - col("n")) * 2 + col("n"))).as("u2"),
+          (col("totP") - (col("cumP") - col("p"))).as("tp"),
+          (col("totN") - (col("cumN") - col("n"))).as("fp"))
+        .withColumn("f1_e6", expr("(1000000 * 2 * tp) div (tp + fp + totP)"))
+        .groupBy(col("source"))
+        .agg(max(col("totP")).as("pos"), max(col("totN")).as("neg"),
+          count(lit(1)).as("n_thresholds"),
+          sum(col("u2")).as("u2s"),
+          max(struct(col("f1_e6"), (-col("score")).as("mscore"))).as("b"))
+        .filter(col("pos") > 0 && col("neg") > 0)
+        .select(col("source"), col("pos"), col("neg"), col("n_thresholds"),
+          expr("(1000000 * u2s) div (2 * pos * neg)").as("auc_e6"),
+          col("b.f1_e6").as("best_f1_e6"),
+          (-col("b.mscore")).as("best_f1_score"))
+    },
+    Some(s"""WITH $classifierScoreCtes,
+            | lb AS (SELECT doc_id, source,
+            |   CASE WHEN 50 * ${TextMetrics.stopCountSql("text")}
+            |     >= 3 * ${TextMetrics.wordCountSql("text")}
+            |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+            |  FROM documents WHERE ${TextMetrics.wordCountSql("text")} > 0),
+            | g0 AS MATERIALIZED (SELECT lb.source, sc.score,
+            |   CAST(SUM(lb.y) AS BIGINT) AS p,
+            |   CAST(COUNT(*) - SUM(lb.y) AS BIGINT) AS n
+            |  FROM sc JOIN lb USING (doc_id) GROUP BY 1, 2),
+            | grid AS (SELECT * FROM g0
+            |  UNION ALL
+            |  SELECT '*' AS source, score, CAST(SUM(p) AS BIGINT),
+            |    CAST(SUM(n) AS BIGINT) FROM g0 GROUP BY score),
+            | w AS (SELECT source, score, p, n,
+            |   CAST(SUM(p) OVER (PARTITION BY source ORDER BY score)
+            |    AS BIGINT) AS cumP,
+            |   CAST(SUM(n) OVER (PARTITION BY source ORDER BY score)
+            |    AS BIGINT) AS cumN,
+            |   CAST(SUM(p) OVER (PARTITION BY source) AS BIGINT) AS tP,
+            |   CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tN
+            |  FROM grid),
+            | f AS (SELECT source, score, tP, tN,
+            |   p * ((cumN - n) * 2 + n) AS u2,
+            |   CAST((1000000 * 2 * (tP - (cumP - p)))
+            |    // ((tP - (cumP - p)) + (tN - (cumN - n)) + tP)
+            |    AS BIGINT) AS f1_e6
+            |  FROM w)
+            | SELECT source, MAX(tP) AS pos, MAX(tN) AS neg,
+            |  COUNT(*) AS n_thresholds,
+            |  CAST((1000000 * SUM(u2)) // (2 * MAX(tP) * MAX(tN))
+            |   AS BIGINT) AS auc_e6,
+            |  MAX([f1_e6, -score])[1] AS best_f1_e6,
+            |  -MAX([f1_e6, -score])[2] AS best_f1_score
+            | FROM f GROUP BY source
+            | HAVING MAX(tP) > 0 AND MAX(tN) > 0""".stripMargin
+      .replaceAll("\n", "")))
+
   /** q113 — Gini–Simpson lexical diversity per source: 1 − Σ(c/T)², the
     * probability two random tokens differ. The LOG-FREE diversity index
     * (Shannon entropy needs `ln`, which the libm-divergence rule bans
@@ -890,5 +1003,5 @@ object TextAnalysis {
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
     qDiversity, qSourceDrift, qWassersteinDrift, qChunkDedup,
-    qPerceptronTrain)
+    qPerceptronTrain, qClassifierEval)
 }
