@@ -1121,6 +1121,106 @@ object Corpus {
          | FROM ag""".stripMargin.replaceAll("\n", "")
     })
 
+  /** q211 — tokenizer-induced COLLISION audit: documents whose SUBWORD
+    * STREAMS are identical vs documents whose raw text is identical.
+    * Tokenization is lossy (every non-guard word collapses to `<unk>`),
+    * so distinct texts can emit the same token sequence — and the
+    * training loader then sees duplicates the text-level dedup (q21)
+    * could never find. `collision_docs = token_dup_docs −
+    * text_dup_docs` is the mass tokenization CREATED: every text-dup
+    * group tokenizes identically (text-dup ⊆ token-dup — the collapse
+    * only merges groups, never splits), so the delta is ≥ 0 and is
+    * exactly the unk-collapse artifact. Read next to q209's unk rate:
+    * a high unk feed with high collisions is one the loader
+    * over-counts.
+    *
+    * Scale shape: the per-doc signature (subword stream joined in token
+    * order) is one tokenize pass + a doc-keyed agg, scratch-flushed;
+    * both group-by-signature and group-by-text are hash aggs whose
+    * map-side combine absorbs the corpus; the two single-row summaries
+    * meet in a broadcast cross (the q83/q139 single-row exception,
+    * PlanLint-pinned).
+    */
+  val qTokenCollisions: QuerySpec = QuerySpec(
+    "q211_token_collisions",
+    (s, dir) => {
+      val merges = ensureBpeMerges(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      val sigs = Scratch.flush(s,
+        s"q211-sigs-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        tokenize(docs.select(col("source"), col("doc_id"), col("text")),
+            merges)
+          .groupBy(col("doc_id"))
+          .agg(expr("""array_join(transform(
+                      |sort_array(collect_list(struct(tok_idx, tok))),
+                      |x -> x.tok), ' ')""".stripMargin.replaceAll("\n", ""))
+            .as("sig")))
+      val tokAgg = sigs.groupBy(col("sig")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("docs_total"),
+          count(when(col("c") > 1, 1)).as("token_dup_groups"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("token_dup_docs"))
+      val txtAgg = docs.groupBy(col("text")).agg(count(lit(1)).as("c"))
+        .agg(count(when(col("c") > 1, 1)).as("text_dup_groups"),
+          coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+            .as("text_dup_docs"))
+      tokAgg.crossJoin(broadcast(txtAgg)) // single-row × single-row
+        .select(col("docs_total"), col("text_dup_groups"),
+          col("text_dup_docs"), col("token_dup_groups"),
+          col("token_dup_docs"),
+          (col("token_dup_docs") - col("text_dup_docs"))
+            .as("collision_docs"))
+    },
+    Some {
+      val gsteps = (1 to BpeMergeSteps).map { k =>
+        s""" g$k AS MATERIALIZED (SELECT doc_id, wpos, w,
+           |   replace(ws, '[' || lhs || '][' || rhs || ']',
+           |     '[' || lhs || rhs || ']') AS ws
+           |  FROM g${k - 1}, m$k)""".stripMargin
+      }.mkString(",")
+      s"""WITH $bpeSqlCtes,
+         | wrd AS MATERIALIZED (SELECT doc_id,
+         |   unnest(string_split(text, ' ')) AS w,
+         |   CAST(unnest(range(1, len(string_split(text, ' ')) + 1))
+         |     AS BIGINT) - 1 AS wpos
+         |  FROM documents),
+         | g0 AS MATERIALIZED (SELECT doc_id, wpos, w,
+         |   CASE WHEN regexp_matches(w, '^[a-z]+$$')
+         |    THEN regexp_replace(w, '([a-z])', '[\\1]', 'g') END AS ws
+         |  FROM wrd),
+         |$gsteps,
+         | tk AS (SELECT doc_id, wpos,
+         |   unnest(tks) AS tok,
+         |   CAST(unnest(range(1, len(tks) + 1)) AS BIGINT) - 1 AS spos
+         |  FROM (SELECT doc_id, wpos,
+         |    CASE WHEN ws IS NULL THEN ['<unk>']
+         |     ELSE string_split(ws[2:length(ws) - 1], '][') END AS tks
+         |   FROM g$BpeMergeSteps)),
+         | sg AS MATERIALIZED (SELECT doc_id,
+         |   string_agg(tok, ' ' ORDER BY wpos, spos) AS sig
+         |  FROM tk GROUP BY doc_id),
+         | tg AS (SELECT sig, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sg GROUP BY sig),
+         | xg AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM documents GROUP BY text),
+         | ta AS (SELECT CAST(SUM(c) AS BIGINT) AS docs_total,
+         |   CAST(COUNT(CASE WHEN c > 1 THEN 1 END) AS BIGINT)
+         |     AS token_dup_groups,
+         |   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+         |     AS token_dup_docs
+         |  FROM tg),
+         | xa AS (SELECT
+         |   CAST(COUNT(CASE WHEN c > 1 THEN 1 END) AS BIGINT)
+         |     AS text_dup_groups,
+         |   CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+         |     AS text_dup_docs
+         |  FROM xg)
+         | SELECT docs_total, text_dup_groups, text_dup_docs,
+         |  token_dup_groups, token_dup_docs,
+         |  token_dup_docs - text_dup_docs AS collision_docs
+         | FROM ta, xa""".stripMargin.replaceAll("\n", "")
+    })
+
   /** q83 — collocation mining: the 20 most associated word bigrams by
     * LIFT (observed bigram count over the count expected under
     * independence: `c_ab·N / (c_a·c_b)`), minimum bigram count 5 — the
@@ -2403,5 +2503,5 @@ object Corpus {
     qSeqlenHistogram, qPackingEfficiency, qPackManifest, qEpochAlloc, qPadPlan,
     qHeavyHitters, qShardChecksums, qManifestDiff, qPaddingWaste,
     qBurstiness, qPostingSizing, qTokenShards, qRepetitionTrim,
-    qTokenizerCoverage)
+    qTokenizerCoverage, qTokenCollisions)
 }

@@ -900,8 +900,91 @@ object Temporal {
            |   END AS is_peak
            | FROM w""".stripMargin.replaceAll("\n", "")))
 
+  /** q210 — forecast-baseline evaluation per event type: relative MAE
+    * of the seasonal-naive-7 forecast (x̂_t = x_{t−7}) against naive-1
+    * (x̂_t = x_{t−1}) over the dense daily grid — the model-selection
+    * readout behind every capacity plan and anomaly baseline: rel < 1e6
+    * says last week beats yesterday (weekly seasonality is real, q201's
+    * acf(7) made operational), rel > 1e6 says the series is trend/noise
+    * dominated and a seasonal baseline would HURT. The comparison is
+    * Hyndman's MASE family with the naive-1 error as the scale
+    * denominator — ratio-of-|error|-sums, so it stays log-free and
+    * integer-exact (banned `ln`/`exp` never enter).
+    *
+    * Semantics: q201's dense grid (zero-filled common day range — lag
+    * means CALENDAR days, not observation rows); both forecasters are
+    * scored on the SAME eval window, day ≥ d0+7, so neither gets free
+    * days. rel_mae_e6 is NULL when the naive-1 error sum is zero (a
+    * constant series — scale-free comparison undefined, both engines
+    * agree via the guard).
+    *
+    * Scale shape: ONE events scan into a (type, day) hash agg (map-side
+    * combine absorbs the corpus), scratch-flushed for its grid build;
+    * everything after — the zero-fill grid (types × days, a bounded
+    * summary cross under explicit broadcast: the PlanLint-whitelisted
+    * q201 shape), the per-type lag windows, the per-type agg — runs
+    * over the days×types frame, which grows with TIME, not event
+    * volume.
+    */
+  val qForecastEval: QuerySpec = QuerySpec(
+    "q210_forecast_eval",
+    (s, dir) => {
+      val counts = Scratch.flush(s, "q210-counts",
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(counts.select(col("day")).distinct()))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      grid
+        .withColumn("l1", lag(col("x"), 1).over(wT))
+        .withColumn("l7", lag(col("x"), 7).over(wT))
+        .withColumn("d0", min(col("day")).over(wAll))
+        .filter(col("day") >= col("d0") + 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval_days"),
+          sum(abs(col("x") - col("l1"))).as("abs_err_naive1"),
+          sum(abs(col("x") - col("l7"))).as("abs_err_seasonal7"))
+        .select(col("event_type"), col("n_eval_days"),
+          col("abs_err_naive1"), col("abs_err_seasonal7"),
+          when(col("abs_err_naive1") > 0,
+            expr("(1000000 * abs_err_seasonal7) div abs_err_naive1"))
+            .as("rel_mae_e6"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day FROM events),
+           | cnt AS MATERIALIZED (SELECT event_type, day,
+           |   CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+           | grid AS (SELECT t.event_type, d.day,
+           |   COALESCE(c.x, CAST(0 AS BIGINT)) AS x
+           |  FROM (SELECT DISTINCT event_type FROM cnt) t
+           |  CROSS JOIN (SELECT DISTINCT day FROM cnt) d
+           |  LEFT JOIN cnt c ON c.event_type = t.event_type
+           |   AND c.day = d.day),
+           | lg AS (SELECT event_type, day, x,
+           |   lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+           |   lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7,
+           |   MIN(day) OVER (PARTITION BY event_type) AS d0
+           |  FROM grid)
+           | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+           |  CAST(SUM(ABS(x - l1)) AS BIGINT) AS abs_err_naive1,
+           |  CAST(SUM(ABS(x - l7)) AS BIGINT) AS abs_err_seasonal7,
+           |  CASE WHEN CAST(SUM(ABS(x - l1)) AS BIGINT) > 0 THEN
+           |   CAST((1000000 * CAST(SUM(ABS(x - l7)) AS BIGINT))
+           |    // CAST(SUM(ABS(x - l1)) AS BIGINT) AS BIGINT) END
+           |   AS rel_mae_e6
+           | FROM lg WHERE day >= d0 + 7
+           | GROUP BY event_type""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
-      qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile)
+      qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
+      qForecastEval)
 }
