@@ -604,6 +604,65 @@ object TextAnalysis {
         .replaceAll("\n", "")
     })
 
+  /** The q208 (source, score) → (positives, negatives) grid over an
+    * arbitrary (source, text) frame — the corpus-sized half of the
+    * evaluation, and an ADDITIVE summary: grids of two corpus slices
+    * merge by per-cell sum, which is what lets the incremental
+    * [[graft.streaming.EvalStream]] store fold one bounded grid per
+    * arriving batch and still serve the exact q208 report.
+    */
+  private[graft] def scoreGrid(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        element_at(
+          HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
+          1).as("score"),
+        TextMetrics.wordCount(col("text")).as("nw"),
+        TextMetrics.stopCount(col("text")).as("ns"))
+      .filter(col("nw") > 0)
+      .select(col("source"), col("score"),
+        when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(0L).as("y"))
+      .groupBy(col("source"), col("score"))
+      .agg(sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("n"))
+
+  /** q208's evaluation plan over a MATERIALIZED (source, score, p, n)
+    * grid — the grid-sized half (AUC windows + F1 sweep + per-source
+    * agg), shared by the gated query and [[graft.streaming.EvalStream]]
+    * serving so the streamed and batch reports can never fork. The
+    * caller materializes the grid (Scratch flush / store table): this
+    * plan reads it TWICE (the per-source branch and the `*` re-agg).
+    */
+  private[graft] def evalFromGrid(bySrc: DataFrame): DataFrame = {
+      val wAsc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("score"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      bySrc
+        .unionByName(bySrc.groupBy(col("score"))
+          .agg(sum(col("p")).as("p"), sum(col("n")).as("n"))
+          .select(lit("*").as("source"), col("score"), col("p"), col("n")))
+        .withColumn("cumP", sum(col("p")).over(wAsc))
+        .withColumn("cumN", sum(col("n")).over(wAsc))
+        .withColumn("totP", sum(col("p")).over(wAll))
+        .withColumn("totN", sum(col("n")).over(wAll))
+        .select(col("source"), col("score"), col("totP"), col("totN"),
+          (col("p") * ((col("cumN") - col("n")) * 2 + col("n"))).as("u2"),
+          (col("totP") - (col("cumP") - col("p"))).as("tp"),
+          (col("totN") - (col("cumN") - col("n"))).as("fp"))
+        .withColumn("f1_e6", expr("(1000000 * 2 * tp) div (tp + fp + totP)"))
+        .groupBy(col("source"))
+        .agg(max(col("totP")).as("pos"), max(col("totN")).as("neg"),
+          count(lit(1)).as("n_thresholds"),
+          sum(col("u2")).as("u2s"),
+          max(struct(col("f1_e6"), (-col("score")).as("mscore"))).as("b"))
+        .filter(col("pos") > 0 && col("neg") > 0)
+        .select(col("source"), col("pos"), col("neg"), col("n_thresholds"),
+          expr("(1000000 * u2s) div (2 * pos * neg)").as("auc_e6"),
+          col("b.f1_e6").as("best_f1_e6"),
+          (-col("b.mscore")).as("best_f1_score"))
+  }
+
   /** q208 — classifier evaluation SLICED BY SOURCE: exact ROC-AUC and the
     * best-F1 operating point of the q80 hashed-linear scorer against
     * q207's stop-ratio teacher, per source plus the `*` corpus row. The
@@ -635,50 +694,9 @@ object TextAnalysis {
     */
   val qClassifierEval: QuerySpec = QuerySpec(
     "q208_classifier_eval",
-    (s, dir) => {
-      val wAsc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("score"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source"))
-      val bySrc = Scratch.flush(s,
-        s"q208-grid-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
-        Tables.load(s, dir, "documents")
-          .select(col("source"),
-            element_at(
-              HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
-              1).as("score"),
-            TextMetrics.wordCount(col("text")).as("nw"),
-            TextMetrics.stopCount(col("text")).as("ns"))
-          .filter(col("nw") > 0)
-          .select(col("source"), col("score"),
-            when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(0L).as("y"))
-          .groupBy(col("source"), col("score"))
-          .agg(sum(col("y")).as("p"),
-            (count(lit(1)) - sum(col("y"))).as("n")))
-      bySrc
-        .unionByName(bySrc.groupBy(col("score"))
-          .agg(sum(col("p")).as("p"), sum(col("n")).as("n"))
-          .select(lit("*").as("source"), col("score"), col("p"), col("n")))
-        .withColumn("cumP", sum(col("p")).over(wAsc))
-        .withColumn("cumN", sum(col("n")).over(wAsc))
-        .withColumn("totP", sum(col("p")).over(wAll))
-        .withColumn("totN", sum(col("n")).over(wAll))
-        .select(col("source"), col("score"), col("totP"), col("totN"),
-          (col("p") * ((col("cumN") - col("n")) * 2 + col("n"))).as("u2"),
-          (col("totP") - (col("cumP") - col("p"))).as("tp"),
-          (col("totN") - (col("cumN") - col("n"))).as("fp"))
-        .withColumn("f1_e6", expr("(1000000 * 2 * tp) div (tp + fp + totP)"))
-        .groupBy(col("source"))
-        .agg(max(col("totP")).as("pos"), max(col("totN")).as("neg"),
-          count(lit(1)).as("n_thresholds"),
-          sum(col("u2")).as("u2s"),
-          max(struct(col("f1_e6"), (-col("score")).as("mscore"))).as("b"))
-        .filter(col("pos") > 0 && col("neg") > 0)
-        .select(col("source"), col("pos"), col("neg"), col("n_thresholds"),
-          expr("(1000000 * u2s) div (2 * pos * neg)").as("auc_e6"),
-          col("b.f1_e6").as("best_f1_e6"),
-          (-col("b.mscore")).as("best_f1_score"))
-    },
+    (s, dir) => evalFromGrid(Scratch.flush(s,
+      s"q208-grid-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+      scoreGrid(Tables.load(s, dir, "documents")))),
     Some(s"""WITH $classifierScoreCtes,
             | lb AS (SELECT doc_id, source,
             |   CASE WHEN 50 * ${TextMetrics.stopCountSql("text")}
@@ -716,6 +734,81 @@ object TextAnalysis {
             | FROM f GROUP BY source
             | HAVING MAX(tP) > 0 AND MAX(tN) > 0""".stripMargin
       .replaceAll("\n", "")))
+
+  /** q212 — filter-bias independence audit: is the q80 keep/drop verdict
+    * ASSOCIATED with the source feed? Pearson's χ² over the source ×
+    * keep 2×c contingency table plus Cramér's V (the [0,1] effect size,
+    * √(χ²/N) for two columns) — the one-number fairness summary read
+    * before shipping a filter: q87 lists per-source score stats, q208
+    * catches a scorer inverted on one feed; this says whether "which
+    * feed" predicts "kept at θ=0" AT ALL, and how strongly. V ≳ 0.1 on
+    * a large corpus = the filter is reshaping the mixture; follow with
+    * q87 to find the feed.
+    *
+    * Exactness: the 2×c χ² collapses to Σ_i (N·k_i − n_i·K)² /
+    * (n_i·K·(N−K)) — each term is an exact integer square with ONE
+    * truncating fixed-point division by n_i (e6 scale, `div` ≡ `//` on
+    * non-negatives), summed as integers (order-insensitive, unlike a
+    * sum of doubles); the K(N−K) divide and the final √(χ²/N) are the
+    * only FP steps (IEEE division and sqrt are correctly rounded —
+    * bit-identical on both engines). Degenerate corpora (K = 0 or
+    * K = N: association undefined) yield NULL via the same guard on
+    * both sides. (N·k_i − n_i·K)²·10⁶ needs BIGINT: holds to ~10⁶ docs
+    * per source at 10⁹ corpus; past that the moments graduate to
+    * DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: ONE codegen'd doc scan into a ≤|sources| hash agg;
+    * the corpus totals ride a single-row broadcast cross (the q83
+    * exception, PlanLint-pinned); everything after is catalog-sized.
+    */
+  val qSourceBias: QuerySpec = QuerySpec(
+    "q212_source_bias",
+    (s, dir) => {
+      val ps = Tables.load(s, dir, "documents")
+        .select(col("source"),
+          when(element_at(
+            HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
+            1) >= 0, 1L).otherwise(0L).as("kp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("kp")).as("k"))
+      ps.crossJoin(broadcast(ps.agg(
+          sum(col("n")).as("nn"), sum(col("k")).as("kk"),
+          count(lit(1)).as("srcs")))) // single-row corpus totals
+        .select(col("srcs"), col("nn"), col("kk"),
+          expr("((nn * k - n * kk) * (nn * k - n * kk) * 1000000) div n")
+            .as("t"))
+        .groupBy(col("srcs"), col("nn"), col("kk"))
+        .agg(sum(col("t")).as("st"))
+        .select(col("srcs").as("n_sources"), col("nn").as("n_docs"),
+          col("kk").as("kept"),
+          when(col("kk") > 0 && col("kk") < col("nn"),
+            expr("st div (kk * (nn - kk))")).as("chi2_e6"),
+          when(col("kk") > 0 && col("kk") < col("nn"),
+            sqrt(expr("st div (kk * (nn - kk))").cast("double")
+              / lit(1000000.0d) / col("nn").cast("double")))
+            .as("cramers_v"))
+    },
+    Some(s"""WITH $classifierScoreCtes,
+            | kd AS (SELECT d.source,
+            |   CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS kp
+            |  FROM sc JOIN documents d USING (doc_id)),
+            | ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+            |   CAST(SUM(kp) AS BIGINT) AS k FROM kd GROUP BY source),
+            | tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+            |   CAST(SUM(k) AS BIGINT) AS kk,
+            |   CAST(COUNT(*) AS BIGINT) AS srcs FROM ps),
+            | ch AS (SELECT srcs, nn, kk, CAST(SUM(
+            |    ((nn * k - n * kk) * (nn * k - n * kk) * 1000000) // n)
+            |   AS BIGINT) AS st
+            |  FROM ps, tt GROUP BY srcs, nn, kk)
+            | SELECT srcs AS n_sources, nn AS n_docs, kk AS kept,
+            |  CASE WHEN kk > 0 AND kk < nn
+            |   THEN CAST(st // (kk * (nn - kk)) AS BIGINT) END AS chi2_e6,
+            |  CASE WHEN kk > 0 AND kk < nn
+            |   THEN sqrt(CAST(CAST(st // (kk * (nn - kk)) AS BIGINT)
+            |     AS DOUBLE) / CAST(1000000 AS DOUBLE)
+            |     / CAST(nn AS DOUBLE)) END AS cramers_v
+            | FROM ch""".stripMargin.replaceAll("\n", "")))
 
   /** q113 — Gini–Simpson lexical diversity per source: 1 − Σ(c/T)², the
     * probability two random tokens differ. The LOG-FREE diversity index
@@ -1003,5 +1096,5 @@ object TextAnalysis {
   val specs: Seq[QuerySpec] = Seq(qTextStats, qTokens, qLangId, qFingerprint,
     qChunking, qTfidf, qQualityClassifier, qCdcChunking, qMixedLanguage,
     qDiversity, qSourceDrift, qWassersteinDrift, qChunkDedup,
-    qPerceptronTrain, qClassifierEval)
+    qPerceptronTrain, qClassifierEval, qSourceBias)
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the stream≡batch equivalence of the classifier-evaluation front
+  * door: after streaming a corpus through [[EvalStream]] in several
+  * micro-batches (with in-stream compaction), the served sliced
+  * AUC/best-F1 report is bit-identical to the gated q208 over the same
+  * corpus, and a replayed batch folds nothing twice (additive state —
+  * the guard is correctness, not bookkeeping).
+  */
+class EvalStreamSpec extends AnyFunSuite with SparkTestSession {
+  import org.apache.spark.sql.functions._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed grid store serves q208's batch report bit-exactly") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._2)
+    // FIXED tag: build()'s dropStale cleans the previous run's table
+    val store = EvalStream.build(spark, "spec")
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft-es-ckpt-").toString
+    var lastReport: Array[org.apache.spark.sql.Row] = Array.empty
+
+    val src = Sources.queue[(String, Long, String)](spark)
+    val query = EvalStream.startIncremental(
+      spark,
+      src.toDS().toDF("source", "doc_id", "text")
+        .select(col("source"), col("text")),
+      store, ckpt,
+      onBatch = r => lastReport = r.collect(),
+      compactEvery = 2)
+    try {
+      docs.grouped(120).foreach { g =>
+        src.addData(g.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    val served = EvalStream.serve(spark, store)
+      .collect().map(key).sortBy(_._1)
+    val batch = graft.operators.TextAnalysis.qClassifierEval
+      .build(spark, dir).collect().map(key).sortBy(_._1)
+    assert(served.length == batch.length && served.sameElements(batch))
+
+    // the final in-stream report (minus its batch_id column) must be
+    // the same rows — the callback sees exactly what serve() sees
+    val repKeys = lastReport.map(r =>
+      (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).sortBy(_._1)
+    assert(repKeys.sameElements(batch))
+
+    // replay idempotency: re-folding an already-folded batch's grid
+    // (same ckpt/batch_id tags) changes nothing — additive state would
+    // otherwise double-count. The LAST batch is the replayable one
+    // (compaction collapses older tags precisely because the engine can
+    // no longer redeliver them)
+    val groups = docs.grouped(120).toSeq
+    val rowsBefore = spark.table(store.table).count()
+    val replay = EvalStream.batchGrid(
+        groups.last.toSeq.toDF("source", "doc_id", "text")
+          .select(col("source"), col("text")))
+      .select(lit(ckpt).as("ckpt"), lit((groups.size - 1).toLong)
+        .as("batch_id"), col("source"), col("score"), col("p"), col("n"))
+    EvalStream.append(spark, store, replay)
+    assert(spark.table(store.table).count() == rowsBefore)
+    val served2 = EvalStream.serve(spark, store)
+      .collect().map(key).sortBy(_._1)
+    assert(served2.sameElements(batch))
+  }
+}
