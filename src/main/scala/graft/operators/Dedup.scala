@@ -1840,6 +1840,146 @@ object Dedup {
          | FROM px GROUP BY r, b""".stripMargin.replaceAll("\n", "")
     })
 
+  // ---- q213: winnowing fingerprint near-dup ----------------------------
+
+  private val WinnowK = 3 // words per gram
+  private val WinnowW = 4 // winnow window (consecutive grams per window)
+  private val WinnowPosPack = 2097152L // 2^21: key = hash * 2^21 + pos
+  private[graft] val WinnowDfCap = 64L // drop fps shared by > cap docs
+  private[graft] val WinnowMinShared = 2L // report pairs sharing >= this many
+
+  /** q213 — winnowing fingerprint near-dup pairs (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS local fingerprinting scheme): per
+    * document, hash every word-3-gram at its POSITION, then from every
+    * window of [[WinnowW]] consecutive grams select the minimum — the
+    * winnowing guarantee is that any shared run of at least
+    * w + k − 1 words between two documents yields at least one SHARED
+    * selected fingerprint, so pair detection is position-robust (local,
+    * unlike q22/q23's whole-document MinHash sketch) while keeping only
+    * ~2/(w+1) of the grams. Completes the dedup family's local-match
+    * axis: q21 exact, q23 set-level near-dup, q59/q130 positioned spans,
+    * q82 CDC chunks — winnowing is the standard plagiarism/overlap
+    * detector between the sketch and the span extremes.
+    *
+    * Determinism: windows pick the min of `hash·2²¹ + pos` — positions
+    * are distinct, so every window has a UNIQUE minimum (leftmost-min
+    * tie-break by construction) and the selected set is identical on
+    * both engines; 2²¹ bounds documents at 2M grams (hash < 2³¹ keeps
+    * the key under 2⁵²). Docs shorter than w grams contribute their
+    * single truncated window (the window-start filter
+    * `pos ≤ max(ng − w, 0)` keeps exactly the starts whose window fits,
+    * or position 0 when nothing does). Over-common fingerprints
+    * (df > [[WinnowDfCap]]) are dropped before pairing — MOSS's own
+    * noise rule, and the hot-key bound that keeps the equi-join's
+    * per-fingerprint fan-in ≤ C(cap, 2). Pair score = shared
+    * fingerprints / min(|fps|) in exact 1e-4 fixed point over the
+    * capped sets.
+    *
+    * Scale shape: one codegen'd gram explosion (WordShingles keeps
+    * occurrences) → ONE per-doc window pass (partition key cardinality
+    * grows with the corpus — the q38 discipline) → distinct
+    * fingerprints, flushed once for the df filter and both join sides;
+    * candidates ONLY from the fp equi-join, volume ≤ Σ_fp C(df,2) with
+    * df ≤ 64. Nothing all-pairs, nothing corpus-sized past the distinct.
+    */
+  /** Winnowing-selected fingerprints `(doc_id, fp)` for a
+    * (doc_id, text) frame — the ONE selection definition shared by the
+    * gated q213 and the persisted [[graft.sources.WinnowStore]], so
+    * store rows are bit-identical to what the batch pipeline computes
+    * from raw text.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wFwd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    docs
+      .select(col("doc_id"), WordShingles(col("text"), WinnowK).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("ng"),
+        posexplode(col("gs")))
+      .select(col("doc_id"), col("ng"), col("pos"),
+        (PolyHash(col("col")) * lit(WinnowPosPack) + col("pos")).as("key"))
+      .withColumn("mk", min(col("key")).over(wFwd))
+      .filter(col("pos") <= greatest(col("ng") - WinnowW, lit(0)))
+      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"))
+      .distinct()
+  }
+
+  /** Cap-filtered fingerprints: rows of `fps` whose fingerprint is
+    * shared by at most [[WinnowDfCap]] documents. Exchange-free when
+    * `fps` is fp-bucketed (the store path); the caller materializes the
+    * result if it feeds multiple consumers.
+    */
+  private[graft] def winnowCapped(fps: DataFrame): DataFrame =
+    fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowDfCap).select(col("fp")),
+      Seq("fp"))
+
+  /** Scored near-dup pairs from a MATERIALIZED capped-fingerprint frame
+    * — the grid-sized half of q213, shared with the store's
+    * full-corpus serving path.
+    */
+  private[graft] def winnowPairsFrom(capped: DataFrame): DataFrame = {
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    capped.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("nfp_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nfp_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("nfp_a"), col("nfp_b"),
+        expr("(10000 * shared) div least(nfp_a, nfp_b)").as("sim_e4"))
+  }
+
+  val qWinnowPairs: QuerySpec = QuerySpec(
+    "q213_winnow_pairs",
+    (s, dir) => {
+      val fps = Scratch.flush(s, "q213-fps",
+        winnowFingerprints(Tables.load(s, dir, "documents")))
+      winnowPairsFrom(Scratch.flush(s, "q213-capped", winnowCapped(fps)))
+    },
+    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk
+            |   FROM documents),
+            | gs AS (SELECT doc_id, list_transform(
+            |   range(1, greatest(len(tk) - ${WinnowK - 1}, 0) + 1),
+            |   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS gl
+            |  FROM dt),
+            | hs AS (SELECT doc_id, list_transform(gl,
+            |   g -> ${PolyHash.oracleSql("g")}) AS hl FROM gs),
+            | pg AS (SELECT doc_id, CAST(len(hl) AS BIGINT) AS ng,
+            |   UNNEST(range(0, len(hl))) AS pos, UNNEST(hl) AS h FROM hs),
+            | ky AS (SELECT doc_id, ng, pos,
+            |   h * $WinnowPosPack + pos AS key FROM pg),
+            | mn AS (SELECT doc_id, pos, ng, MIN(key) OVER (
+            |    PARTITION BY doc_id ORDER BY pos
+            |    ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING)
+            |   AS mk FROM ky),
+            | fp0 AS MATERIALIZED (SELECT DISTINCT doc_id,
+            |   mk // $WinnowPosPack AS fp FROM mn
+            |  WHERE pos <= greatest(ng - $WinnowW, 0)),
+            | dfok AS (SELECT fp FROM fp0 GROUP BY fp
+            |  HAVING COUNT(*) <= $WinnowDfCap),
+            | cp AS MATERIALIZED (SELECT f.doc_id, f.fp
+            |  FROM fp0 f JOIN dfok USING (fp)),
+            | sz AS MATERIALIZED (SELECT doc_id,
+            |   CAST(COUNT(*) AS BIGINT) AS n FROM cp GROUP BY doc_id),
+            | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |   CAST(COUNT(*) AS BIGINT) AS shared
+            |  FROM cp a JOIN cp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            | SELECT doc_a, doc_b, shared, sa.n AS nfp_a, sb.n AS nfp_b,
+            |  CAST((10000 * shared) // least(sa.n, sb.n) AS BIGINT)
+            |   AS sim_e4
+            | FROM pr JOIN sz sa ON sa.doc_id = doc_a
+            | JOIN sz sb ON sb.doc_id = doc_b
+            | WHERE shared >= $WinnowMinShared""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
@@ -1847,5 +1987,5 @@ object Dedup {
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
-    qClusterLabels, qLshPlanner)
+    qClusterLabels, qLshPlanner, qWinnowPairs)
 }

@@ -653,21 +653,46 @@ object Relational {
     * never an all-pairs part join; existing edges leave via one
     * anti-join and degree lookups are node-sized equi-joins.
     */
+  /** Symmetrized co-purchase edges (parts bought together in ≥ 2
+    * orders) — the graph under q188's link prediction and q215's
+    * community detection, built ONCE per consumer via scratch flush:
+    * per-order distinct items, pair join within each order (≤ C(13,2)
+    * pairs/order, corpus-independent), support-2 filter, then both
+    * orientations.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val items = Scratch.flush(s, "copurch-items", t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct())
+    val p = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select(col("a"), col("b"))
+    Scratch.flush(s, "copurch-edges",
+      p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+        .toDF("u", "v"))
+  }
+
+  /** The SQL twin of [[coPurchaseEdges]] — `i`/`p`/`edges` CTEs shared
+    * verbatim by the q188 and q215 oracles (the ccSqlCtes no-drift
+    * discipline).
+    */
+  private val coEdgesSqlCtes =
+    """i AS MATERIALIZED (
+      |   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |   FROM lineitem),
+      | p AS (SELECT a.pk AS a, b.pk AS b
+      |  FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+      | edges AS MATERIALIZED (SELECT a AS u, b AS v FROM p
+      |  UNION ALL SELECT b, a FROM p)""".stripMargin
+
   val qLinkPrediction: QuerySpec = QuerySpec(
     "q188_link_prediction",
     (s, dir) => {
-      val items = Scratch.flush(s, "q188-items", t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
-      val p = items.select(col("ok"), col("pk").as("a"))
-        .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
-        .select(col("a"), col("b"))
-      val edges = Scratch.flush(s, "q188-edges",
-        p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-          .toDF("u", "v"))
+      val edges = coPurchaseEdges(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       val ce = edges
         .join(deg.filter(col("deg") <= LinkDegCap).select(col("u")), Seq("u"))
@@ -680,14 +705,7 @@ object Relational {
         .select(col("b").as("part_a"), col("c").as("part_b"), col("cn"),
           expr("(cn * 1000000) div (deg_b + deg_c - cn)").as("jacc_e6"))
     },
-    Some(s"""WITH i AS MATERIALIZED (
-            |   SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            |   FROM lineitem),
-            | p AS (SELECT a.pk AS a, b.pk AS b
-            |  FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
-            |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
-            | edges AS MATERIALIZED (SELECT a AS u, b AS v FROM p
-            |  UNION ALL SELECT b, a FROM p),
+    Some(s"""WITH $coEdgesSqlCtes,
             | deg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
             |  FROM edges GROUP BY u),
             | ce AS MATERIALIZED (SELECT e.u, e.v FROM edges e
@@ -705,11 +723,87 @@ object Relational {
             | FROM m JOIN deg db ON m.b = db.u
             | JOIN deg dc ON m.c = dc.u""".stripMargin.replaceAll("\n", "")))
 
+  private val LpaIters = 4
+
+  /** q215 — label-propagation communities over the co-purchase graph
+    * (Raghavan, Albert & Kumara 2007, the near-linear community
+    * detector), made fully deterministic: synchronous updates for a
+    * FIXED [[LpaIters]] rounds, each node adopting its neighbors' most
+    * frequent label with ties broken to the SMALLEST label (the
+    * lexicographic (count, −label) max — no randomized visit order, no
+    * oscillation exposure at a fixed horizon). Complements the graph
+    * family's structure axis: CC (q102's store) finds what is REACHABLE,
+    * k-core/bridges (q114/q193) find density and fragility, LPA finds
+    * the SHOPPING BASKETS — densely co-purchased part groups — without
+    * a cluster-count parameter; per community it reports the stable id
+    * (min member), member count and internal-edge count (the modularity
+    * numerator a merchandiser reads).
+    *
+    * Scale shape: per round ONE edge-sized equi-join + a (node, label)
+    * map-side-combined agg + a node-keyed argmax — the q102 PageRank
+    * iteration shape, label frames node-sized; each generation is
+    * materialized through an explicit [[Scratch.flush]] handle (the r5
+    * localCheckpoint lesson: no unbounded lineage, superseded
+    * generations reclaimable). The oracle unrolls the identical rounds
+    * as MATERIALIZED CTEs (the q26b Lloyd discipline) with the same
+    * `MAX([c, −lbl])` tie-break.
+    */
+  val qLpaCommunities: QuerySpec = QuerySpec(
+    "q215_lpa_communities",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      var labels = Scratch.flush(s, "q215-l0",
+        edges.select(col("u").as("v")).distinct()
+          .select(col("v"), col("v").as("lbl")))
+      for (k <- 1 to LpaIters)
+        labels = Scratch.flush(s, s"q215-l$k",
+          edges.join(labels, Seq("v"))
+            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+            .groupBy(col("u"))
+            .agg(max(struct(col("c"), (-col("lbl")).as("ml"))).as("b"))
+            .select(col("u").as("v"), (-col("b.ml")).as("lbl")))
+      val com = labels.groupBy(col("lbl"))
+        .agg(min(col("v")).as("community"), count(lit(1)).as("n_members"))
+      val internal = edges
+        .join(labels.select(col("v").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(labels.select(col("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("c2"))
+        .select(col("lbl"), expr("c2 div 2").as("n_internal"))
+      com.join(internal, Seq("lbl"), "left")
+        .select(col("community"), col("n_members"),
+          coalesce(col("n_internal"), lit(0L)).as("n_internal"))
+    },
+    Some {
+      val rounds = (1 to LpaIters).map { k =>
+        s""" c$k AS (SELECT e.u, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM edges e JOIN l${k - 1} l ON l.v = e.v GROUP BY 1, 2),
+           | l$k AS MATERIALIZED (SELECT u AS v, -(MAX([c, -lbl])[2]) AS lbl
+           |  FROM c$k GROUP BY u)""".stripMargin
+      }.mkString(",")
+      s"""WITH $coEdgesSqlCtes,
+         | l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl
+         |  FROM edges),
+         |$rounds,
+         | com AS (SELECT lbl, MIN(v) AS community,
+         |   CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM l$LpaIters GROUP BY lbl),
+         | itn AS (SELECT lu.lbl AS lbl,
+         |   CAST(COUNT(*) // 2 AS BIGINT) AS n_internal
+         |  FROM edges e JOIN l$LpaIters lu ON lu.v = e.u
+         |  JOIN l$LpaIters lv ON lv.v = e.v
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1)
+         | SELECT community, n_members,
+         |  COALESCE(n_internal, CAST(0 AS BIGINT)) AS n_internal
+         | FROM com LEFT JOIN itn USING (lbl)""".stripMargin
+        .replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
     q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube,
-    q63Correlation, qMarketBasket, qLinkPrediction)
+    q63Correlation, qMarketBasket, qLinkPrediction, qLpaCommunities)
 }

@@ -982,9 +982,113 @@ object Temporal {
            | FROM lg WHERE day >= d0 + 7
            | GROUP BY event_type""".stripMargin.replaceAll("\n", "")))
 
+  /** q214 — EWMA anomaly bands per event type: exponentially-weighted
+    * moving level s_t and mean-absolute-deviation d_t over the dense
+    * daily grid, with a day flagged anomalous when its count departs
+    * from yesterday's level by more than 3 deviation bands — the
+    * standard streaming telemetry monitor (Roberts 1959's EWMA control
+    * chart, deviation-banded), completing the time-series family's
+    * detection axis: q192's CUSUM finds the persistent LEVEL SHIFT,
+    * this flags the single-day SPIKE/DROP; q210 says which baseline to
+    * trust, q202 what shape a normal week has.
+    *
+    * Exactness: the recurrence is 1e-4 fixed-point integer — α = 1/8 as
+    * s_t = (7·s_{t−1} + 10⁴·x_t) div 8, d_t = (7·d_{t−1} +
+    * |10⁴·x_t − s_{t−1}|) div 8, seeds s_0 = 10⁴·x_0, d_0 = 0 — so both
+    * engines walk bit-identical states (truncating `div` on
+    * non-negatives ≡ `//`; no libm anywhere). The flag needs t ≥ 7
+    * (warm-up) and an absolute floor of 2 events (err ≥ 2·10⁴) so a
+    * constant series' zero deviation doesn't flag one-event noise.
+    * Truncating integer division makes the recurrence non-linear, so
+    * NO window/prefix-sum form exists — this is genuinely sequential
+    * per type, which is why it folds.
+    *
+    * Scale shape: ONE events scan into the (type, day) hash agg
+    * (map-side combine absorbs event volume), scratch-flushed for its
+    * three grid consumers; the zero-fill grid is the q210
+    * PlanLint-whitelisted bounded-summary cross. The fold then runs
+    * per type over the day-ordered count list — an interpreted
+    * higher-order `aggregate`, deliberately: the frame is one row per
+    * event TYPE with a calendar-sized list, growing with TIME, not
+    * event volume (the q26 HOF ban is about per-document hot paths;
+    * a types-sized frame is the cheap side of that line). The oracle
+    * walks the identical recurrence as one RECURSIVE CTE advancing
+    * every type one day per step (the q207 discipline — never a
+    * multi-row `list_reduce`).
+    */
+  val qEwmaAnomaly: QuerySpec = QuerySpec(
+    "q214_ewma_anomaly",
+    (s, dir) => {
+      val counts = Scratch.flush(s, "q214-counts",
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("x")))
+      val grid = counts.select(col("event_type")).distinct()
+        .crossJoin(broadcast(counts.select(col("day")).distinct()))
+        .join(counts, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      grid
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x"))))
+          .as("xs"))
+        .select(col("event_type"), explode(expr(
+          """aggregate(xs,
+            | cast(array() as
+            |  array<struct<day:bigint,x:bigint,s:bigint,d:bigint,a:bigint>>),
+            | (acc, e) -> concat(acc, array(if(size(acc) = 0,
+            |  named_struct('day', e.day, 'x', e.x, 's', 10000 * e.x,
+            |   'd', cast(0 as bigint), 'a', cast(0 as bigint)),
+            |  named_struct('day', e.day, 'x', e.x,
+            |   's', (7 * (element_at(acc, -1)).s + 10000 * e.x) div 8,
+            |   'd', (7 * (element_at(acc, -1)).d
+            |     + abs(10000 * e.x - (element_at(acc, -1)).s)) div 8,
+            |   'a', if(size(acc) >= 7
+            |     and abs(10000 * e.x - (element_at(acc, -1)).s)
+            |       > 3 * (element_at(acc, -1)).d
+            |     and abs(10000 * e.x - (element_at(acc, -1)).s) >= 20000,
+            |    cast(1 as bigint), cast(0 as bigint)))))))""".stripMargin
+            .replaceAll("\n", ""))))
+        .select(col("event_type"), col("col.day").as("day"),
+          col("col.x").as("x"), col("col.s").as("ewma_e4"),
+          col("col.d").as("dev_e4"), col("col.a").as("anomaly"))
+    },
+    Some("""WITH RECURSIVE e AS (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day FROM events),
+           | cnt AS MATERIALIZED (SELECT event_type, day,
+           |   CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+           | dd AS MATERIALIZED (SELECT day,
+           |   CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+           |  FROM (SELECT DISTINCT day FROM cnt)),
+           | grid AS MATERIALIZED (SELECT ty.event_type, dd.day, dd.t,
+           |   COALESCE(c.x, CAST(0 AS BIGINT)) AS x
+           |  FROM (SELECT DISTINCT event_type FROM cnt) ty
+           |  CROSS JOIN dd
+           |  LEFT JOIN cnt c ON c.event_type = ty.event_type
+           |   AND c.day = dd.day),
+           | rec(event_type, t, day, x, s, d, a) AS (
+           |  SELECT event_type, t, day, x, 10000 * x,
+           |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           |   FROM grid WHERE t = 0
+           |  UNION ALL
+           |  SELECT g.event_type, g.t, g.day, g.x,
+           |   CAST((7 * r.s + 10000 * g.x) // 8 AS BIGINT),
+           |   CAST((7 * r.d + abs(10000 * g.x - r.s)) // 8 AS BIGINT),
+           |   CAST(CASE WHEN g.t >= 7
+           |     AND abs(10000 * g.x - r.s) > 3 * r.d
+           |     AND abs(10000 * g.x - r.s) >= 20000
+           |    THEN 1 ELSE 0 END AS BIGINT)
+           |  FROM rec r JOIN grid g ON g.event_type = r.event_type
+           |   AND g.t = r.t + 1)
+           | SELECT event_type, day, x, CAST(s AS BIGINT) AS ewma_e4,
+           |  CAST(d AS BIGINT) AS dev_e4, CAST(a AS BIGINT) AS anomaly
+           | FROM rec""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
       qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
-      qForecastEval)
+      qForecastEval, qEwmaAnomaly)
 }

@@ -761,17 +761,13 @@ object TextAnalysis {
     * the corpus totals ride a single-row broadcast cross (the q83
     * exception, PlanLint-pinned); everything after is catalog-sized.
     */
-  val qSourceBias: QuerySpec = QuerySpec(
-    "q212_source_bias",
-    (s, dir) => {
-      val ps = Tables.load(s, dir, "documents")
-        .select(col("source"),
-          when(element_at(
-            HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
-            1) >= 0, 1L).otherwise(0L).as("kp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n"), sum(col("kp")).as("k"))
-      ps.crossJoin(broadcast(ps.agg(
+  /** q212's evaluation plan over a per-source (source, n, k) count frame
+    * — the catalog-sized half (χ² collapse + Cramér's V), shared by the
+    * gated query and [[graft.streaming.EvalStream.serveBias]] so the
+    * streamed and batch fairness reports can never fork.
+    */
+  private[graft] def biasFromCounts(ps: DataFrame): DataFrame =
+    ps.crossJoin(broadcast(ps.agg(
           sum(col("n")).as("nn"), sum(col("k")).as("kk"),
           count(lit(1)).as("srcs")))) // single-row corpus totals
         .select(col("srcs"), col("nn"), col("kk"),
@@ -787,7 +783,17 @@ object TextAnalysis {
             sqrt(expr("st div (kk * (nn - kk))").cast("double")
               / lit(1000000.0d) / col("nn").cast("double")))
             .as("cramers_v"))
-    },
+
+  val qSourceBias: QuerySpec = QuerySpec(
+    "q212_source_bias",
+    (s, dir) => biasFromCounts(
+      Tables.load(s, dir, "documents")
+        .select(col("source"),
+          when(element_at(
+            HashedLinearScore(col("text"), TextAnalysis.ClassifierModulus),
+            1) >= 0, 1L).otherwise(0L).as("kp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("kp")).as("k"))),
     Some(s"""WITH $classifierScoreCtes,
             | kd AS (SELECT d.source,
             |   CASE WHEN sc.score >= 0 THEN 1 ELSE 0 END AS kp

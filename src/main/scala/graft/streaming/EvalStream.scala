@@ -77,6 +77,28 @@ object EvalStream {
   def serve(s: SparkSession, t: Store): DataFrame =
     TextAnalysis.evalFromGrid(mergedGrid(s, t))
 
+  /** The q212 fairness report from the SAME persisted grid: per-source
+    * (n, k) counts derive from the (source, score, p, n) cells — a doc
+    * is "kept" at θ = 0 iff its score ≥ 0, so k = Σ_{score ≥ 0}(p + n)
+    * and n = Σ(p + n) — then the shared
+    * [[graft.operators.TextAnalysis.biasFromCounts]] plan (χ² +
+    * Cramér's V) runs over the catalog-sized frame. One store, two
+    * live boards: q208's "does the scorer still rank the teacher" and
+    * q212's "is the filter reshaping the mixture". Universe note: the
+    * grid covers scoreable docs (word count > 0), which is every doc
+    * the teacher labels; the gated q212 scores unlabelable empty docs
+    * too, so the reports coincide exactly on any corpus without
+    * zero-word documents (EvalStreamSpec asserts that precondition and
+    * pins the bit-equality).
+    */
+  def serveBias(s: SparkSession, t: Store): DataFrame =
+    TextAnalysis.biasFromCounts(
+      mergedGrid(s, t)
+        .groupBy(col("source"))
+        .agg(sum(col("p") + col("n")).as("n"),
+          sum(when(col("score") >= 0, col("p") + col("n")).otherwise(0L))
+            .as("k")))
+
   /** Row-collapsing compaction — the FreqStream.compactRows contract:
     * everything except the active checkpoint's latest fold is
     * unreplayable and collapses to the sum-merged grid, tagged

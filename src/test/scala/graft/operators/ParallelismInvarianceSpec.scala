@@ -192,7 +192,25 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Temporal.qConversionLag,
       // flushed day-grid lag joins with signed truncating div (q201),
       // bounded dow-grid share windows (q202)
-      Temporal.qDailyAutocorr, Temporal.qDowProfile)) {
+      Temporal.qDailyAutocorr, Temporal.qDowProfile,
+      // round-15 additions: merge-chain token ids exploded to scalar
+      // rows (q203), set-difference agreement rollup (q204), closed-form
+      // redaction rewrite (q205), first-occurrence repetition trim
+      // (q206), sharded averaged-perceptron fold (q207), grid-window
+      // AUC/F1 sweep (q208), distinct-(source, word) merge chain (q209)
+      Corpus.qTokenShards, Retrieval.qSemDedupAgreement,
+      Curation.qPiiRedact, Corpus.qRepetitionTrim,
+      TextAnalysis.qPerceptronTrain, TextAnalysis.qClassifierEval,
+      Corpus.qTokenizerCoverage,
+      // zero-filled grid lag scoring (q210), flushed token-signature
+      // dup-mass meet (q211), integer χ² + broadcast totals (q212)
+      Temporal.qForecastEval, Corpus.qTokenCollisions,
+      TextAnalysis.qSourceBias,
+      // packed-key window min + capped fp equi-join (q213), per-type
+      // integer EWMA fold over the day grid (q214), fixed-round
+      // min-label LPA with lexicographic argmax (q215)
+      Dedup.qWinnowPairs, Temporal.qEwmaAnomaly,
+      Relational.qLpaCommunities)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

@@ -75,5 +75,20 @@ class EvalStreamSpec extends AnyFunSuite with SparkTestSession {
     val served2 = EvalStream.serve(spark, store)
       .collect().map(key).sortBy(_._1)
     assert(served2.sameElements(batch))
+
+    // the SAME store serves the q212 fairness board: per-source (n, k)
+    // derive from the grid cells (kept at θ=0 ⇔ score ≥ 0). Exact
+    // equality with the gated q212 holds on any corpus without
+    // zero-word docs (the grid's labeled universe) — assert the
+    // precondition so a testdata regeneration fails loudly here.
+    val nZeroWord = graft.Tables.load(spark, dir, "documents")
+      .filter(graft.TextMetrics.wordCount(col("text")) === 0L).count()
+    assert(nZeroWord == 0L,
+      "universe precondition: every doc is scoreable (word count > 0)")
+    val bias = EvalStream.serveBias(spark, store)
+      .collect().map(_.toString).sorted
+    val biasBatch = graft.operators.TextAnalysis.qSourceBias
+      .build(spark, dir).collect().map(_.toString).sorted
+    assert(bias.sameElements(biasBatch))
   }
 }
