@@ -45,6 +45,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    ([[graft.streaming.FreqStream]]) ingesting the sf0.001 documents
   *    with a per-batch heavy-hitter report (the summed token sentinels
   *    double as a loss check)
+  *  - `anomaly_ingest_rows_per_sec`: the live EWMA anomaly board
+  *    ([[graft.streaming.AnomalyStream]]) ingesting the sf0.001 events
+  *    in 500-row batches; loss check = served board bit-equal to the
+  *    batch q214 fold over the same events.
   *  - `distinct_ingest_rows_per_sec`: the streaming HLL register cube
   *    (DistinctStream) ingesting the sf0.001 events in 100-row
   *    micro-batches with in-stream compaction — events/s through the
@@ -361,6 +365,43 @@ object StreamBench {
       graft.sources.Bucketed.dropStale(spark, store.table)
       require(streamedCube == batchCube,
         s"distinct_ingest leg cube $streamedCube != batch $batchCube")
+      (events.length.toLong, sec)
+    }
+
+    leg("anomaly_ingest") {
+      import graft.streaming.{AnomalyStream, Sources}
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val events = Tables.load(spark, srcDir, "events")
+        .select(col("event_type"), col("ts")).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1)))
+        .sortBy(_._2.getTime).toSeq
+      val store = AnomalyStream.build(spark, "sbench")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(String, java.sql.Timestamp)](spark)
+      val t0 = System.nanoTime()
+      val query = AnomalyStream.startIncremental(
+        spark, src.toDS().toDF("event_type", "ts"), store, ckpt,
+        onBatch = _ => (), compactEvery = 3)
+      try {
+        events.grouped(500).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: the streamed board is bit-identical to the batch
+      // fold over the same events
+      val served = AnomalyStream.serve(spark, store)
+        .collect().map(_.toString).sorted.toSeq
+      val batch = operators.Temporal.ewmaFromCounts(
+        operators.Temporal.eventDayCounts(events.toDF("event_type", "ts")))
+        .collect().map(_.toString).sorted.toSeq
+      graft.sources.Bucketed.dropStale(spark, store.table)
+      require(served == batch,
+        s"anomaly_ingest leg served ${served.length} rows != batch ${batch.length}")
       (events.length.toLong, sec)
     }
 

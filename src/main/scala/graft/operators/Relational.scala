@@ -748,20 +748,44 @@ object Relational {
     * as MATERIALIZED CTEs (the q26b Lloyd discipline) with the same
     * `MAX([c, −lbl])` tie-break.
     */
+  /** The final LPA label frame `(v, lbl)` after [[LpaIters]] synchronous
+    * rounds over a symmetric edge frame — shared by q215 (community
+    * report) and q217 (modularity of the same partition).
+    */
+  private def lpaLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    var labels = Scratch.flush(s, "lpa-l0",
+      edges.select(col("u").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl")))
+    for (k <- 1 to LpaIters)
+      labels = Scratch.flush(s, s"lpa-l$k",
+        edges.join(labels, Seq("v"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("u"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("ml"))).as("b"))
+          .select(col("u").as("v"), (-col("b.ml")).as("lbl")))
+    labels
+  }
+
+  /** The SQL twin of [[lpaLabels]]: `l0` … `l{LpaIters}` CTE rounds,
+    * shared verbatim by the q215 and q217 oracles.
+    */
+  private val lpaSqlCtes = {
+    val rounds = (1 to LpaIters).map { k =>
+      s""" c$k AS (SELECT e.u, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM edges e JOIN l${k - 1} l ON l.v = e.v GROUP BY 1, 2),
+         | l$k AS MATERIALIZED (SELECT u AS v, -(MAX([c, -lbl])[2]) AS lbl
+         |  FROM c$k GROUP BY u)""".stripMargin
+    }.mkString(",")
+    s""" l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl
+       |  FROM edges),
+       |$rounds""".stripMargin
+  }
+
   val qLpaCommunities: QuerySpec = QuerySpec(
     "q215_lpa_communities",
     (s, dir) => {
       val edges = coPurchaseEdges(s, dir)
-      var labels = Scratch.flush(s, "q215-l0",
-        edges.select(col("u").as("v")).distinct()
-          .select(col("v"), col("v").as("lbl")))
-      for (k <- 1 to LpaIters)
-        labels = Scratch.flush(s, s"q215-l$k",
-          edges.join(labels, Seq("v"))
-            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-            .groupBy(col("u"))
-            .agg(max(struct(col("c"), (-col("lbl")).as("ml"))).as("b"))
-            .select(col("u").as("v"), (-col("b.ml")).as("lbl")))
+      val labels = lpaLabels(s, edges)
       val com = labels.groupBy(col("lbl"))
         .agg(min(col("v")).as("community"), count(lit(1)).as("n_members"))
       val internal = edges
@@ -775,16 +799,8 @@ object Relational {
           coalesce(col("n_internal"), lit(0L)).as("n_internal"))
     },
     Some {
-      val rounds = (1 to LpaIters).map { k =>
-        s""" c$k AS (SELECT e.u, l.lbl, CAST(COUNT(*) AS BIGINT) AS c
-           |  FROM edges e JOIN l${k - 1} l ON l.v = e.v GROUP BY 1, 2),
-           | l$k AS MATERIALIZED (SELECT u AS v, -(MAX([c, -lbl])[2]) AS lbl
-           |  FROM c$k GROUP BY u)""".stripMargin
-      }.mkString(",")
       s"""WITH $coEdgesSqlCtes,
-         | l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS lbl
-         |  FROM edges),
-         |$rounds,
+         |$lpaSqlCtes,
          | com AS (SELECT lbl, MIN(v) AS community,
          |   CAST(COUNT(*) AS BIGINT) AS n_members
          |  FROM l$LpaIters GROUP BY lbl),
@@ -799,11 +815,131 @@ object Relational {
         .replaceAll("\n", "")
     })
 
+  /** q216 — degree assortativity of the co-purchase graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees across edges — the
+    * one-number mixing audit read before trusting degree-capped plans:
+    * r > 0 (hubs link hubs) means a degree cap like q188's LinkDegCap=64
+    * concentrates its truncation inside a hub core; r < 0 (hub-leaf,
+    * typical for baskets) means capping spreads evenly. By the symmetry
+    * of the directed edge list (every undirected edge appears both
+    * ways), the u- and v-marginals are IDENTICAL, so r collapses to the
+    * all-integer rational (m·Σdudv − S²) / (m·Σd² − S²) with S = Σd over
+    * edge endpoints — no sqrt at all; the single IEEE division is the
+    * only FP step (the q63 moment discipline; BIGINT holds to ~10⁶
+    * edges at deg ≤ 10³ — past that the moments graduate to
+    * DECIMAL(38)).
+    *
+    * Scale shape: degree frame from one edge-keyed agg, joined back to
+    * the edge list on each endpoint (node-sized equi-joins), ONE
+    * single-row moment agg. Nothing above edge volume anywhere.
+    */
+  val qDegreeAssortativity: QuerySpec = QuerySpec(
+    "q216_degree_assortativity",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      edges
+        .join(deg.select(col("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("u").as("v"), col("d").as("dv")), Seq("v"))
+        .agg(count(lit(1)).as("m2"),
+          sum(col("du")).as("sd"),
+          sum(col("du") * col("du")).as("sd2"),
+          sum(col("du") * col("dv")).as("sdudv"))
+        .select(col("m2"), col("sd"), col("sd2"), col("sdudv"),
+          when(col("m2") * col("sd2") - col("sd") * col("sd") =!= 0L,
+            (col("m2") * col("sdudv") - col("sd") * col("sd"))
+              .cast("double") /
+              (col("m2") * col("sd2") - col("sd") * col("sd"))
+                .cast("double"))
+            .as("assortativity"))
+    },
+    Some(s"""WITH $coEdgesSqlCtes,
+            | deg AS MATERIALIZED (SELECT u,
+            |   CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+            | j AS (SELECT du.d AS du, dv.d AS dv
+            |  FROM edges e JOIN deg du ON e.u = du.u
+            |  JOIN deg dv ON e.v = dv.u),
+            | mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+            |   CAST(SUM(du) AS BIGINT) AS sd,
+            |   CAST(SUM(du * du) AS BIGINT) AS sd2,
+            |   CAST(SUM(du * dv) AS BIGINT) AS sdudv FROM j)
+            | SELECT m2, sd, sd2, sdudv,
+            |  CASE WHEN m2 * sd2 - sd * sd <> 0 THEN
+            |   CAST(m2 * sdudv - sd * sd AS DOUBLE)
+            |    / CAST(m2 * sd2 - sd * sd AS DOUBLE) END
+            |   AS assortativity
+            | FROM mm""".stripMargin.replaceAll("\n", "")))
+
+  /** q217 — modularity of the q215 LPA partition (Newman & Girvan 2004):
+    * Q = Σ_c (e_c/m₂ − (d_c/m₂)²) over communities, with e_c the
+    * DIRECTED internal edge count, d_c the community degree mass and
+    * m₂ the directed edge total — the number that says whether q215's
+    * labels found real structure (Q ≈ 0: no better than random at equal
+    * degrees) and the convergence check a production LPA monitors
+    * between rounds. Exact form: one signed truncating division at the
+    * end, q_e6 = (10⁶·Σ_c(e_c·m₂ − d_c²)) div m₂² — per-community terms
+    * summed as exact integers FIRST (one truncation total, not one per
+    * community; Spark `div` ≡ DuckDB `//` truncate-toward-zero on the
+    * possibly-negative numerator, the probed q110 rule). BIGINT holds
+    * to m₂ ≈ 3·10⁶ directed edges at the e6 scale; past that the
+    * moments graduate to DECIMAL(38), the q63 rule.
+    *
+    * Scale shape: the LPA rounds are q215's (shared [[lpaLabels]]);
+    * after them, e_c = one edge-sized double label join + community
+    * agg, d_c = one node-sized agg — both community-frame-sized
+    * outputs, met by a full-outer on the community key and collapsed
+    * to ONE row.
+    */
+  val qLpaModularity: QuerySpec = QuerySpec(
+    "q217_lpa_modularity",
+    (s, dir) => {
+      val edges = coPurchaseEdges(s, dir)
+      val labels = lpaLabels(s, edges)
+      val ec = edges
+        .join(labels.select(col("v").as("u"), col("lbl").as("lu")), Seq("u"))
+        .join(labels.select(col("v"), col("lbl").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+      val dc = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .join(labels.select(col("v").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("lbl")).agg(sum(col("d")).as("dc"))
+      val m2 = edges.agg(count(lit(1)).as("m2"))
+      dc.join(ec, Seq("lbl"), "left")
+        .select(col("lbl"), col("dc"),
+          coalesce(col("ec"), lit(0L)).as("ec"))
+        .crossJoin(broadcast(m2)) // single-row edge total
+        .agg(count(lit(1)).as("n_communities"), max(col("m2")).as("m2"),
+          sum(col("ec") * col("m2") - col("dc") * col("dc")).as("num"))
+        .select(col("n_communities"), col("m2"), col("num"),
+          expr("(1000000 * num) div (m2 * m2)").as("q_e6"))
+    },
+    Some(s"""WITH $coEdgesSqlCtes,
+            |$lpaSqlCtes,
+            | ec AS (SELECT lu.lbl AS lbl, CAST(COUNT(*) AS BIGINT) AS ec
+            |  FROM edges e JOIN l$LpaIters lu ON lu.v = e.u
+            |  JOIN l$LpaIters lv ON lv.v = e.v
+            |  WHERE lu.lbl = lv.lbl GROUP BY 1),
+            | dc AS (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS dc
+            |  FROM (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+            |        FROM edges GROUP BY u) d
+            |  JOIN l$LpaIters l ON l.v = d.u GROUP BY l.lbl),
+            | m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+            | g AS (SELECT dc.lbl, dc.dc,
+            |   COALESCE(ec.ec, CAST(0 AS BIGINT)) AS ec, m.m2
+            |  FROM dc LEFT JOIN ec USING (lbl), m)
+            | SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+            |  MAX(m2) AS m2,
+            |  CAST(SUM(ec * m2 - dc * dc) AS BIGINT) AS num,
+            |  CAST((1000000 * CAST(SUM(ec * m2 - dc * dc) AS BIGINT))
+            |   // (MAX(m2) * MAX(m2)) AS BIGINT) AS q_e6
+            | FROM g""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
     q11ApproxDistinct, q12Rollup, q13RowNumber, q14WindowFrame, q15TopK,
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
     q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube,
-    q63Correlation, qMarketBasket, qLinkPrediction, qLpaCommunities)
+    q63Correlation, qMarketBasket, qLinkPrediction, qLpaCommunities,
+    qDegreeAssortativity, qLpaModularity)
 }

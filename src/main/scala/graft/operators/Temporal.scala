@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -1016,15 +1016,24 @@ object Temporal {
     * every type one day per step (the q207 discipline — never a
     * multi-row `list_reduce`).
     */
-  val qEwmaAnomaly: QuerySpec = QuerySpec(
-    "q214_ewma_anomaly",
-    (s, dir) => {
-      val counts = Scratch.flush(s, "q214-counts",
-        Tables.load(s, dir, "events")
-          .select(col("event_type"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("x")))
+  /** The (event_type, day, x) daily count summary of an event frame —
+    * ADDITIVE (counts of disjoint slices merge by per-cell sum), which
+    * is what lets [[graft.streaming.AnomalyStream]] fold one bounded
+    * summary per arriving batch and still serve the exact q214 report.
+    */
+  private[graft] def eventDayCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+
+  /** q214's recurrence over a MATERIALIZED (event_type, day, x) count
+    * frame — zero-fill grid + per-type integer EWMA fold, shared by the
+    * gated query and [[graft.streaming.AnomalyStream]] serving so the
+    * streamed and batch anomaly boards can never fork.
+    */
+  private[graft] def ewmaFromCounts(counts: DataFrame): DataFrame = {
       val grid = counts.select(col("event_type")).distinct()
         .crossJoin(broadcast(counts.select(col("day")).distinct()))
         .join(counts, Seq("event_type", "day"), "left")
@@ -1054,7 +1063,12 @@ object Temporal {
         .select(col("event_type"), col("col.day").as("day"),
           col("col.x").as("x"), col("col.s").as("ewma_e4"),
           col("col.d").as("dev_e4"), col("col.a").as("anomaly"))
-    },
+  }
+
+  val qEwmaAnomaly: QuerySpec = QuerySpec(
+    "q214_ewma_anomaly",
+    (s, dir) => ewmaFromCounts(Scratch.flush(s, "q214-counts",
+      eventDayCounts(Tables.load(s, dir, "events")))),
     Some("""WITH RECURSIVE e AS (SELECT event_type,
            |   epoch_us(ts) // 86400000000 AS day FROM events),
            | cnt AS MATERIALIZED (SELECT event_type, day,

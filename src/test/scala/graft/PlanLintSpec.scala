@@ -52,7 +52,8 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     "q189_market_basket" -> 1, "q192_cusum_changepoint" -> 2,
     "q197_rolling_distinct" -> 1, "q201_daily_autocorr" -> 5,
     "q210_forecast_eval" -> 1, "q211_token_collisions" -> 1,
-    "q212_source_bias" -> 1, "q214_ewma_anomaly" -> 1)
+    "q212_source_bias" -> 1, "q214_ewma_anomaly" -> 1,
+    "q217_lpa_modularity" -> 1)
 
   test("no cartesian product anywhere; BNLJ only on the documented whitelist") {
     assume(new java.io.File(dir).exists(), s"$dir not present")

@@ -210,7 +210,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // integer EWMA fold over the day grid (q214), fixed-round
       // min-label LPA with lexicographic argmax (q215)
       Dedup.qWinnowPairs, Temporal.qEwmaAnomaly,
-      Relational.qLpaCommunities)) {
+      Relational.qLpaCommunities,
+      // all-integer degree-moment rational (q216), shared-label
+      // modularity rollup with one signed end division (q217)
+      Relational.qDegreeAssortativity, Relational.qLpaModularity)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
