@@ -1936,19 +1936,17 @@ object Dedup {
         expr("(10000 * shared) div least(nfp_a, nfp_b)").as("sim_e4"))
   }
 
-  val qWinnowPairs: QuerySpec = QuerySpec(
-    "q213_winnow_pairs",
-    (s, dir) => {
-      val fps = Scratch.flush(s, "q213-fps",
-        winnowFingerprints(Tables.load(s, dir, "documents")))
-      winnowPairsFrom(Scratch.flush(s, "q213-capped", winnowCapped(fps)))
-    },
-    Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk
+  /** The q213 winnowing chain as oracle CTEs (`dt`…`pr`; `pr` is the
+    * shared-fingerprint pair frame, `sz` the per-doc capped-fp counts) —
+    * shared by the q213 and q218 oracles. Callers prepend `WITH`.
+    */
+  private[graft] val winnowSqlCtes: String =
+    s"""wdt AS (SELECT doc_id, string_split(text, ' ') AS tk
             |   FROM documents),
             | gs AS (SELECT doc_id, list_transform(
             |   range(1, greatest(len(tk) - ${WinnowK - 1}, 0) + 1),
             |   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS gl
-            |  FROM dt),
+            |  FROM wdt),
             | hs AS (SELECT doc_id, list_transform(gl,
             |   g -> ${PolyHash.oracleSql("g")}) AS hl FROM gs),
             | pg AS (SELECT doc_id, CAST(len(hl) AS BIGINT) AS ng,
@@ -1971,7 +1969,16 @@ object Dedup {
             | pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             |   CAST(COUNT(*) AS BIGINT) AS shared
             |  FROM cp a JOIN cp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-            |  GROUP BY 1, 2)
+            |  GROUP BY 1, 2)""".stripMargin.replaceAll("\n", "")
+
+  val qWinnowPairs: QuerySpec = QuerySpec(
+    "q213_winnow_pairs",
+    (s, dir) => {
+      val fps = Scratch.flush(s, "q213-fps",
+        winnowFingerprints(Tables.load(s, dir, "documents")))
+      winnowPairsFrom(Scratch.flush(s, "q213-capped", winnowCapped(fps)))
+    },
+    Some(s"""WITH $winnowSqlCtes
             | SELECT doc_a, doc_b, shared, sa.n AS nfp_a, sb.n AS nfp_b,
             |  CAST((10000 * shared) // least(sa.n, sb.n) AS BIGINT)
             |   AS sim_e4
@@ -1980,6 +1987,69 @@ object Dedup {
             | WHERE shared >= $WinnowMinShared""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q218 — dedup-method agreement audit: the winnowing pair set (q213,
+    * LOCAL shared-run detection) full-outer-joined against the
+    * MinHash-LSH verified pair set (q23, GLOBAL set-level Jaccard ≥ 0.7)
+    * — the method-selection readout a curation owner checks before
+    * trusting either detector alone: LSH misses a long shared passage
+    * inside two otherwise-different documents (set Jaccard diluted),
+    * winnowing misses scattered word-level overlap with no w+k−1 run;
+    * pair-set counts + the exact e6 Jaccard of the two pair SETS say
+    * how disjoint the detectors actually are on this corpus (the q152
+    * filter-agreement discipline applied to dedup). Both inputs are the
+    * SAME gated plans/CTEs (winnowSqlCtes / lshCandSqlCtes — no-drift).
+    *
+    * Scale shape: both pair sets are bounded candidate-join outputs
+    * (banded / df-capped); the full-outer meets them on the pair key
+    * and collapses to ONE row map-side. Pure integer counts; the e6
+    * ratio is one `div` ≡ `//` on non-negatives.
+    */
+  val qDedupMethodAgreement: QuerySpec = QuerySpec(
+    "q218_dedup_method_agreement",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fps = Scratch.flush(s, "q218-fps", winnowFingerprints(docs))
+      val wp = winnowPairsFrom(
+        Scratch.flush(s, "q218-capped", winnowCapped(fps)))
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("w"))
+      val lp = verifiedPairs(docs)
+        .select(col("doc_id_1").as("doc_a"), col("doc_id_2").as("doc_b"),
+          lit(1L).as("l"))
+      wp.join(lp, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(sum(coalesce(col("w"), lit(0L))).as("n_winnow"),
+          sum(coalesce(col("l"), lit(0L))).as("n_lsh"),
+          sum(when(col("w").isNotNull && col("l").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"))
+        .select(col("n_winnow"), col("n_lsh"), col("n_both"),
+          expr("""(1000000 * n_both)
+                 | div (n_winnow + n_lsh - n_both)""".stripMargin
+            .replaceAll("\n", "")).as("pairset_jaccard_e6"))
+    },
+    Some(s"""WITH $winnowSqlCtes,
+            |$lshCandSqlCtes,
+            | wp AS (SELECT doc_a, doc_b FROM pr
+            |  WHERE shared >= $WinnowMinShared),
+            | lp AS (SELECT doc_id_1 AS doc_a, doc_id_2 AS doc_b FROM (
+            |   SELECT doc_id_1, doc_id_2,
+            |     CAST(len(list_intersect(d1.H, d2.H)) AS DOUBLE) /
+            |     CAST(len(list_distinct(list_concat(d1.H, d2.H)))
+            |       AS DOUBLE) AS jaccard
+            |   FROM cand JOIN ds d1 ON cand.doc_id_1 = d1.doc_id
+            |   JOIN ds d2 ON cand.doc_id_2 = d2.doc_id)
+            |  WHERE jaccard >= 0.7),
+            | j AS (SELECT
+            |   CASE WHEN w.doc_a IS NOT NULL THEN 1 ELSE 0 END AS iw,
+            |   CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS il
+            |  FROM wp w FULL OUTER JOIN lp l
+            |   ON w.doc_a = l.doc_a AND w.doc_b = l.doc_b)
+            | SELECT CAST(SUM(iw) AS BIGINT) AS n_winnow,
+            |  CAST(SUM(il) AS BIGINT) AS n_lsh,
+            |  CAST(SUM(iw * il) AS BIGINT) AS n_both,
+            |  CAST((1000000 * SUM(iw * il))
+            |   // (SUM(iw) + SUM(il) - SUM(iw * il)) AS BIGINT)
+            |   AS pairset_jaccard_e6
+            | FROM j""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
@@ -1987,5 +2057,5 @@ object Dedup {
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
-    qClusterLabels, qLshPlanner, qWinnowPairs)
+    qClusterLabels, qLshPlanner, qWinnowPairs, qDedupMethodAgreement)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -265,32 +265,43 @@ object Temporal {
     * `div` on non-negative counts, so `div` ≡ `//` and the oracle is
     * bit-exact.
     */
+  /** The q109 (src, dst, cnt, ppm) transition frame — shared by the
+    * gated q109 and q219's stationary-distribution iteration.
+    */
+  private def transitionPpm(s: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byTime))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("src"))
+      .agg(sum(col("cnt")).as("total"))
+    pairs.join(broadcast(totals), Seq("src"))
+      .select(col("src"), col("dst"), col("cnt"),
+        expr("(cnt * 1000000) div total").as("ppm"))
+  }
+
+  /** The SQL twin of [[transitionPpm]] (`e`/`nxt`/`p`/`t` CTEs) —
+    * shared verbatim by the q109 and q219 oracles.
+    */
+  private val transSqlCtes =
+    """e AS (SELECT user_id, event_id, event_type,
+      |   epoch_us(ts) AS tus FROM events),
+      | nxt AS (SELECT event_type AS src, LEAD(event_type) OVER (
+      |   PARTITION BY user_id ORDER BY tus, event_id) AS dst FROM e),
+      | p AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      |   FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst),
+      | t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS total
+      |   FROM p GROUP BY src)""".stripMargin
+
   val qTransitions: QuerySpec = QuerySpec(
     "q109_transitions",
-    (s, dir) => {
-      val byTime = Window.partitionBy(col("user_id"))
-        .orderBy(col("tus"), col("event_id"))
-      val pairs = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("tus"))
-        .withColumn("dst", lead(col("event_type"), 1).over(byTime))
-        .filter(col("dst").isNotNull)
-        .groupBy(col("event_type").as("src"), col("dst"))
-        .agg(count(lit(1)).as("cnt"))
-      val totals = pairs.groupBy(col("src"))
-        .agg(sum(col("cnt")).as("total"))
-      pairs.join(broadcast(totals), Seq("src"))
-        .select(col("src"), col("dst"), col("cnt"),
-          expr("(cnt * 1000000) div total").as("ppm"))
-    },
-    Some("""WITH e AS (SELECT user_id, event_id, event_type,
-           |   epoch_us(ts) AS tus FROM events),
-           | nxt AS (SELECT event_type AS src, LEAD(event_type) OVER (
-           |   PARTITION BY user_id ORDER BY tus, event_id) AS dst FROM e),
-           | p AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
-           |   FROM nxt WHERE dst IS NOT NULL GROUP BY src, dst),
-           | t AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS total
-           |   FROM p GROUP BY src)
+    (s, dir) => transitionPpm(s, dir),
+    Some(s"""WITH $transSqlCtes
            | SELECT p.src, p.dst, p.cnt,
            |  CAST((p.cnt * 1000000) // t.total AS BIGINT) AS ppm
            | FROM p JOIN t ON p.src = t.src""".stripMargin
@@ -1100,9 +1111,85 @@ object Temporal {
            |  CAST(d AS BIGINT) AS dev_e4, CAST(a AS BIGINT) AS anomaly
            | FROM rec""".stripMargin.replaceAll("\n", "")))
 
+  private val StationarySteps = 8
+
+  /** q219 — Markov stationary distribution of the event-type chain:
+    * where does the process SPEND ITS TIME in the long run, the
+    * one-step q109 transition matrix iterated to its fixed point — the
+    * occupancy readout behind session mix planning (q109 says what
+    * follows what; this says what fraction of all activity each type
+    * converges to). Power iteration for a FIXED [[StationarySteps]]
+    * rounds in 1e-6 fixed point: π₀ = 10⁶ div n uniform,
+    * π_{k+1}(j) = (Σ_i π_k(i)·ppm(i,j)) div 10⁶ — ONE truncating
+    * division per (round, state), after the exact integer sum, so both
+    * engines walk bit-identical vectors (Σπ decays by ≤ n per round —
+    * the price of exactness, identical on both sides). Types observed
+    * only as destinations get a 10⁶ self-loop (the standard absorbing
+    * patch) so no probability mass silently leaks.
+    *
+    * Scale shape: the transition matrix is the gated q109 plan
+    * collapsed to ≤ types² rows — collected and iterated DRIVER-SIDE
+    * as exact longs, the q120/q141 bounded-collect rule (a types²
+    * literal is cheaper than 8 rounds of joined subplans; the corpus
+    * is touched exactly once, by q109's one lag-window pass). The
+    * oracle unrolls the identical rounds as MATERIALIZED CTEs.
+    */
+  val qMarkovStationary: QuerySpec = QuerySpec(
+    "q219_markov_stationary",
+    (s, dir) => {
+      import s.implicits._
+      val pm = transitionPpm(s, dir)
+        .select(col("src"), col("dst"), col("ppm")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val states = (pm.map(_._1) ++ pm.map(_._2)).distinct.sorted
+      val idx = states.zipWithIndex.toMap
+      val n = states.length
+      val hasOut = pm.map(_._1).toSet
+      val full = pm.toSeq ++
+        states.filterNot(hasOut).map(t => (t, t, 1000000L))
+      val mat = Array.ofDim[Long](n, n)
+      full.foreach { case (a, b, w) => mat(idx(a))(idx(b)) += w }
+      var pi = Array.fill(n)(1000000L / n)
+      for (_ <- 1 to StationarySteps) {
+        val nx = Array.fill(n)(0L)
+        for (i <- 0 until n; j <- 0 until n) nx(j) += pi(i) * mat(i)(j)
+        pi = nx.map(_ / 1000000L)
+      }
+      states.zipWithIndex.map { case (t, i) => (t, pi(i)) }
+        .toSeq.toDF("event_type", "pi_e6")
+    },
+    Some {
+      val rounds = (1 to StationarySteps).map { k =>
+        s""" k$k AS MATERIALIZED (SELECT pm.dst AS ty,
+           |  CAST(SUM(k.pi * pm.ppm) // 1000000 AS BIGINT) AS pi
+           |  FROM pm JOIN k${k - 1} k ON k.ty = pm.src
+           |  GROUP BY pm.dst)""".stripMargin
+      }.mkString(",")
+      s"""WITH $transSqlCtes,
+         | st AS MATERIALIZED (SELECT DISTINCT ty FROM
+         |  (SELECT src AS ty FROM p UNION SELECT dst FROM p)),
+         | nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM st),
+         | pm AS MATERIALIZED (
+         |  SELECT p.src, p.dst,
+         |    CAST((p.cnt * 1000000) // t.total AS BIGINT) AS ppm
+         |   FROM p JOIN t ON p.src = t.src
+         |  UNION ALL
+         |  SELECT s.ty, s.ty, CAST(1000000 AS BIGINT) FROM st s
+         |   WHERE s.ty NOT IN (SELECT src FROM p)),
+         | k0 AS MATERIALIZED (SELECT ty,
+         |   CAST(1000000 // n AS BIGINT) AS pi FROM st, nn),
+         |$rounds
+         | SELECT st.ty AS event_type,
+         |  COALESCE(k$StationarySteps.pi, CAST(0 AS BIGINT)) AS pi_e6
+         | FROM st LEFT JOIN k$StationarySteps
+         |  ON k$StationarySteps.ty = st.ty""".stripMargin
+        .replaceAll("\n", "")
+    })
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
       qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
-      qForecastEval, qEwmaAnomaly)
+      qForecastEval, qEwmaAnomaly, qMarkovStationary)
 }

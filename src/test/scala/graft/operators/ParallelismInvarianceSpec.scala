@@ -213,7 +213,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Relational.qLpaCommunities,
       // all-integer degree-moment rational (q216), shared-label
       // modularity rollup with one signed end division (q217)
-      Relational.qDegreeAssortativity, Relational.qLpaModularity)) {
+      Relational.qDegreeAssortativity, Relational.qLpaModularity,
+      // full-outer pair-set meet of two bounded candidate joins (q218),
+      // driver-side fixed-point power iteration over the collected
+      // types² matrix (q219)
+      Dedup.qDedupMethodAgreement, Temporal.qMarkovStationary)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
