@@ -76,6 +76,7 @@ object Bench {
     graft.sources.Bucketed.prepare(spark, sfDir)
     graft.sources.SignatureStore.ensure(spark, sfDir)
     graft.operators.DupGraph.ensure(spark, sfDir)
+    graft.operators.CoGraph.ensure(spark, sfDir)
     graft.operators.SpanStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
     graft.sources.IndexStore.ensure(spark, sfDir)

@@ -653,27 +653,12 @@ object Relational {
     * never an all-pairs part join; existing edges leave via one
     * anti-join and degree lookups are node-sized equi-joins.
     */
-  /** Symmetrized co-purchase edges (parts bought together in ≥ 2
-    * orders) — the graph under q188's link prediction and q215's
-    * community detection, built ONCE per consumer via scratch flush:
-    * per-order distinct items, pair join within each order (≤ C(13,2)
-    * pairs/order, corpus-independent), support-2 filter, then both
-    * orientations.
+  /** Symmetrized co-purchase edges — the graph under q188/q215/q216/
+    * q217, computed once per (corpus, parallelism) per JVM through the
+    * memoized [[CoGraph]] store (the DupGraph discipline).
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val items = Scratch.flush(s, "copurch-items", t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct())
-    val p = items.select(col("ok"), col("pk").as("a"))
-      .join(items.select(col("ok"), col("pk").as("b")), Seq("ok"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 2)
-      .select(col("a"), col("b"))
-    Scratch.flush(s, "copurch-edges",
-      p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
-        .toDF("u", "v"))
-  }
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    CoGraph.edges(s, dir)
 
   /** The SQL twin of [[coPurchaseEdges]] — `i`/`p`/`edges` CTEs shared
     * verbatim by the q188 and q215 oracles (the ccSqlCtes no-drift
@@ -723,7 +708,7 @@ object Relational {
             | FROM m JOIN deg db ON m.b = db.u
             | JOIN deg dc ON m.c = dc.u""".stripMargin.replaceAll("\n", "")))
 
-  private val LpaIters = 4
+  private val LpaIters = CoGraph.LpaIters
 
   /** q215 — label-propagation communities over the co-purchase graph
     * (Raghavan, Albert & Kumara 2007, the near-linear community
@@ -748,25 +733,7 @@ object Relational {
     * as MATERIALIZED CTEs (the q26b Lloyd discipline) with the same
     * `MAX([c, −lbl])` tie-break.
     */
-  /** The final LPA label frame `(v, lbl)` after [[LpaIters]] synchronous
-    * rounds over a symmetric edge frame — shared by q215 (community
-    * report) and q217 (modularity of the same partition).
-    */
-  private def lpaLabels(s: SparkSession, edges: DataFrame): DataFrame = {
-    var labels = Scratch.flush(s, "lpa-l0",
-      edges.select(col("u").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl")))
-    for (k <- 1 to LpaIters)
-      labels = Scratch.flush(s, s"lpa-l$k",
-        edges.join(labels, Seq("v"))
-          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("u"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("ml"))).as("b"))
-          .select(col("u").as("v"), (-col("b.ml")).as("lbl")))
-    labels
-  }
-
-  /** The SQL twin of [[lpaLabels]]: `l0` … `l{LpaIters}` CTE rounds,
+  /** The SQL twin of [[CoGraph.labels]]: `l0` … `l{LpaIters}` CTE rounds,
     * shared verbatim by the q215 and q217 oracles.
     */
   private val lpaSqlCtes = {
@@ -785,7 +752,7 @@ object Relational {
     "q215_lpa_communities",
     (s, dir) => {
       val edges = coPurchaseEdges(s, dir)
-      val labels = lpaLabels(s, edges)
+      val labels = CoGraph.labels(s, dir)
       val com = labels.groupBy(col("lbl"))
         .agg(min(col("v")).as("community"), count(lit(1)).as("n_members"))
       val internal = edges
@@ -884,7 +851,7 @@ object Relational {
     * to m₂ ≈ 3·10⁶ directed edges at the e6 scale; past that the
     * moments graduate to DECIMAL(38), the q63 rule.
     *
-    * Scale shape: the LPA rounds are q215's (shared [[lpaLabels]]);
+    * Scale shape: the LPA rounds are q215's (shared [[CoGraph.labels]]);
     * after them, e_c = one edge-sized double label join + community
     * agg, d_c = one node-sized agg — both community-frame-sized
     * outputs, met by a full-outer on the community key and collapsed
@@ -894,7 +861,7 @@ object Relational {
     "q217_lpa_modularity",
     (s, dir) => {
       val edges = coPurchaseEdges(s, dir)
-      val labels = lpaLabels(s, edges)
+      val labels = CoGraph.labels(s, dir)
       val ec = edges
         .join(labels.select(col("v").as("u"), col("lbl").as("lu")), Seq("u"))
         .join(labels.select(col("v"), col("lbl").as("lv")), Seq("v"))
