@@ -45,6 +45,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   *    ([[graft.streaming.FreqStream]]) ingesting the sf0.001 documents
   *    with a per-batch heavy-hitter report (the summed token sentinels
   *    double as a loss check)
+  *  - `winnow_ingest_rows_per_sec`: the winnowing dedup-on-ingest front
+  *    door ([[graft.streaming.WinnowStream]]) in index-build mode over
+  *    the sf0.001 documents in 100-doc batches; loss check = every
+  *    fingerprintable doc stored exactly once.
   *  - `anomaly_ingest_rows_per_sec`: the live EWMA anomaly board
   *    ([[graft.streaming.AnomalyStream]]) ingesting the sf0.001 events
   *    in 500-row batches; loss check = served board bit-equal to the
@@ -366,6 +370,42 @@ object StreamBench {
       require(streamedCube == batchCube,
         s"distinct_ingest leg cube $streamedCube != batch $batchCube")
       (events.length.toLong, sec)
+    }
+
+    leg("winnow_ingest") {
+      import graft.streaming.{Sources, WinnowStream}
+      import graft.sources.WinnowStore
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val store = WinnowStore.build(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "sbench")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sbench-").toString
+      val src = Sources.queue[(Long, String)](spark)
+      val t0 = System.nanoTime()
+      val query = WinnowStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "text"), store, ckpt,
+        onBatch = _ => (), dropShared = Long.MaxValue, compactEvery = 3)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: index-build mode stores every doc that has at least
+      // one winnowed fingerprint, exactly once
+      val stored = spark.table(store.fp).select("doc_id").distinct().count()
+      val expect = operators.Dedup.winnowFingerprints(
+        docs.toDF("doc_id", "text")).select("doc_id").distinct().count()
+      graft.sources.Bucketed.dropStale(spark, store.fp)
+      require(stored == expect,
+        s"winnow_ingest leg stored $stored of $expect fingerprintable docs")
+      (docs.length.toLong, sec)
     }
 
     leg("anomaly_ingest") {
