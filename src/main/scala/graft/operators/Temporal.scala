@@ -1187,9 +1187,101 @@ object Temporal {
         .replaceAll("\n", "")
     })
 
+  /** q220 — weekly seasonality STRENGTH per event type: the
+    * variance-decomposition number behind the family's other readouts
+    * (q201 tests whether acf(7) is nonzero, q202 draws the weekday
+    * profile, q210 scores the seasonal forecaster — this one says how
+    * much of the daily variance the weekday profile EXPLAINS):
+    * strength = 1 − SS_within-weekday / SS_total over the dense daily
+    * grid, Hyndman's seasonal-strength measure with the dow-mean fit.
+    * ≈ 0: the weekday profile is noise (drop the seasonal model);
+    * → 1: the calendar explains nearly everything.
+    *
+    * Exactness: SS_total = (n·Σx² − T²)/n and SS_within =
+    * Σ_d (c_d·Σ_{t∈d}x² − S_d²)/c_d are rationals with small
+    * denominators — each is shipped e6 fixed-point with ONE truncating
+    * division per term (per type for SS_total, per (type, weekday) for
+    * SS_within, summed as integers — order-insensitive), and the final
+    * ratio is one more `div`. Truncation can push ss_within_e6 a few
+    * units past ss_total_e6 on a perfectly-fit series (strength then
+    * dips microscopically below 0) — deterministic and identical on
+    * both engines, the price of exactness. Weekday from the arithmetic
+    * epoch-day index ((day+4) % 7), the q202 convention. BIGINT to
+    * ~10⁹ events/day·type at e6; past that the q63 DECIMAL graduation.
+    *
+    * Scale shape: ONE events scan into the flushed (type, day) agg
+    * (shared eventDayCounts), the q210/q214 zero-fill grid
+    * (PlanLint-whitelisted bounded cross), then two aggs over the
+    * days×types frame — grows with TIME, not event volume.
+    */
+  val qSeasonalStrength: QuerySpec = QuerySpec(
+    "q220_seasonal_strength",
+    (s, dir) => {
+      val counts = Scratch.flush(s, "q220-counts",
+        eventDayCounts(Tables.load(s, dir, "events")))
+      // grid flushed once: BOTH variance branches read it (the q208
+      // flush-once discipline — an inline grid would re-execute its
+      // bounded cross per branch)
+      val grid = Scratch.flush(s, "q220-grid",
+        counts.select(col("event_type")).distinct()
+          .crossJoin(broadcast(counts.select(col("day")).distinct()))
+          .join(counts, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("x"), lit(0L)).as("x"),
+            expr("(day + 4) % 7").as("dow")))
+      val tot = grid.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("event_type"), col("n"),
+          expr("(1000000 * (n * sx2 - t * t)) div n").as("ss_total_e6"))
+      val within = grid.groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("cd"), sum(col("x")).as("sd"),
+          sum(col("x") * col("x")).as("sxd2"))
+        .select(col("event_type"),
+          expr("(1000000 * (cd * sxd2 - sd * sd)) div cd").as("w"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("w")).as("ss_within_e6"))
+      tot.join(within, Seq("event_type"))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("ss_total_e6"), col("ss_within_e6"),
+          when(col("ss_total_e6") > 0,
+            expr("""(1000000 * (ss_total_e6 - ss_within_e6))
+                   | div ss_total_e6""".stripMargin.replaceAll("\n", "")))
+            .as("strength_e6"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+           |   epoch_us(ts) // 86400000000 AS day FROM events),
+           | cnt AS MATERIALIZED (SELECT event_type, day,
+           |   CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+           | grid AS MATERIALIZED (SELECT ty.event_type, d.day,
+           |   COALESCE(c.x, CAST(0 AS BIGINT)) AS x,
+           |   (d.day + 4) % 7 AS dow
+           |  FROM (SELECT DISTINCT event_type FROM cnt) ty
+           |  CROSS JOIN (SELECT DISTINCT day FROM cnt) d
+           |  LEFT JOIN cnt c ON c.event_type = ty.event_type
+           |   AND c.day = d.day),
+           | tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |   CAST((1000000 * (COUNT(*) * SUM(x * x)
+           |     - SUM(x) * SUM(x))) // COUNT(*) AS BIGINT)
+           |    AS ss_total_e6
+           |  FROM grid GROUP BY event_type),
+           | wd AS (SELECT event_type, dow,
+           |   CAST((1000000 * (COUNT(*) * SUM(x * x)
+           |     - SUM(x) * SUM(x))) // COUNT(*) AS BIGINT) AS w
+           |  FROM grid GROUP BY event_type, dow),
+           | wi AS (SELECT event_type, CAST(SUM(w) AS BIGINT)
+           |    AS ss_within_e6 FROM wd GROUP BY event_type)
+           | SELECT tot.event_type, tot.n AS n_days, tot.ss_total_e6,
+           |  wi.ss_within_e6,
+           |  CASE WHEN tot.ss_total_e6 > 0 THEN
+           |   CAST((1000000 * (tot.ss_total_e6 - wi.ss_within_e6))
+           |    // tot.ss_total_e6 AS BIGINT) END AS strength_e6
+           | FROM tot JOIN wi ON tot.event_type = wi.event_type""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
       qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
-      qForecastEval, qEwmaAnomaly, qMarkovStationary)
+      qForecastEval, qEwmaAnomaly, qMarkovStationary, qSeasonalStrength)
 }

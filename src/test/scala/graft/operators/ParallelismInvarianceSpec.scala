@@ -217,7 +217,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // full-outer pair-set meet of two bounded candidate joins (q218),
       // driver-side fixed-point power iteration over the collected
       // types² matrix (q219)
-      Dedup.qDedupMethodAgreement, Temporal.qMarkovStationary)) {
+      Dedup.qDedupMethodAgreement, Temporal.qMarkovStationary,
+      // per-(type, weekday) e6-truncated variance terms summed as
+      // integers (q220)
+      Temporal.qSeasonalStrength)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
