@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *                     target-domain-matched run would draw, per the
   *                     plan's quotas — advisory; shards pack ALL
   *                     survivors);
+  *   5b. `winnow_audit/` — q213's MOSS pair rule over the SHIPPED
+  *                     corpus: residual local overlaps that survived
+  *                     splice + collapse (set-level near-dups are
+  *                     collapsed, ≥-threshold spans are spliced — what
+  *                     remains is sub-splice shared runs, the mass the
+  *                     next crawl's dedup-on-ingest must watch);
   *   5. `provenance/` — the q146 audit frame for THIS run's decisions:
   *                     one (doc_id, reason) row per exact_dup /
   *                     near_dup / substring_spliced verdict, derived
@@ -56,7 +62,8 @@ object CurationRun {
 
   final case class Summary(
       nDocs: Long, tokensRemoved: Long, nKept: Long, nSources: Long,
-      nFlagged: Long, nSelected: Long, nTokens: Long)
+      nFlagged: Long, nSelected: Long, nTokens: Long,
+      nResidualPairs: Long)
 
   // per-JVM run nonce: CC scratch generations flush under this tag, and
   // two runs in one JVM (spec + reuse) must never share one
@@ -110,6 +117,14 @@ object CurationRun {
     // artifact; the shard layout above packs ALL survivors)
     write(Curation.mixtureSelect(kept), s"$outDir/selection")
 
+    // 5b. winnow audit — residual local overlap among SHIPPED docs
+    // (the q213 rule through the SAME shared helpers): what splice +
+    // collapse left behind for the next ingest cycle to watch
+    write(Dedup.winnowPairsFrom(operators.Scratch.flush(spark,
+        s"$tag-wcap", Dedup.winnowCapped(operators.Scratch.flush(spark,
+          s"$tag-wfps", Dedup.winnowFingerprints(kept))))),
+      s"$outDir/winnow_audit")
+
     // 5. provenance — the q146 audit frame over THIS run's decisions
     // (the gated q146 runs the same union over the raw corpus; here the
     // exact-hash branch runs on the CLEANED text, which is what collapse
@@ -142,7 +157,8 @@ object CurationRun {
       nSources = spark.read.parquet(s"$outDir/scorecard").count(),
       nFlagged = spark.read.parquet(s"$outDir/provenance").count(),
       nSelected = spark.read.parquet(s"$outDir/selection").count(),
-      nTokens = spark.read.parquet(s"$outDir/tokens").count())
+      nTokens = spark.read.parquet(s"$outDir/tokens").count(),
+      nResidualPairs = spark.read.parquet(s"$outDir/winnow_audit").count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -163,6 +179,7 @@ object CurationRun {
       s""""n_kept":${sm.nKept},"n_sources":${sm.nSources},""" +
       s""""n_flagged":${sm.nFlagged},"n_selected":${sm.nSelected},""" +
       s""""n_tokens":${sm.nTokens},""" +
+      s""""n_residual_pairs":${sm.nResidualPairs},""" +
       f""""sec":$sec%.3f}""")
     spark.stop()
   }

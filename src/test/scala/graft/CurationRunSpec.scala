@@ -172,4 +172,27 @@ class CurationRunSpec extends AnyFunSuite with SparkTestSession {
     assert(sel.orderBy("doc_id").collect().toSeq == direct,
       "selection stage diverged from the shared q161 helper")
   }
+
+  test("the winnow audit is the shared q213 rule over exactly the shipped corpus") {
+    val (o, sm) = out
+    val kept = spark.read.parquet(s"$o/clean")
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .join(spark.read.parquet(s"$o/collapse")
+        .filter(col("kept") === 1L).select("doc_id"), Seq("doc_id"))
+    val tag = s"curspec-w${System.nanoTime()}"
+    val direct = Dedup.winnowPairsFrom(operators.Scratch.flush(spark,
+        s"$tag-cap", Dedup.winnowCapped(operators.Scratch.flush(spark,
+          s"$tag-fps", Dedup.winnowFingerprints(kept)))))
+      .collect().map(_.toString).sorted.toSeq
+    val staged = spark.read.parquet(s"$o/winnow_audit")
+      .collect().map(_.toString).sorted.toSeq
+    assert(staged == direct,
+      "winnow audit stage diverged from the shared q213 helpers")
+    assert(sm.nResidualPairs == staged.length.toLong)
+    // splice + collapse must REDUCE residual local overlap vs raw: the
+    // audit's pair count is strictly below the raw corpus's q213 count
+    val raw = Dedup.qWinnowPairs.build(spark, dir).count()
+    assert(sm.nResidualPairs < raw,
+      s"curation left ${sm.nResidualPairs} residual pairs, raw had $raw")
+  }
 }
