@@ -1888,7 +1888,10 @@ object Dedup {
     * store rows are bit-identical to what the batch pipeline computes
     * from raw text.
     */
-  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+  /** The winnowing-selected packed keys `(doc_id, mk)` (distinct) — the
+    * raw selection both fingerprint forms derive from.
+    */
+  private def winnowSelected(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wFwd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
@@ -1900,9 +1903,27 @@ object Dedup {
         (PolyHash(col("col")) * lit(WinnowPosPack) + col("pos")).as("key"))
       .withColumn("mk", min(col("key")).over(wFwd))
       .filter(col("pos") <= greatest(col("ng") - WinnowW, lit(0)))
-      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"))
+      .select(col("doc_id"), col("mk"))
       .distinct()
   }
+
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowSelected(docs)
+      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"))
+      .distinct()
+
+  /** Position-carrying fingerprints `(doc_id, fp, mn, mx)` — per
+    * (doc, fingerprint) the first/last selected GRAM position, the raw
+    * material of q221's match extents. One row per (doc_id, fp), so
+    * [[winnowCapped]]'s df semantics are identical to the position-less
+    * form.
+    */
+  private[graft] def winnowFingerprintSpans(docs: DataFrame): DataFrame =
+    winnowSelected(docs)
+      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"),
+        expr(s"mk % $WinnowPosPack").as("p"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
 
   /** Cap-filtered fingerprints: rows of `fps` whose fingerprint is
     * shared by at most [[WinnowDfCap]] documents. Exchange-free when
@@ -2050,6 +2071,62 @@ object Dedup {
             |   AS pairset_jaccard_e6
             | FROM j""".stripMargin.replaceAll("\n", "")))
 
+  /** q221 — winnowing MATCH EXTENTS (the report half of MOSS the pair
+    * count alone doesn't give: WHERE the shared material sits): for
+    * every q213 pair, the first/last word position covered by a shared
+    * cap-surviving fingerprint on EACH side — the region a reviewer
+    * opens, and the splice window a rewrite pass would target (q117/
+    * q130 compute exact positioned spans at ≥-threshold length; this is
+    * the sketch-cheap envelope for everything below that threshold).
+    * Positions are the SELECTED gram positions riding the packed key
+    * (`mk % 2²¹`), so extents cost nothing beyond what winnowing
+    * already computed; last-word = max gram position + k − 1.
+    *
+    * Scale shape: identical to q213 — same selection pass (one extra
+    * (doc, fp) agg), same df-capped fp equi-join, extents as 4 more
+    * min/max aggregates on the pair group-by. Flushed once per
+    * consumer stage like q213.
+    */
+  val qWinnowExtents: QuerySpec = QuerySpec(
+    "q221_winnow_extents",
+    (s, dir) => {
+      val sp = Scratch.flush(s, "q221-spans",
+        winnowFingerprintSpans(Tables.load(s, dir, "documents")))
+      val capped = Scratch.flush(s, "q221-capped", winnowCapped(sp))
+      val a = capped.select(col("fp"), col("doc_id").as("doc_a"),
+        col("mn").as("amn"), col("mx").as("amx"))
+      val b = capped.select(col("fp"), col("doc_id").as("doc_b"),
+        col("mn").as("bmn"), col("mx").as("bmx"))
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("shared"),
+          min(col("amn")).as("a_first"),
+          (max(col("amx")) + lit(WinnowK - 1L)).as("a_last"),
+          min(col("bmn")).as("b_first"),
+          (max(col("bmx")) + lit(WinnowK - 1L)).as("b_last"))
+        .filter(col("shared") >= WinnowMinShared)
+    },
+    Some(s"""WITH $winnowSqlCtes,
+            | sel AS (SELECT DISTINCT doc_id, mk FROM mn
+            |  WHERE pos <= greatest(ng - $WinnowW, 0)),
+            | fpp AS (SELECT doc_id, mk // $WinnowPosPack AS fp,
+            |   CAST(MIN(mk % $WinnowPosPack) AS BIGINT) AS mn2,
+            |   CAST(MAX(mk % $WinnowPosPack) AS BIGINT) AS mx2
+            |  FROM sel GROUP BY 1, 2),
+            | cpp AS MATERIALIZED (SELECT f.doc_id, f.fp, f.mn2, f.mx2
+            |  FROM fpp f JOIN dfok USING (fp))
+            | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            |  CAST(COUNT(*) AS BIGINT) AS shared,
+            |  CAST(MIN(a.mn2) AS BIGINT) AS a_first,
+            |  CAST(MAX(a.mx2) + ${WinnowK - 1} AS BIGINT) AS a_last,
+            |  CAST(MIN(b.mn2) AS BIGINT) AS b_first,
+            |  CAST(MAX(b.mx2) + ${WinnowK - 1} AS BIGINT) AS b_last
+            | FROM cpp a JOIN cpp b
+            |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+            | GROUP BY 1, 2
+            | HAVING COUNT(*) >= $WinnowMinShared""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
@@ -2057,5 +2134,6 @@ object Dedup {
     qSplitLeakage, qClusterSplit, qSpanExtents, qDupMass, qSubstringRemove,
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
-    qClusterLabels, qLshPlanner, qWinnowPairs, qDedupMethodAgreement)
+    qClusterLabels, qLshPlanner, qWinnowPairs, qDedupMethodAgreement,
+    qWinnowExtents)
 }

@@ -901,6 +901,73 @@ object Relational {
             |   // (MAX(m2) * MAX(m2)) AS BIGINT) AS q_e6
             | FROM g""".stripMargin.replaceAll("\n", "")))
 
+  /** q222 — global clustering coefficient of the co-purchase graph
+    * (Watts–Strogatz transitivity, exact): 3·triangles / wedges — the
+    * one-number answer to "do people who buy A-with-B and A-with-C also
+    * buy B-with-C", and the density context behind q215's communities
+    * (high transitivity = LPA's labels mean something) and q216's
+    * mixing. Triangles counted EXACTLY by the degree-oriented wedge
+    * join (every edge oriented low→high (degree, id); each triangle
+    * counted once from its lowest-degree corner — the q107 discipline,
+    * arboricity-bounded, no hub blowup, NO cap so the count is exact);
+    * wedges = Σ C(d,2) in closed form from the degree frame. All
+    * integers; cc_e6 = (3·10⁶·tri) div wedges.
+    *
+    * Scale shape: edges/degrees from the memoized [[CoGraph]] store;
+    * the oriented wedge join is the only super-degree stage and it is
+    * the exact triangle bound. The three scalar summaries are collected
+    * driver-side (single rows — the q219 literal rule) and emitted as
+    * one literal row.
+    */
+  val qClusteringCoefficient: QuerySpec = QuerySpec(
+    "q222_clustering_coefficient",
+    (s, dir) => {
+      import s.implicits._
+      val edges = CoGraph.edges(s, dir)
+      val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val oriented = Scratch.flush(s, "q222-oriented", edges
+        .join(deg.toDF("u", "du"), Seq("u"))
+        .join(deg.toDF("v", "dv"), Seq("v"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")))
+        .select(col("u"), col("v"), col("dv")))
+      val base = deg.agg(count(lit(1)).as("n"),
+        expr("sum((deg * (deg - 1)) div 2)").as("w"),
+        expr("sum(deg) div 2").as("m")).collect().head
+      val (nNodes, wedges, nEdges) =
+        (base.getLong(0), base.getLong(1), base.getLong(2))
+      val tri = oriented.toDF("u", "b", "db")
+        .join(oriented.toDF("u", "c", "dc"), Seq("u"))
+        .filter(col("db") < col("dc") ||
+          (col("db") === col("dc") && col("b") < col("c")))
+        .select(col("b"), col("c"))
+        .join(oriented.select(col("u").as("b"), col("v").as("c")),
+          Seq("b", "c"))
+        .count()
+      Seq((nNodes, nEdges, wedges, tri,
+        if (wedges > 0) Some(3000000L * tri / wedges) else None))
+        .toDF("n_nodes", "n_edges", "wedges", "triangles", "global_cc_e6")
+    },
+    Some(s"""WITH $coEdgesSqlCtes,
+            | deg AS MATERIALIZED (SELECT u,
+            |   CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+            | o AS MATERIALIZED (SELECT e.u, e.v, dv.deg AS dv
+            |  FROM edges e JOIN deg du ON e.u = du.u
+            |  JOIN deg dv ON e.v = dv.u
+            |  WHERE du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)),
+            | base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+            |   CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS wedges,
+            |   CAST(SUM(deg) // 2 AS BIGINT) AS n_edges FROM deg),
+            | tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+            |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+            |   AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+            |  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v)
+            | SELECT n_nodes, n_edges, wedges, triangles,
+            |  CASE WHEN wedges > 0 THEN
+            |   CAST((3000000 * triangles) // wedges AS BIGINT) END
+            |   AS global_cc_e6
+            | FROM base, tr""".stripMargin.replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] = Seq(
     q1Scan, q2Republish, q3FilterProject, q4Join3, q5BroadcastJoin,
     q6LeftOuter, q7SemiAnti, q8RangeJoin, q9Agg, q10Distinct,
@@ -908,5 +975,5 @@ object Relational {
     q16Except, q17UnionIntersect, q18JsonFns, q20TumblingWindow,
     q39Percentiles, q40Pivot, q42ScalarFns, q57FullOuter, q58Cube,
     q63Correlation, qMarketBasket, qLinkPrediction, qLpaCommunities,
-    qDegreeAssortativity, qLpaModularity)
+    qDegreeAssortativity, qLpaModularity, qClusteringCoefficient)
 }

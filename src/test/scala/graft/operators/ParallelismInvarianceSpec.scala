@@ -220,7 +220,11 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Dedup.qDedupMethodAgreement, Temporal.qMarkovStationary,
       // per-(type, weekday) e6-truncated variance terms summed as
       // integers (q220)
-      Temporal.qSeasonalStrength)) {
+      Temporal.qSeasonalStrength,
+      // position-carrying capped fp join with extent min/max (q221),
+      // degree-oriented exact triangle count collected to one literal
+      // row (q222)
+      Dedup.qWinnowExtents, Relational.qClusteringCoefficient)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
