@@ -75,6 +75,7 @@ object Bench {
     // the exchange-free reads the layouts buy
     graft.sources.Bucketed.prepare(spark, sfDir)
     graft.sources.SignatureStore.ensure(spark, sfDir)
+    graft.sources.WinnowStore.ensure(spark, sfDir)
     graft.operators.DupGraph.ensure(spark, sfDir)
     graft.operators.CoGraph.ensure(spark, sfDir)
     graft.operators.SpanStore.ensure(spark, sfDir)

@@ -2127,6 +2127,21 @@ object Dedup {
             | HAVING COUNT(*) >= $WinnowMinShared""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q223 — q213's pair result FROM THE PERSISTED STORE
+    * ([[graft.sources.WinnowStore]]) instead of re-winnowing the corpus
+    * from raw text — the q33b store-round-trip pattern applied to the
+    * MOSS family: fingerprints are computed once at ingest (and
+    * upserted by [[graft.streaming.WinnowStream]]), and every later
+    * overlap scan pays only the store's fp-bucketed exchange-free
+    * self-join. The oracle is IDENTICAL to q213's (DuckDB recomputes
+    * from raw text): passing proves the store round-trip is bit-exact.
+    */
+  val qWinnowFromStore: QuerySpec = QuerySpec(
+    "q223_winnow_store",
+    (s, dir) => graft.sources.WinnowStore.pairs(s,
+      graft.sources.WinnowStore.ensure(s, dir)),
+    qWinnowPairs.oracle)
+
   val specs: Seq[QuerySpec] = Seq(
     qDedupExact, qMinhashSig, qLshPairs, qSimhash, qNgramJaccard,
     qMinhashCalibration, qDupRate, qDupClusters, qSpanDedup, qBoilerplate,
@@ -2135,5 +2150,5 @@ object Dedup {
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
     qClusterLabels, qLshPlanner, qWinnowPairs, qDedupMethodAgreement,
-    qWinnowExtents)
+    qWinnowExtents, qWinnowFromStore)
 }

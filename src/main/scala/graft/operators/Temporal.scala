@@ -1279,9 +1279,71 @@ object Temporal {
            | FROM tot JOIN wi ON tot.event_type = wi.event_type""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q224 — sessionization gap-sensitivity curve: the session count and
+    * mean events-per-session that q38's gap parameter IMPLIES at 10/30/
+    * 60-minute thresholds — the calibration readout behind every
+    * session-derived metric (q53 funnel, q199 paths, q200 lag): if the
+    * counts swing hard between adjacent thresholds, the "session" is an
+    * artifact of the parameter, not of user behavior, and downstream
+    * numbers inherit that fragility. A session START is a row whose
+    * same-user predecessor is absent or more than the gap away (q38's
+    * rule), so n_sessions(g) is a pure conditional count off ONE lag
+    * pass — all three thresholds in a single aggregate, no per-threshold
+    * re-sessionization. Mean length in exact e6 (`div` on
+    * non-negatives).
+    *
+    * Scale shape: one per-user lag window (key cardinality grows with
+    * the corpus — the q38 discipline), one single-row aggregate, a
+    * 3-row literal-grid explode. Nothing above event volume anywhere.
+    */
+  val qSessionSensitivity: QuerySpec = QuerySpec(
+    "q224_session_sensitivity",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val lagged = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("d", col("tus") - lag(col("tus"), 1).over(byTime))
+      def starts(gapS: Long) =
+        sum(when(col("d").isNull || col("d") > gapS * 1000000L, 1L)
+          .otherwise(0L)).as(s"s$gapS")
+      lagged
+        .agg(count(lit(1)).as("n_events"),
+          starts(600), starts(1800), starts(3600))
+        .select(col("n_events"), explode(array(
+          struct(lit(600L).as("gap_s"), col("s600").as("n_sessions")),
+          struct(lit(1800L).as("gap_s"), col("s1800").as("n_sessions")),
+          struct(lit(3600L).as("gap_s"), col("s3600").as("n_sessions")))))
+        .select(col("col.gap_s").as("gap_s"),
+          col("col.n_sessions").as("n_sessions"),
+          expr("(1000000 * n_events) div col.n_sessions")
+            .as("mean_len_e6"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+           |  FROM events),
+           | lg AS (SELECT tus - LAG(tus) OVER (PARTITION BY user_id
+           |   ORDER BY tus, event_id) AS d FROM e),
+           | agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           |  CAST(SUM(CASE WHEN d IS NULL OR d > CAST(600 AS BIGINT) * 1000000
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS s600,
+           |  CAST(SUM(CASE WHEN d IS NULL OR d > CAST(1800 AS BIGINT) * 1000000
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+           |  CAST(SUM(CASE WHEN d IS NULL OR d > CAST(3600 AS BIGINT) * 1000000
+           |   THEN 1 ELSE 0 END) AS BIGINT) AS s3600 FROM lg)
+           | SELECT g.gap_s, g.n_sessions,
+           |  CAST((1000000 * n_events) // g.n_sessions AS BIGINT)
+           |   AS mean_len_e6
+           | FROM agg, LATERAL (VALUES
+           |  (CAST(600 AS BIGINT), s600),
+           |  (CAST(1800 AS BIGINT), s1800),
+           |  (CAST(3600 AS BIGINT), s3600)) g(gap_s, n_sessions)""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
       qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
-      qForecastEval, qEwmaAnomaly, qMarkovStationary, qSeasonalStrength)
+      qForecastEval, qEwmaAnomaly, qMarkovStationary, qSeasonalStrength,
+      qSessionSensitivity)
 }

@@ -224,7 +224,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // position-carrying capped fp join with extent min/max (q221),
       // degree-oriented exact triangle count collected to one literal
       // row (q222)
-      Dedup.qWinnowExtents, Relational.qClusteringCoefficient)) {
+      Dedup.qWinnowExtents, Relational.qClusteringCoefficient,
+      // one-lag-pass multi-threshold conditional counts (q224; q223 is
+      // the dir-keyed store read, the q33b convention — not listed)
+      Temporal.qSessionSensitivity)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
