@@ -2136,6 +2136,50 @@ object Dedup {
     * self-join. The oracle is IDENTICAL to q213's (DuckDB recomputes
     * from raw text): passing proves the store round-trip is bit-exact.
     */
+  /** q225 — cross-source winnow contamination matrix: q213's pair set
+    * rolled up to (source, source) cells — which FEEDS share material,
+    * the provenance view of local overlap (q125's source-overlap matrix
+    * counts exact ≥-threshold spans; this is its sub-threshold sketch
+    * twin, so a feed quietly paraphrasing another shows up here first).
+    * Pair endpoints are unordered, so cells are normalized to
+    * (least, greatest) source; diagonal cells = within-feed
+    * duplication, off-diagonal = cross-feed contamination. Reports pair
+    * count and total shared-fingerprint mass per cell.
+    *
+    * Scale shape: the q213 pair frame (df-capped equi-join output)
+    * joined twice against the doc→source map (corpus-keyed equi-joins),
+    * one catalog²-bounded group-by. Nothing above pair volume anywhere.
+    */
+  val qWinnowSourceMatrix: QuerySpec = QuerySpec(
+    "q225_winnow_source_matrix",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val fps = Scratch.flush(s, "q225-fps", winnowFingerprints(docs))
+      val wp = winnowPairsFrom(
+        Scratch.flush(s, "q225-capped", winnowCapped(fps)))
+      val src = docs.select(col("doc_id"), col("source"))
+      wp
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"), col("shared"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("shared")).as("shared_total"))
+    },
+    Some(s"""WITH $winnowSqlCtes,
+            | wp AS (SELECT doc_a, doc_b, shared FROM pr
+            |  WHERE shared >= $WinnowMinShared),
+            | lab AS (SELECT least(da.source, db.source) AS src_a,
+            |   greatest(da.source, db.source) AS src_b, wp.shared
+            |  FROM wp JOIN documents da ON da.doc_id = wp.doc_a
+            |  JOIN documents db ON db.doc_id = wp.doc_b)
+            | SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            |  CAST(SUM(shared) AS BIGINT) AS shared_total
+            | FROM lab GROUP BY 1, 2""".stripMargin.replaceAll("\n", "")))
+
   val qWinnowFromStore: QuerySpec = QuerySpec(
     "q223_winnow_store",
     (s, dir) => graft.sources.WinnowStore.pairs(s,
@@ -2150,5 +2194,5 @@ object Dedup {
     qContainment, qEdgeSpans, qSourceOverlap, qClusterSizes, qQualityCollapse,
     qSourceSketch, qRemovalProvenance, qCurationImpact, qTaintPropagation,
     qClusterLabels, qLshPlanner, qWinnowPairs, qDedupMethodAgreement,
-    qWinnowExtents, qWinnowFromStore)
+    qWinnowExtents, qWinnowFromStore, qWinnowSourceMatrix)
 }

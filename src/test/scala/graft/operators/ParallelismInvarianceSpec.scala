@@ -226,8 +226,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // row (q222)
       Dedup.qWinnowExtents, Relational.qClusteringCoefficient,
       // one-lag-pass multi-threshold conditional counts (q224; q223 is
-      // the dir-keyed store read, the q33b convention — not listed)
-      Temporal.qSessionSensitivity)) {
+      // the dir-keyed store read, the q33b convention — not listed),
+      // unordered source-cell rollup of the capped pair join (q225)
+      Temporal.qSessionSensitivity, Dedup.qWinnowSourceMatrix)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

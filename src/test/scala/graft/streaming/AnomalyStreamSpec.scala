@@ -72,5 +72,30 @@ class AnomalyStreamSpec extends AnyFunSuite with SparkTestSession {
     AnomalyStream.compactRows(spark, store, ckpt)
     assert(AnomalyStream.serve(spark, store)
       .collect().map(key).sorted.toSeq == batch)
+
+    // fresh-checkpoint restart: a NEW stream on the SAME store re-issues
+    // batch_id 0 — the ckpt-scoped guard must fold it, not drop it (the
+    // GraphStream fresh-checkpoint lesson, additive-state form)
+    val ckpt2 =
+      java.nio.file.Files.createTempDirectory("graft-as-ckpt2-").toString
+    val src2 = Sources.queue[(String, java.sql.Timestamp)](spark)
+    val extra = Seq(
+      ("click", java.sql.Timestamp.valueOf("2025-06-01 12:00:00")),
+      ("view", java.sql.Timestamp.valueOf("2025-06-02 12:00:00")))
+    val q2 = AnomalyStream.startIncremental(
+      spark, src2.toDS().toDF("event_type", "ts"), store, ckpt2,
+      onBatch = _ => ())
+    try {
+      src2.addData(extra)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = AnomalyStream.serve(spark, store)
+      .collect().map(key).sorted.toSeq
+    val batchAfter = graft.operators.Temporal.ewmaFromCounts(
+        graft.operators.Temporal.eventDayCounts(
+          (events.toSeq ++ extra).toDF("event_type", "ts")))
+      .collect().map(key).sorted.toSeq
+    assert(after == batchAfter,
+      "a fresh-checkpoint restart must fold its batches, not drop them")
   }
 }

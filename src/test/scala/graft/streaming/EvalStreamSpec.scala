@@ -90,5 +90,33 @@ class EvalStreamSpec extends AnyFunSuite with SparkTestSession {
     val biasBatch = graft.operators.TextAnalysis.qSourceBias
       .build(spark, dir).collect().map(_.toString).sorted
     assert(bias.sameElements(biasBatch))
+
+    // fresh-checkpoint restart: a NEW stream on the SAME store re-issues
+    // batch_id 0 — the ckpt-scoped guard must fold it, not drop it (the
+    // GraphStream fresh-checkpoint lesson, additive-state form)
+    val ckpt2 =
+      java.nio.file.Files.createTempDirectory("graft-es-ckpt2-").toString
+    val src2 = Sources.queue[(String, Long, String)](spark)
+    val extra = Seq(
+      ("srcX", 900001L, "the and of to in words keep arriving here"),
+      ("srcX", 900002L, "zz qq xx plainly unstoppable writing sample"))
+    val q2 = EvalStream.startIncremental(
+      spark, src2.toDS().toDF("source", "doc_id", "text")
+        .select(col("source"), col("text")),
+      store, ckpt2, onBatch = _ => ())
+    try {
+      src2.addData(extra)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = EvalStream.serve(spark, store)
+      .collect().map(key).sortBy(_._1)
+    val batchAfter = graft.operators.TextAnalysis.evalFromGrid(
+        EvalStream.batchGrid(
+          (docs.toSeq ++ extra.map(e => (e._1, e._2, e._3)))
+            .toDF("source", "doc_id", "text")
+            .select(col("source"), col("text"))))
+      .collect().map(key).sortBy(_._1)
+    assert(after.sameElements(batchAfter),
+      "a fresh-checkpoint restart must fold its batches, not drop them")
   }
 }
