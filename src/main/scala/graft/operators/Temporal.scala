@@ -1340,10 +1340,90 @@ object Temporal {
            |  (CAST(3600 AS BIGINT), s3600)) g(gap_s, n_sessions)""".stripMargin
       .replaceAll("\n", "")))
 
+  /** q226 — within-session event-type co-occurrence lift: for every
+    * unordered type pair, how much more often do the two types appear
+    * in the SAME q38 session than independence predicts —
+    * lift = P(a,b)/(P(a)·P(b)) over sessions, in exact e6 as
+    * (10⁶·n_ab·N) div (n_a·n_b). The UNORDERED complement of q109's
+    * adjacent transitions (q109 sees what follows what; this sees what
+    * belongs to the same visit regardless of order or distance) and the
+    * session-level twin of q83's token collocations — the cross-sell /
+    * journey-design readout. Sessions are exactly q38's (30-minute gap,
+    * (tus, event_id) tie-break); session membership is DISTINCT types,
+    * so repeat events don't inflate lift.
+    *
+    * Scale shape: one per-user lag+cumsum window pass (the q38
+    * discipline) → distinct (session, type) rows → the pair self-join
+    * on session id (≤ C(types, 2) ≤ 10 pairs/session, the q189 basket
+    * bound) → one types²-bounded rollup; marginals are type-keyed
+    * broadcast joins and the session total rides as a collected literal
+    * (one count — the q219 rule). Session ids pack as
+    * user·10⁶ + seq (≤ 10⁶ sessions per user, generous at any scale).
+    */
+  val qSessionColift: QuerySpec = QuerySpec(
+    "q226_session_colift",
+    (s, dir) => {
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      val st = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("d", col("tus") - lag(col("tus"), 1).over(byTime))
+        .withColumn("st",
+          when(col("d").isNull || col("d") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("seq", sum(col("st")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select((col("user_id") * 1000000L + col("seq")).as("sid"),
+          col("event_type").as("ty"))
+        .distinct()
+      val sess = Scratch.flush(s, "q226-st", st)
+      val total = sess.select(col("sid")).distinct().count()
+      val m = sess.groupBy(col("ty")).agg(count(lit(1)).as("n"))
+      sess.select(col("sid"), col("ty").as("type_a"))
+        .join(sess.select(col("sid"), col("ty").as("type_b")), Seq("sid"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .join(broadcast(m.select(col("ty").as("type_a"),
+          col("n").as("na"))), Seq("type_a"))
+        .join(broadcast(m.select(col("ty").as("type_b"),
+          col("n").as("nb"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_ab"),
+          expr(s"(1000000 * n_ab * ${total}L) div (na * nb)")
+            .as("lift_e6"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |   epoch_us(ts) AS tus FROM events),
+           | lg AS (SELECT user_id, event_id, event_type, tus,
+           |   tus - LAG(tus) OVER (PARTITION BY user_id
+           |    ORDER BY tus, event_id) AS d FROM e),
+           | sx AS (SELECT user_id, event_type, CAST(SUM(CASE WHEN
+           |    d IS NULL OR d > CAST(1800 AS BIGINT) * 1000000
+           |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+           |    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+           |   AS BIGINT) AS seq FROM lg),
+           | st AS MATERIALIZED (SELECT DISTINCT
+           |   user_id * 1000000 + seq AS sid, event_type AS ty FROM sx),
+           | m AS MATERIALIZED (SELECT ty, CAST(COUNT(*) AS BIGINT) AS n
+           |  FROM st GROUP BY ty),
+           | nn AS (SELECT CAST(COUNT(DISTINCT sid) AS BIGINT) AS total
+           |  FROM st),
+           | p AS (SELECT a.ty AS type_a, b.ty AS type_b,
+           |   CAST(COUNT(*) AS BIGINT) AS n_ab
+           |  FROM st a JOIN st b ON a.sid = b.sid AND a.ty < b.ty
+           |  GROUP BY 1, 2)
+           | SELECT type_a, type_b, n_ab,
+           |  CAST((1000000 * n_ab * total) // (ma.n * mb.n) AS BIGINT)
+           |   AS lift_e6
+           | FROM p JOIN m ma ON ma.ty = type_a
+           | JOIN m mb ON mb.ty = type_b, nn""".stripMargin
+      .replaceAll("\n", "")))
+
   val specs: Seq[QuerySpec] =
     Seq(qAsofJoin, qSessionize, qFunnel, qRetention, qCdcApply, qTransitions,
       qEventCadence, qRfmSegments, qConcurrency, qCusumChangepoint,
       qSessionPaths, qConversionLag, qDailyAutocorr, qDowProfile,
       qForecastEval, qEwmaAnomaly, qMarkovStationary, qSeasonalStrength,
-      qSessionSensitivity)
+      qSessionSensitivity, qSessionColift)
 }

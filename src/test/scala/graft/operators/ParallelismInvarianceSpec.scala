@@ -228,7 +228,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // one-lag-pass multi-threshold conditional counts (q224; q223 is
       // the dir-keyed store read, the q33b convention — not listed),
       // unordered source-cell rollup of the capped pair join (q225)
-      Temporal.qSessionSensitivity, Dedup.qWinnowSourceMatrix)) {
+      Temporal.qSessionSensitivity, Dedup.qWinnowSourceMatrix,
+      // flushed distinct (session, type) rows + bounded pair self-join
+      // with a collected session-total literal (q226)
+      Temporal.qSessionColift)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
