@@ -1966,7 +1966,7 @@ object Dedup {
             |   FROM documents),
             | gs AS (SELECT doc_id, list_transform(
             |   range(1, greatest(len(tk) - ${WinnowK - 1}, 0) + 1),
-            |   i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]) AS gl
+            |   i -> ${(0 until WinnowK).map(d => if (d == 0) "tk[i]" else s"tk[i + $d]").mkString(" || ' ' || ")}) AS gl
             |  FROM wdt),
             | hs AS (SELECT doc_id, list_transform(gl,
             |   g -> ${PolyHash.oracleSql("g")}) AS hl FROM gs),

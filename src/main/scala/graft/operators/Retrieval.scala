@@ -182,7 +182,16 @@ object Retrieval {
       s: org.apache.spark.sql.SparkSession, dir: String,
       group: Int): org.apache.spark.sql.DataFrame = {
       Similarity.ensureTrained(s, dir)
-      val v = s.table(Similarity.ensureClustered(s, dir))
+      semDedupBoundedFrom(s.table(Similarity.ensureClustered(s, dir)), group)
+  }
+
+  /** The q137 core over an arbitrary (vec_id, cid, qe) layout frame —
+    * factored so the spec can drive it on a synthetic forced-boundary
+    * corpus next to [[semDedupMultiFrom]].
+    */
+  private[graft] def semDedupBoundedFrom(
+      v: org.apache.spark.sql.DataFrame,
+      group: Int): org.apache.spark.sql.DataFrame = {
       val m = v.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_c"))
         .select(col("cid"),
@@ -325,6 +334,188 @@ object Retrieval {
             |  CASE WHEN n_removed_bounded > 0
             |   THEN CAST((n_agree * 1000000) // n_removed_bounded AS BIGINT)
             |   END AS precision_e6
+            | FROM j""".stripMargin.replaceAll("\n", "")))
+
+  /** The q227 core over an arbitrary (vec_id, cid, qe) layout frame and
+    * codebook — factored like [[semDedupBoundedFrom]] so the spec can
+    * force a cluster-boundary pair. `cid` must be the primary (nearest)
+    * assignment for the output's cluster column to agree with the
+    * layout.
+    */
+  private[graft] def semDedupMultiFrom(
+      v: org.apache.spark.sql.DataFrame, cents: Seq[Seq[Long]],
+      group: Int): org.apache.spark.sql.DataFrame = {
+    val g = semMultiAssign(v, cents, group)
+    val ex = g.alias("a")
+      .join(g.alias("b"),
+        col("a.acid") === col("b.acid") && col("a.sub") === col("b.sub")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        Exact.cosineFromQuantized(col("a.qe"), col("b.qe")) >= SemTau)
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
+      .groupBy(col("vec_id")).agg(min(col("nbr")).as("exemplar_lo"))
+    v.select(col("vec_id"), col("cid").cast("long").as("cid"))
+      .join(ex, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("exemplar_lo"), col("vec_id")).as("exemplar_id"),
+        when(col("exemplar_lo").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** q227's subgrouped multi-assignment frame `(vec_id, acid, qe, sub)`
+    * — each vector under BOTH of its 2 nearest centroids, hash-split
+    * per assigned centroid into ⌈n_acid/group⌉ subgroups (n_acid counts
+    * multi-assigned membership). Shared with RetrievalFusionSpec's
+    * candidate-volume pin.
+    */
+  private[graft] def semMultiAssign(
+      v: org.apache.spark.sql.DataFrame, cents: Seq[Seq[Long]],
+      group: Int): org.apache.spark.sql.DataFrame = {
+    val a2 = v.select(col("vec_id"), col("qe"),
+      explode(ProbeCentroids(col("qe"), cents, 2)).as("acid"))
+    val m = a2.groupBy(col("acid")).agg(count(lit(1)).as("n_a"))
+      .select(col("acid"),
+        expr(s"(n_a + ${group - 1}) div $group").as("m"))
+    a2.join(broadcast(m), Seq("acid"))
+      .select(col("vec_id"), col("acid"), col("qe"),
+        pmod(PolyHash(
+          concat(lit("sem|"), col("vec_id").cast("string"))), col("m"))
+          .as("sub"))
+  }
+
+  /** The multi-assignment SemDeDup oracle CTEs (`a2`: each vector under
+    * its 2 nearest centroids — `fa WHERE rk <= 2`, the SAME ranking
+    * [[graft.functions.ProbeCentroids]] computes; `am`/`ag`: the
+    * subgroup split; `aex`: per-vector lowest qualifying neighbor) —
+    * shared by the q227 and q228 oracles. Assumes the Similarity train
+    * + assign CTEs (`e`, `c$TrainIters`, `fa`, `fm`) are in scope.
+    */
+  private def semMultiSqlCtes: String =
+    s"""a2 AS (SELECT vec_id, qe, cid AS acid FROM fa WHERE rk <= 2),
+       | am AS (SELECT acid,
+       |   CAST((COUNT(*) + ${SemGroup - 1}) // $SemGroup AS BIGINT) AS m
+       |  FROM a2 GROUP BY acid),
+       | ag AS (SELECT a2.vec_id, a2.acid, a2.qe,
+       |   ${PolyHash.oracleSql("'sem|' || CAST(a2.vec_id AS VARCHAR)")}
+       |    % am.m AS sub
+       |  FROM a2 JOIN am ON a2.acid = am.acid),
+       | apr AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+       |  FROM ag a JOIN ag b ON a.acid = b.acid AND a.sub = b.sub
+       |   AND a.vec_id < b.vec_id
+       |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+       | aex AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+       |  FROM apr GROUP BY vec_id)""".stripMargin.replaceAll("\n", "")
+
+  /** q227 — MULTI-ASSIGNMENT bounded SemDeDup: q137 with each vector
+    * assigned to its 2 NEAREST centroids (the [[graft.functions.ProbeCentroids]]
+    * ranking the serving path already trusts) instead of only its
+    * primary cluster — closing q134/q137's cluster-boundary blind spot:
+    * both compare only within ONE IVF cell, so a near-dup pair
+    * straddling a centroid boundary (a's cell X, b's cell Y) is
+    * invisible at ANY subgroup bound. Under 2-nearest assignment the
+    * pair meets wherever their assignment sets intersect (a ∈ {X, Y},
+    * b ∈ {Y, X} — the boundary geometry that split them is exactly what
+    * makes each the other's runner-up cell). q137's bounded keeper rule
+    * then runs per (assigned cid, subgroup) — n_acid counts
+    * multi-assigned membership, so the split still bounds every group —
+    * and verdicts UNION across a vector's two assignments via the same
+    * min-exemplar reduction. Output matches q134's shape (`cid` stays
+    * the primary assignment); kept=1 is the deduplicated corpus.
+    *
+    * Scale shape: the assignment is ONE map-side codegen'd expression
+    * per vector against the literal codebook (no vec×centroid join),
+    * exploded to exactly 2N rows; the ≤K-row multi-count broadcasts
+    * back; candidates come ONLY from the (acid, sub) equi-join —
+    * volume ≈ 2·N·SemGroup/2 ≤ 2·N·SemGroup (RetrievalFusionSpec pins
+    * the bound), i.e. the same linear envelope as q137 at twice the
+    * constant, at any corpus size. The exemplar reduction and the final
+    * vec_id-keyed left join are q134's.
+    */
+  val qSemDedupMulti: QuerySpec = QuerySpec(
+    "q227_semdedup_multi",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      semDedupMultiFrom(
+        s.table(Similarity.ensureClustered(s, dir)), cents, SemGroup)
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | $semMultiSqlCtes
+            | SELECT fm.vec_id, CAST(fm.cid AS BIGINT) AS cid,
+            |  COALESCE(aex.exemplar_lo, fm.vec_id) AS exemplar_id,
+            |  CASE WHEN aex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |   ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM fm LEFT JOIN aex ON fm.vec_id = aex.vec_id""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q228 — the q227-vs-q134 BOUNDARY report (the q204 pattern applied
+    * to the multi-assignment pass): one row comparing multi-assignment
+    * removals against the exact single-cluster pass. `n_boundary_extra`
+    * — vectors q134 KEEPS but q227 removes — is the measured size of
+    * the cluster-boundary blind spot (pairs no within-cell pass can see
+    * at any bound); `n_missed_by_bound` is what the subgroup split
+    * costs in the other direction (the q204 recall story);
+    * `recall_e6` = multi's retention of exact removals. Policy: ship
+    * q227 where boundary loss matters, and read THIS row for what the
+    * second assignment buys on the corpus at hand.
+    *
+    * Scale shape: both inputs are the already-gated linear plans; the
+    * comparison is one vec_id equi-join collapsed to ONE row map-side.
+    * Pure integer counts; e6 ratios via integer `div` ≡ `//`.
+    */
+  val qSemDedupBoundary: QuerySpec = QuerySpec(
+    "q228_semdedup_boundary",
+    (s, dir) => {
+      val e = qSemDedup.build(s, dir)
+        .select(col("vec_id"), col("kept").as("kept_e"))
+      val m = qSemDedupMulti.build(s, dir)
+        .select(col("vec_id"), col("kept").as("kept_m"))
+      e.join(m, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(lit(1L) - col("kept_e")).as("n_removed_exact"),
+          sum(lit(1L) - col("kept_m")).as("n_removed_multi"),
+          sum((lit(1L) - col("kept_e")) * (lit(1L) - col("kept_m")))
+            .as("n_agree"),
+          sum(col("kept_e") * (lit(1L) - col("kept_m")))
+            .as("n_boundary_extra"),
+          sum((lit(1L) - col("kept_e")) * col("kept_m"))
+            .as("n_missed_by_bound"))
+        .select(col("n_vecs"), col("n_removed_exact"),
+          col("n_removed_multi"), col("n_agree"),
+          col("n_boundary_extra"), col("n_missed_by_bound"),
+          when(col("n_removed_exact") > 0L,
+            expr("(n_agree * 1000000L) div n_removed_exact"))
+            .as("recall_e6"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | pr AS (SELECT b.vec_id AS vec_id, a.vec_id AS nbr
+            |  FROM fm a JOIN fm b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |  WHERE ${Exact.cosineSql("a.qe", "b.qe")} >= $SemTau),
+            | ex AS (SELECT vec_id, MIN(nbr) AS exemplar_lo
+            |  FROM pr GROUP BY vec_id),
+            | ev AS (SELECT fm.vec_id,
+            |   CASE WHEN ex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS kept_e
+            |  FROM fm LEFT JOIN ex ON fm.vec_id = ex.vec_id),
+            | $semMultiSqlCtes,
+            | mv AS (SELECT fm.vec_id,
+            |   CASE WHEN aex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS kept_m
+            |  FROM fm LEFT JOIN aex ON fm.vec_id = aex.vec_id),
+            | j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            |   CAST(SUM(1 - kept_e) AS BIGINT) AS n_removed_exact,
+            |   CAST(SUM(1 - kept_m) AS BIGINT) AS n_removed_multi,
+            |   CAST(SUM((1 - kept_e) * (1 - kept_m)) AS BIGINT) AS n_agree,
+            |   CAST(SUM(kept_e * (1 - kept_m)) AS BIGINT)
+            |    AS n_boundary_extra,
+            |   CAST(SUM((1 - kept_e) * kept_m) AS BIGINT)
+            |    AS n_missed_by_bound
+            |  FROM ev JOIN mv ON ev.vec_id = mv.vec_id)
+            | SELECT n_vecs, n_removed_exact, n_removed_multi, n_agree,
+            |  n_boundary_extra, n_missed_by_bound,
+            |  CASE WHEN n_removed_exact > 0
+            |   THEN CAST((n_agree * 1000000) // n_removed_exact AS BIGINT)
+            |   END AS recall_e6
             | FROM j""".stripMargin.replaceAll("\n", "")))
 
   /** Multi-query ANN serving against the clustered-at-rest IVF layout —
@@ -1003,6 +1194,7 @@ object Retrieval {
 
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qSemDedupAgreement,
+      qSemDedupMulti, qSemDedupBoundary,
       qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
       qServeMrr, qHybridServeBatch, qRankAgreement)

@@ -49,13 +49,18 @@ object WinnowStore {
 
   // store per sf directory, memoized like SignatureStore.prepared
   private val prepared = scala.collection.concurrent.TrieMap.empty[String, Store]
+  // Serialize first-use builds: TrieMap.getOrElseUpdate may run a racing
+  // thunk twice, and the loser's dropStale+write clobbers the winner's
+  // table mid-read (the DupGraph/IndexStore buildLock rule).
+  private val buildLock = new Object
 
   /** The store over `dir`'s documents table (built on first use). */
-  def ensure(s: SparkSession, dir: String): Store =
+  def ensure(s: SparkSession, dir: String): Store = buildLock.synchronized {
     prepared.getOrElseUpdate(dir, {
       val tag = java.lang.Long.toHexString(PolyHash.hash(dir))
       build(s, Tables.load(s, dir, "documents").select("doc_id", "text"), tag)
     })
+  }
 
   /** Upsert a (doc_id, text) batch with the SAME bucket spec (appends
     * add files per bucket, never reshuffle existing ones). IDEMPOTENT

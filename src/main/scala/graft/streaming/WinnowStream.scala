@@ -55,13 +55,24 @@ object WinnowStream {
               .filter(col("shared") >= dropShared)
               .persist()
             try {
-              onFlagged(verdicts)
+              // Collect and re-wrap BEFORE the append mutates the store:
+              // a callback that stashes the lazy frame and consumes it
+              // after a later batch would recompute the probe against a
+              // grown store (the ChunkStream lazy-frame rule; AnomalyStream
+              // does the same).
+              val vRows = spark.createDataFrame(
+                java.util.Arrays.asList(verdicts.collect(): _*),
+                verdicts.schema)
+              onFlagged(vRows)
               val fresh = b.join(verdicts.select(col("doc_id")).distinct(),
                 Seq("doc_id"), "left_anti").persist()
               try {
+                val kept = fresh.select(col("doc_id"))
+                val kRows = spark.createDataFrame(
+                  java.util.Arrays.asList(kept.collect(): _*), kept.schema)
                 WinnowStore.append(spark, store,
                   fresh.select(col("doc_id"), col("text")))
-                onBatch(fresh.select(col("doc_id")))
+                onBatch(kRows)
               } finally fresh.unpersist()
             } finally verdicts.unpersist()
           }

@@ -34,6 +34,21 @@ class VerifySpec extends AnyFunSuite with SparkTestSession {
     assert(!errJson.contains("ok_query"))
   }
 
+  test("README registry count matches Queries.all (the r15 drift rule)") {
+    // Counting by hand drifted twice in r15; the README's "(N queries)"
+    // line is now pinned to the registry so a drifted doc fails the suite.
+    val readme = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("README.md"))
+    val m = """registry of all gated QuerySpecs \((\d+) queries\)""".r
+      .findFirstMatchIn(readme)
+    assert(m.isDefined, "README lost its registry-count line")
+    assert(m.get.group(1).toInt == Queries.all.size,
+      s"README says ${m.get.group(1)} queries; registry has ${Queries.all.size}")
+    // and the registry itself must be duplicate-free
+    val dup = Queries.all.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dup.isEmpty, s"duplicate query names: $dup")
+  }
+
   test("an all-green run writes an empty errors.json") {
     val out = TmpDirs.fresh("verify-spec-green")
     val errors = Verify.runQueries(

@@ -119,6 +119,92 @@ class RetrievalFusionSpec extends AnyFunSuite with SparkTestSession {
       "q137 with m = 1 everywhere must be identical to q134")
   }
 
+  test("q227 bounds multi-assignment candidate volume within 2·N·SemGroup") {
+    val d = "/root/testdata/sf0.01"
+    val cents = Similarity.ensureTrained(spark, d)
+    val v = spark.table(Similarity.ensureClustered(spark, d))
+    val out = Retrieval.qSemDedupMulti.build(spark, d)
+    val bad = out.queryExecution.executedPlan.collect {
+      case j: CartesianProductExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+    }
+    assert(bad.isEmpty, s"q227 plan contains a non-equi pair join:\n$bad")
+    val n = v.count()
+    val assign = Retrieval.semMultiAssign(spark.table(
+        Similarity.ensureClustered(spark, d)), cents, Retrieval.SemGroup)
+      .select(col("vec_id"), col("acid"), col("sub")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // exactly 2 assignments per vector, to 2 DISTINCT centroids
+    assert(assign.length.toLong == 2L * n)
+    assign.groupBy(_._1).values.foreach { a =>
+      assert(a.map(_._2).distinct.length == 2,
+        s"vector ${a.head._1} not assigned to 2 distinct centroids")
+    }
+    val groupVol = assign.groupBy(r => (r._2, r._3)).values
+      .map(g => { val k = g.size.toLong; k * (k - 1) / 2 }).sum
+    assert(groupVol <= 2L * n * Retrieval.SemGroup,
+      s"multi candidate volume $groupVol exceeds 2·N·SemGroup = ${2L * n * Retrieval.SemGroup}")
+    // report-level consistency: every vector once, kept ⇔ self-exemplar
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, ex, kept) =>
+      assert((kept == 1L) == (ex == id), s"kept flag inconsistent for $id")
+      assert(ex <= id, s"exemplar must never have a higher id ($id -> $ex)")
+    }
+  }
+
+  test("q227 removals are a strict superset of q137's on a forced boundary pair") {
+    import spark.implicits._
+    // 3 centroids on the axes; vectors 3/4 are a near-dup pair straddling
+    // the c0/c1 boundary (each the other's runner-up cell) — invisible to
+    // any within-primary-cell pass, caught by the 2-nearest assignment.
+    val cents: Seq[Seq[Long]] =
+      Seq(Seq(10000L, 0L, 0L), Seq(0L, 10000L, 0L), Seq(0L, 0L, 10000L))
+    val v = Seq(
+      (1L, 0, Seq(9950L, 100L, 0L)),
+      (2L, 0, Seq(9950L, 120L, 0L)), //   same-cell dup of 1
+      (3L, 0, Seq(7400L, 6700L, 0L)), //  boundary pair, primary c0
+      (4L, 1, Seq(6700L, 7400L, 0L)), //  boundary pair, primary c1
+      (5L, 2, Seq(0L, 100L, 9900L)),
+      (6L, 2, Seq(100L, 0L, 9950L))) //   same-cell dup of 5
+      .toDF("vec_id", "cid", "qe")
+    def removals(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("kept") === 0L).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    val bounded = removals(
+      Retrieval.semDedupBoundedFrom(v, Retrieval.SemGroup))
+    val multi = removals(
+      Retrieval.semDedupMultiFrom(v, cents, Retrieval.SemGroup))
+    assert(bounded.subsetOf(multi),
+      s"multi removals $multi must contain bounded removals $bounded")
+    assert(multi.contains(4L) && !bounded.contains(4L),
+      s"the forced boundary doc 4 must be removed ONLY by q227 " +
+        s"(bounded=$bounded, multi=$multi)")
+    assert(bounded.nonEmpty, "bounded pass removed nothing — vacuous")
+    // the boundary doc's exemplar is its cross-cell near-dup's exemplar
+    // chain head (doc 1 ≥ τ of doc 4 within the shared cell)
+    val ex4 = Retrieval.semDedupMultiFrom(v, cents, Retrieval.SemGroup)
+      .filter(col("vec_id") === 4L).select(col("exemplar_id"))
+      .head().getLong(0)
+    assert(ex4 < 4L, s"boundary doc exemplar must be a lower id, got $ex4")
+  }
+
+  test("q228 boundary report is consistent with its two inputs") {
+    val d = "/root/testdata/sf0.01"
+    val r = Retrieval.qSemDedupBoundary.build(spark, d).head()
+    val nVecs = r.getLong(0)
+    val nExact = r.getLong(1); val nMulti = r.getLong(2)
+    val nAgree = r.getLong(3); val nExtra = r.getLong(4)
+    val nMissed = r.getLong(5)
+    assert(nVecs > 0L)
+    assert(nAgree + nMissed == nExact,
+      "exact removals must split into agreed + missed-by-bound")
+    assert(nAgree + nExtra == nMulti,
+      "multi removals must split into agreed + boundary-extra")
+    assert(r.getLong(6) == nAgree * 1000000L / nExact)
+  }
+
   test("q134 keep-first-by-index rule is internally consistent") {
     Similarity.ensureTrained(spark, dir)
     val table = Similarity.ensureClustered(spark, dir)

@@ -56,7 +56,22 @@ if bad_spread:
     fail(f"spread rows not [min, median, max] for {bad_spread[:5]}")
 
 failed = sorted(set(queries) - succeeded)
+
+# Interference band verdict: an artifact whose med-sum runs far above its
+# min-sum was measured under host bursts (r15's closing run: med-sum 1.56x
+# baseline, min-sum 0.97x). Such a file must not be read as a regression or
+# committed as a reference table — gate on min-sum, rerun idle for medians.
+med_sum = sum(spread[q][1] for q in succeeded)
+min_sum = sum(spread[q][0] for q in succeeded)
+band = med_sum / min_sum if min_sum > 0 else float("inf")
+band_verdict = "IDLE" if band <= 1.2 else "INTERFERENCE-DOMINATED"
+
 print(f"OK {path}: {len(succeeded)} queries with spreads, "
       f"{len(doc['streaming'])} streaming metrics, "
       f"{len(failed)} failed ({failed[:5]}), "
       f"{len(doc['errors'])} error entries, reps={doc.get('reps')}")
+print(f"band: med-sum {med_sum:.1f}s / min-sum {min_sum:.1f}s = "
+      f"{band:.2f} -> {band_verdict}"
+      + ("" if band <= 1.2 else
+         " (do NOT commit as reference or read medians as regressions; "
+         "judge by min-sum and rerun idle)"))
