@@ -95,8 +95,14 @@ object StreamBench {
     val metrics = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
 
+    // focused-probe filter (the SPARK_GRAFT_BENCH_ONLY convention for
+    // streaming legs): comma-separated leg names; unset = all legs
+    val onlyLegs = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+
     def leg(name: String)(body: => (Long, Double)): Unit =
-      try {
+      if (onlyLegs.exists(!_.contains(name))) ()
+      else try {
         val (rows, sec) = body
         metrics(s"${name}_rows") = rows.toDouble
         metrics(s"${name}_rows_per_sec") = rows / sec
@@ -403,8 +409,49 @@ object StreamBench {
       val expect = operators.Dedup.winnowFingerprints(
         docs.toDF("doc_id", "text")).select("doc_id").distinct().count()
       graft.sources.Bucketed.dropStale(spark, store.fp)
+      graft.sources.Bucketed.dropStale(spark, store.docs)
       require(stored == expect,
         s"winnow_ingest leg stored $stored of $expect fingerprintable docs")
+      (docs.length.toLong, sec)
+    }
+
+    leg("winnow_dedup_ingest") {
+      // the PROBED path (dedup-on-ingest): every batch pays the store
+      // probe + withhold before appending — the index-build leg above
+      // skips the probe entirely, so this leg is where probe throughput
+      // shows up
+      import graft.streaming.{Sources, WinnowStream}
+      import graft.sources.WinnowStore
+      import spark.implicits._
+      val srcDir = "/root/testdata/sf0.001"
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      val docs = Tables.load(spark, srcDir, "documents")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val store = WinnowStore.build(spark,
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "sbenchdd")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sbench-dd-").toString
+      val src = Sources.queue[(Long, String)](spark)
+      var flagged = 0L
+      val t0 = System.nanoTime()
+      val query = WinnowStream.startIncremental(
+        spark, src.toDS().toDF("doc_id", "text"), store, ckpt,
+        onBatch = _ => (), onFlagged = f => flagged += f.count(),
+        compactEvery = 3)
+      try {
+        docs.grouped(100).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: everything not withheld is stored exactly once
+      val storedIds = spark.table(store.fp).select("doc_id").distinct().count()
+      graft.sources.Bucketed.dropStale(spark, store.fp)
+      graft.sources.Bucketed.dropStale(spark, store.docs)
+      require(storedIds > 0L && storedIds <= docs.length.toLong,
+        s"winnow_dedup_ingest stored $storedIds of ${docs.length}")
       (docs.length.toLong, sec)
     }
 

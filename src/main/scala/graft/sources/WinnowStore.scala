@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.Tables
 import graft.functions.PolyHash
-import graft.operators.Dedup
+import graft.operators.{Dedup, Scratch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   * 100 TB to ask "does this new document share a passage with anything
   * we already hold".
   *
-  * One table `fp(doc_id, fp)` — each document's winnowing-selected
-  * fingerprints ([[Dedup.winnowFingerprints]], the ONE selection
-  * definition shared with the gated query) — bucketed by `fp`, the
-  * probe key. Probing a micro-batch therefore shuffles ONLY the batch
-  * side; the store-side equi-join, the df-cap aggregate and the
-  * store-to-store self-join are all exchange-free however large the
-  * corpus.
+  * Two tables (the IndexStore postings+manifest discipline):
+  *  - `fp(doc_id, fp)` — each document's winnowing-selected
+  *    fingerprints ([[Dedup.winnowFingerprints]], the ONE selection
+  *    definition shared with the gated query), bucketed by `fp`, the
+  *    probe key: probing a micro-batch shuffles ONLY the batch side,
+  *    and the df-cap aggregate and store-to-store self-join are
+  *    exchange-free however large the corpus.
+  *  - `docs(doc_id)` — the ingested-document manifest, bucketed by
+  *    `doc_id`, the idempotency key: [[append]]'s replay guard
+  *    anti-joins the batch against THIS table (batch-sized exchange on
+  *    the batch side only). Before the manifest, the guard ran
+  *    `distinct(doc_id)` over the fp-bucketed table — a full-corpus
+  *    SHUFFLE per trigger, the exact scale bug the fp bucketing exists
+  *    to avoid (measured: the r15 `winnow_ingest` leg at 22.7 docs/s
+  *    vs ~60 for the other ingest legs).
   *
   * Df-cap note: the noise rule (drop fingerprints shared by > cap
   * docs) is evaluated against the CURRENT corpus, so [[probe]]'s
@@ -37,13 +45,15 @@ object WinnowStore {
 
   val Buckets = 16
 
-  final case class Store(fp: String)
+  final case class Store(fp: String, docs: String)
 
   /** Create (or overwrite) the store from a (doc_id, text) corpus. */
   def build(s: SparkSession, docs: DataFrame, tag: String): Store = {
-    val t = Store(s"graft_winnow_$tag")
+    val t = Store(s"graft_winnow_$tag", s"graft_winnowdocs_$tag")
     Bucketed.dropStale(s, t.fp)
+    Bucketed.dropStale(s, t.docs)
     Bucketed.write(Dedup.winnowFingerprints(docs), t.fp, Buckets, "fp")
+    Bucketed.write(docs.select(col("doc_id")), t.docs, Buckets, "doc_id")
     t
   }
 
@@ -65,28 +75,38 @@ object WinnowStore {
   /** Upsert a (doc_id, text) batch with the SAME bucket spec (appends
     * add files per bucket, never reshuffle existing ones). IDEMPOTENT
     * per doc_id — the SignatureStore.append contract: a replayed
-    * micro-batch's doc_ids anti-join against the store's distinct
-    * doc_id set and fold nothing twice.
+    * micro-batch's doc_ids anti-join against the MANIFEST (doc_id-
+    * bucketed: store side exchange-free, batch side batch-sized) and
+    * fold nothing twice.
     */
   def append(s: SparkSession, t: Store, docs: DataFrame): Unit = {
-    val fresh = docs.join(
-      s.table(t.fp).select(col("doc_id")).distinct(),
-      Seq("doc_id"), "left_anti")
-    Dedup.winnowFingerprints(fresh)
-      .write.bucketBy(Buckets, "fp").sortBy("fp")
-      .mode("append").saveAsTable(t.fp)
-    s.catalog.refreshTable(t.fp)
+    val fresh = docs.join(s.table(t.docs), Seq("doc_id"), "left_anti")
+      .persist()
+    try {
+      Dedup.winnowFingerprints(fresh)
+        .write.bucketBy(Buckets, "fp").sortBy("fp")
+        .mode("append").saveAsTable(t.fp)
+      fresh.select(col("doc_id"))
+        .write.bucketBy(Buckets, "doc_id").sortBy("doc_id")
+        .mode("append").saveAsTable(t.docs)
+      s.catalog.refreshTable(t.fp)
+      s.catalog.refreshTable(t.docs)
+    } finally fresh.unpersist(): Unit
   }
 
   /** Compact per-batch append files to one file set per bucket
     * ([[Bucketed.compact]] — rows, bucketing and probe plans unchanged).
     */
-  def compact(s: SparkSession, t: Store): Unit =
+  def compact(s: SparkSession, t: Store): Unit = {
     Bucketed.compact(s, t.fp, Buckets, "fp")
+    Bucketed.compact(s, t.docs, Buckets, "doc_id")
+  }
 
   /** Heal a compaction swap that crashed mid-rename. */
-  def recover(s: SparkSession, t: Store): Unit =
+  def recover(s: SparkSession, t: Store): Unit = {
     Bucketed.recover(s, t.fp)
+    Bucketed.recover(s, t.docs)
+  }
 
   /** Full-corpus scored near-dup pairs FROM THE STORE — the q213
     * result without touching raw text: df cap, self-join and scoring
@@ -109,22 +129,42 @@ object WinnowStore {
     * present in the store are excluded from `dup_of` (the
     * SignatureStore replay rule: a replayed batch probes a store that
     * already contains itself; verdicts must match the original run's).
+    *
+    * Both probe inputs are flushed ONCE (batch-sized scratch — the
+    * q213 flush discipline): the batch's window pass would otherwise
+    * re-run per consumer (it feeds the df count, the pair join and the
+    * nfp denominator) and the pruned store scan feeds two consumers.
+    * The flush also makes every downstream join's build side a known
+    * tiny parquet, so the store-side bucketed scan is never shuffled.
     */
+  /** The pruned store-side scan [[probe]] flushes: store rows sharing a
+    * batch fingerprint, minus the store's copies of batch doc_ids. Kept
+    * as a lazy plan so WinnowStoreSpec can pin its shape (store scan
+    * leaves through broadcast semi/anti joins — never shuffled).
+    */
+  private[graft] def storeRowsPlan(s: SparkSession, t: Store,
+      batchFps: DataFrame, batch: DataFrame): DataFrame =
+    s.table(t.fp)
+      .join(broadcast(batchFps.select(col("fp")).distinct()), Seq("fp"),
+        "left_semi")
+      // replay exclusion (the SignatureStore rule): a replayed batch
+      // probes a store already containing itself; dropping the store's
+      // copies of batch doc_ids restores the original run's combined
+      // corpus, so df and verdicts match the first delivery exactly
+      .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+
   def probe(s: SparkSession, t: Store, batch: DataFrame): DataFrame = {
-    val bfp = Dedup.winnowFingerprints(batch)
+    val bfp = Scratch.flush(s, s"winnowprobe-b-${t.fp}",
+      Dedup.winnowFingerprints(batch))
+    val bCnt = bfp.groupBy(col("fp")).agg(count(lit(1)).as("nb"))
     // Only fingerprints PRESENT IN THE BATCH can pair or contribute to
     // nfp_new, so the combined-corpus df is evaluated for exactly those:
     // store rows sharing a batch fp leave the bucketed scan through a
     // (broadcast) semi-join — the store is never shuffled, every
     // exchange below is batch-sized.
-    val bCnt = bfp.groupBy(col("fp")).agg(count(lit(1)).as("nb"))
-    val storeRows = s.table(t.fp)
-      .join(bCnt.select(col("fp")), Seq("fp"), "left_semi")
-      // replay exclusion (the SignatureStore rule): a replayed batch
-      // probes a store already containing itself; dropping the store's
-      // copies of batch doc_ids restores the original run's combined
-      // corpus, so df and verdicts match the first delivery exactly
-      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val storeRows = Scratch.flush(s, s"winnowprobe-s-${t.fp}",
+      storeRowsPlan(s, t, bfp, batch))
     val sCnt = storeRows.groupBy(col("fp")).agg(count(lit(1)).as("ns"))
     val keep = bCnt.join(sCnt, Seq("fp"), "left")
       .filter(col("nb") + coalesce(col("ns"), lit(0L)) <= Dedup.WinnowDfCap)

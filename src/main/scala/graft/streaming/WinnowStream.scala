@@ -50,6 +50,18 @@ object WinnowStream {
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
             WinnowStore.compact(spark, store)
           if (b.limit(1).count() > 0) {
+            if (dropShared == Long.MaxValue) {
+              // pure incremental index build: no verdict can ever reach
+              // the withhold threshold, so the probe (two scratch
+              // flushes + a collect per trigger) is pure overhead —
+              // append everything; the store's manifest anti-join keeps
+              // replays idempotent
+              WinnowStore.append(spark, store,
+                b.select(col("doc_id"), col("text")))
+              val kept = b.select(col("doc_id"))
+              onBatch(spark.createDataFrame(
+                java.util.Arrays.asList(kept.collect(): _*), kept.schema))
+            } else {
             val verdicts = WinnowStore
               .probe(spark, store, b.select(col("doc_id"), col("text")))
               .filter(col("shared") >= dropShared)
@@ -75,6 +87,7 @@ object WinnowStream {
                 onBatch(kRows)
               } finally fresh.unpersist()
             } finally verdicts.unpersist()
+            }
           }
         } finally b.unpersist()
       }

@@ -89,6 +89,30 @@ class WinnowStoreSpec extends AnyFunSuite with SparkTestSession {
     val old = pinned.map { case (k, _) => k -> spark.conf.getOption(k) }
     pinned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      // the one subplan that touches the fp store (probe flushes it once;
+      // everything downstream reads batch-sized scratch): the bucketed
+      // scan must leave through BROADCAST semi/anti joins — no shuffle
+      // anywhere on the store scan's path, even with auto-broadcast
+      // disabled (the hints are explicit); the batch side's window pass
+      // shuffles batch-sized frames inside the broadcast builds, which
+      // is the design
+      def hasStoreScan(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        (n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+          && n.verboseStringWithSuffix(1000).toLowerCase
+            .contains(store.fp.toLowerCase)) ||
+          n.children.exists(hasStoreScan)
+      val srPlan = WinnowStore.storeRowsPlan(spark, store,
+          Dedup.winnowFingerprints(batch), batch)
+        .queryExecution.executedPlan
+      assert(hasStoreScan(srPlan),
+        "store-rows plan must actually scan the fp store")
+      srPlan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!hasStoreScan(e),
+          s"store scan sits under a shuffle in the store-rows plan:\n$e")
+      }
+
+      // the full probe still shuffles — but only batch-sized frames
+      // (its window pass and aggregates over the flushed scratch)
       val plan = WinnowStore.probe(spark, store, batch)
         .queryExecution.executedPlan
       val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
