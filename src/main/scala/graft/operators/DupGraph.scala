@@ -61,13 +61,25 @@ object DupGraph {
   private val buildLocks =
     scala.collection.concurrent.TrieMap.empty[(String, String, String), Object]
 
+  /** The catalog name [[memoPath]] registers for a memoized layout —
+    * how a SQL-only user addresses the store (StoreCatalogSpec).
+    */
+  private[graft] def tableName(s: SparkSession, dir: String,
+      kind: String): String = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions")
+    s"graft_dupgraph_${kind}_d${dirTag(dir)}_p$parts"
+  }
+
   private def memoPath(s: SparkSession, dir: String, kind: String)
       (buildPath: String => String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
     val key = (dir, parts, kind)
     val p = buildLocks.getOrElseUpdate(key, new Object).synchronized {
-      paths.getOrElseUpdate(key,
-        buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts"))
+      paths.getOrElseUpdate(key, {
+        val path = buildPath(s"dupgraph-$kind-d${dirTag(dir)}-p$parts")
+        Scratch.register(s, tableName(s, dir, kind), path)
+        path
+      })
     }
     s.read.parquet(p)
   }

@@ -57,4 +57,17 @@ private[graft] object Scratch {
   /** [[flushPath]], returning the path-backed frame. */
   def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame =
     s.read.parquet(flushPath(s, tag, df))
+
+  /** Register a flushed path as an EXTERNAL parquet catalog table so a
+    * SQL-only user can query the memoized store by name
+    * (`SELECT … FROM graft_dupgraph_labels_…`) instead of knowing the
+    * scratch path. DROP of an external table never deletes the files;
+    * the catalog is session-scoped (in-memory), so entries live exactly
+    * as long as the scratch itself — nothing dangles across JVMs.
+    */
+  def register(s: SparkSession, table: String, path: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"CREATE TABLE $table USING parquet LOCATION '$path'")
+    ()
+  }
 }

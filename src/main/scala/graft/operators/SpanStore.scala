@@ -42,6 +42,14 @@ object SpanStore {
   private val buildLocks =
     scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
+  /** The catalog name [[spans]] registers for the memoized layout —
+    * how a SQL-only user addresses the store (StoreCatalogSpec).
+    */
+  private[graft] def tableName(s: SparkSession, dir: String): String = {
+    val parts = s.conf.get("spark.sql.shuffle.partitions")
+    s"graft_spanstore_d${dirTag(dir)}_p$parts"
+  }
+
   /** All distinct spans per doc with df: (doc_id, h, df). */
   def spans(s: SparkSession, dir: String): DataFrame = {
     val parts = s.conf.get("spark.sql.shuffle.partitions")
@@ -50,8 +58,10 @@ object SpanStore {
       paths.getOrElseUpdate(key, {
         val sp = Dedup.spanHashes(graft.Tables.load(s, dir, "documents"))
         val df = sp.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        Scratch.flushPath(s, s"spanstore-d${dirTag(dir)}-p$parts",
-          sp.join(df, Seq("h")))
+        val path = Scratch.flushPath(s,
+          s"spanstore-d${dirTag(dir)}-p$parts", sp.join(df, Seq("h")))
+        Scratch.register(s, tableName(s, dir), path)
+        path
       })
     }
     s.read.parquet(p)
