@@ -518,6 +518,59 @@ object Retrieval {
             |   END AS recall_e6
             | FROM j""".stripMargin.replaceAll("\n", "")))
 
+  /** q229 — centroid-margin histogram: per vector, the cosine GAP
+    * between its nearest and second-nearest trained centroid, bucketed
+    * at 0.05 resolution — the boundary-risk readout that tells a
+    * deployment WHEN q227's multi-assignment pays: near-zero margin
+    * means the vector sits on a cell boundary (its near-dups plausibly
+    * landed one cell over, invisible to q134/q137), while a corpus
+    * whose mass sits at high margin gets nothing from the second
+    * assignment and should ship plain q137. Reads next to q228: q228
+    * measures what the boundary blind spot COST on this corpus, q229
+    * predicts it from geometry alone (no pair join at all).
+    *
+    * Scale shape: ONE map-side pass — the K codebook cosines are
+    * literal-codebook expressions per row (the q26 discipline: no
+    * vec×centroid join), the top-2 gap comes from an array_sort over
+    * the K-element array, and the rollup is a ≤41-bucket map-side-
+    * combinable count. No joins, no windows, nothing corpus-sized past
+    * the scan; trivially linear at any corpus size.
+    *
+    * Exactness: cosines are the gated integer-dot/sqrt/divide doubles
+    * (bit-identical on both engines — the q19 precedent); the margin is
+    * one subtraction of identical doubles and the bucket one
+    * multiply+floor of an identical double, so the histogram is
+    * hash-exact without any fixed-point detour.
+    */
+  val qCentroidMargin: QuerySpec = QuerySpec(
+    "q229_centroid_margin",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      val v = s.table(Similarity.ensureClustered(s, dir))
+      val cosArr = array(cents.map(c =>
+        Exact.cosineFromQuantized(col("qe"), typedlit(c))): _*)
+      v.select(col("vec_id"), array_sort(cosArr).as("cs"))
+        .select(
+          (element_at(col("cs"), -1) - element_at(col("cs"), -2))
+            .as("margin"))
+        .select(floor(col("margin") * lit(20.0d)).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | mg AS (SELECT e.vec_id,
+            |   ${Exact.cosineSql("e.qe", "c.cqe")} AS cs,
+            |   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+            |    ORDER BY ${Exact.cosineSql("e.qe", "c.cqe")} DESC, c.cid)
+            |    AS rk
+            |  FROM e, c${Similarity.TrainIters} c),
+            | m2 AS (SELECT vec_id,
+            |   MAX(CASE WHEN rk = 1 THEN cs END)
+            |    - MAX(CASE WHEN rk = 2 THEN cs END) AS margin
+            |  FROM mg WHERE rk <= 2 GROUP BY vec_id)
+            | SELECT CAST(FLOOR(margin * 20.0) AS BIGINT) AS bucket,
+            |  COUNT(*) AS n_vecs
+            | FROM m2 GROUP BY 1""".stripMargin.replaceAll("\n", "")))
+
   /** Multi-query ANN serving against the clustered-at-rest IVF layout —
     * the request-batch form of q26c's single-query probe, and the ONE
     * definition [[graft.streaming.RetrievalStream]]'s per-trigger
@@ -1194,7 +1247,7 @@ object Retrieval {
 
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qSemDedupAgreement,
-      qSemDedupMulti, qSemDedupBoundary,
+      qSemDedupMulti, qSemDedupBoundary, qCentroidMargin,
       qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
       qServeMrr, qHybridServeBatch, qRankAgreement)

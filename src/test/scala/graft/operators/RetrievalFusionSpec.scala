@@ -205,6 +205,25 @@ class RetrievalFusionSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(6) == nAgree * 1000000L / nExact)
   }
 
+  test("q229 margin histogram covers every vector with sane buckets, map-side only") {
+    val d = "/root/testdata/sf0.01"
+    Similarity.ensureTrained(spark, d)
+    val table = Similarity.ensureClustered(spark, d)
+    val out = Retrieval.qCentroidMargin.build(spark, d)
+    // no joins of any kind — the codebook rides as literals
+    val joins = out.queryExecution.executedPlan.collect {
+      case j if j.nodeName.contains("Join") => j
+    }
+    assert(joins.isEmpty, s"q229 must be join-free:\n$joins")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sum == spark.table(table).count(),
+      "histogram must cover every vector exactly once")
+    // margin = cos1 - cos2 ∈ [0, 2] → bucket ∈ [0, 40]
+    assert(rows.forall { case (b, _) => b >= 0L && b <= 40L },
+      s"bucket out of range: ${rows.toSeq}")
+    assert(rows.length > 1, "degenerate histogram — margin never varies")
+  }
+
   test("q134 keep-first-by-index rule is internally consistent") {
     Similarity.ensureTrained(spark, dir)
     val table = Similarity.ensureClustered(spark, dir)
