@@ -231,7 +231,12 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Temporal.qSessionSensitivity, Dedup.qWinnowSourceMatrix,
       // flushed distinct (session, type) rows + bounded pair self-join
       // with a collected session-total literal (q226)
-      Temporal.qSessionColift)) {
+      Temporal.qSessionColift,
+      // round-16 additions: multi-assignment (acid, sub) equi-join with
+      // min-exemplar reduction (q227), its one-row boundary report
+      // (q228), map-side literal-codebook margin histogram (q229)
+      Retrieval.qSemDedupMulti, Retrieval.qSemDedupBoundary,
+      Retrieval.qCentroidMargin)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)
