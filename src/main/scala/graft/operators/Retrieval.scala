@@ -192,15 +192,7 @@ object Retrieval {
   private[graft] def semDedupBoundedFrom(
       v: org.apache.spark.sql.DataFrame,
       group: Int): org.apache.spark.sql.DataFrame = {
-      val m = v.groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_c"))
-        .select(col("cid"),
-          expr(s"(n_c + ${group - 1}) div $group").as("m"))
-      val g = v.join(broadcast(m), Seq("cid"))
-        .select(col("vec_id"), col("cid"), col("qe"),
-          pmod(PolyHash(
-            concat(lit("sem|"), col("vec_id").cast("string"))), col("m"))
-            .as("sub"))
+      val g = semBoundedAssign(v, group)
       val ex = g.alias("a")
         .join(g.alias("b"),
           col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub")
@@ -214,6 +206,24 @@ object Retrieval {
         .select(col("vec_id"), col("cid"), col("sub"),
           coalesce(col("exemplar_lo"), col("vec_id")).as("exemplar_id"),
           when(col("exemplar_lo").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** q137's subgrouped assignment frame `(vec_id, cid, qe, sub)` —
+    * primary cluster, hash-split into ⌈n_c/group⌉ subgroups. Shared by
+    * q137 and q230's yield curve.
+    */
+  private[graft] def semBoundedAssign(
+      v: org.apache.spark.sql.DataFrame,
+      group: Int): org.apache.spark.sql.DataFrame = {
+    val m = v.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_c"))
+      .select(col("cid"),
+        expr(s"(n_c + ${group - 1}) div $group").as("m"))
+    v.join(broadcast(m), Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("qe"),
+        pmod(PolyHash(
+          concat(lit("sem|"), col("vec_id").cast("string"))), col("m"))
+          .as("sub"))
   }
 
   val qSemDedupBounded: QuerySpec = QuerySpec(
@@ -517,6 +527,96 @@ object Retrieval {
             |   THEN CAST((n_agree * 1000000) // n_removed_exact AS BIGINT)
             |   END AS recall_e6
             | FROM j""".stripMargin.replaceAll("\n", "")))
+
+  /** q230's τ grid (declared before the spec whose oracle interpolates
+    * it — the q82 object-init-order rule). Brackets the shipped
+    * [[SemTau]] = 0.3 on both sides.
+    */
+  private[graft] val YieldTaus: Seq[Double] =
+    Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+  /** q230 — SemDeDup YIELD CURVE: over q137's bounded candidate surface
+    * (the deployment form — same primary-cluster subgroup split), the
+    * number of vectors removed and the surviving-corpus share at every
+    * τ in [[YieldTaus]] — the policy readout for the ONE knob the
+    * semantic-dedup family exposes. The paper picks τ per corpus by
+    * exactly this curve (how much data am I willing to drop); shipping
+    * it as a gated query means retuning τ is a table read, not a
+    * pipeline rerun — the q92 threshold-curve discipline applied to the
+    * embedding family. n_removed at τ = 0.3 equals q137's removal count
+    * by construction (RetrievalFusionSpec pins it).
+    *
+    * Scale shape: ONE bounded pair join (q137's (cid, sub) equi-join,
+    * candidates ≤ N·SemGroup/2) → per-vector MAX neighbor cosine
+    * (map-side-combinable, one row per vector with any candidate) →
+    * the ≤8-row τ grid exploded over it map-side → grid-sized rollup;
+    * the grid left-join restores zero rows. Nothing corpus-sized past
+    * the candidate join, which is the already-adjudicated q137 surface.
+    *
+    * Exactness: cosines are the gated integer-dot doubles; each
+    * removal test is one `best >= τ` comparison of identical doubles
+    * against a literal; yield_e6 is integer arithmetic (the DuckDB τ
+    * list is CAST to DOUBLE[] — the q92 decimal-literal trap).
+    */
+  val qSemDedupYield: QuerySpec = QuerySpec(
+    "q230_semdedup_yield",
+    (s, dir) => {
+      import s.implicits._
+      Similarity.ensureTrained(s, dir)
+      val v = s.table(Similarity.ensureClustered(s, dir))
+      val g = semBoundedAssign(v, SemGroup)
+      val best = g.alias("a")
+        .join(g.alias("b"),
+          col("a.cid") === col("b.cid") && col("a.sub") === col("b.sub")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          Exact.cosineFromQuantized(col("a.qe"), col("b.qe")).as("cs"))
+        .groupBy(col("vec_id")).agg(max(col("cs")).as("best"))
+      val total = v.agg(count(lit(1)).as("n_vecs"))
+      val grid = YieldTaus.toDF("tau")
+      val removed = best
+        .select(col("best"), explode(typedlit(YieldTaus)).as("tau"))
+        .groupBy(col("tau"))
+        .agg(sum(when(col("best") >= col("tau"), 1L).otherwise(0L))
+          .as("n_removed"))
+      // no broadcast hint on the grid: the LEFT side of a left-outer
+      // can't build (Spark logs an unsupported-hint warning); both
+      // sides are ≤8 rows anyway
+      grid.join(removed, Seq("tau"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("tau"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          col("n_vecs"))
+        .select(col("tau"), col("n_removed"), col("n_vecs"),
+          expr("((n_vecs - n_removed) * 1000000L) div n_vecs")
+            .as("yield_e6"))
+    },
+    Some(s"""WITH ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | mm AS (SELECT cid,
+            |   CAST((COUNT(*) + ${SemGroup - 1}) // $SemGroup AS BIGINT) AS m
+            |  FROM fm GROUP BY cid),
+            | gg AS (SELECT fm.vec_id, fm.cid, fm.qe,
+            |   ${PolyHash.oracleSql("'sem|' || CAST(fm.vec_id AS VARCHAR)")}
+            |    % mm.m AS sub
+            |  FROM fm JOIN mm ON fm.cid = mm.cid),
+            | bst AS (SELECT b.vec_id,
+            |   MAX(${Exact.cosineSql("a.qe", "b.qe")}) AS best
+            |  FROM gg a JOIN gg b ON a.cid = b.cid AND a.sub = b.sub
+            |   AND a.vec_id < b.vec_id
+            |  GROUP BY b.vec_id),
+            | tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM fm),
+            | tg AS (SELECT UNNEST(CAST([${YieldTaus.mkString(", ")}]
+            |   AS DOUBLE[])) AS tau),
+            | rm AS (SELECT tg.tau, CAST(SUM(CASE WHEN bst.best >= tg.tau
+            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            |  FROM tg, bst GROUP BY tg.tau)
+            | SELECT tg.tau, COALESCE(rm.n_removed, 0) AS n_removed,
+            |  tt.n_vecs,
+            |  CAST(((tt.n_vecs - COALESCE(rm.n_removed, 0)) * 1000000)
+            |   // tt.n_vecs AS BIGINT) AS yield_e6
+            | FROM tg LEFT JOIN rm ON tg.tau = rm.tau, tt""".stripMargin
+      .replaceAll("\n", "")))
 
   /** q229 — centroid-margin histogram: per vector, the cosine GAP
     * between its nearest and second-nearest trained centroid, bucketed
@@ -1247,7 +1347,7 @@ object Retrieval {
 
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qSemDedupAgreement,
-      qSemDedupMulti, qSemDedupBoundary, qCentroidMargin,
+      qSemDedupMulti, qSemDedupBoundary, qCentroidMargin, qSemDedupYield,
       qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
       qServeMrr, qHybridServeBatch, qRankAgreement)

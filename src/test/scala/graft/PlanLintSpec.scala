@@ -53,7 +53,9 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     "q197_rolling_distinct" -> 1, "q201_daily_autocorr" -> 5,
     "q210_forecast_eval" -> 1, "q211_token_collisions" -> 1,
     "q212_source_bias" -> 1, "q214_ewma_anomaly" -> 1,
-    "q217_lpa_modularity" -> 1)
+    "q217_lpa_modularity" -> 1,
+    // one-row corpus total broadcast onto the 8-row τ grid
+    "q230_semdedup_yield" -> 1)
 
   test("no cartesian product anywhere; BNLJ only on the documented whitelist") {
     assume(new java.io.File(dir).exists(), s"$dir not present")

@@ -236,7 +236,9 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       // min-exemplar reduction (q227), its one-row boundary report
       // (q228), map-side literal-codebook margin histogram (q229)
       Retrieval.qSemDedupMulti, Retrieval.qSemDedupBoundary,
-      Retrieval.qCentroidMargin)) {
+      Retrieval.qCentroidMargin,
+      // bounded-pair max-cosine per vector exploded over the τ grid (q230)
+      Retrieval.qSemDedupYield)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

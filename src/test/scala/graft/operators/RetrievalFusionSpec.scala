@@ -224,6 +224,34 @@ class RetrievalFusionSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.length > 1, "degenerate histogram — margin never varies")
   }
 
+  test("q230 yield curve is monotone and agrees with q137 at the shipped τ") {
+    val d = "/root/testdata/sf0.01"
+    Similarity.ensureTrained(spark, d)
+    val rows = Retrieval.qSemDedupYield.build(spark, d).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Retrieval.YieldTaus,
+      "every grid τ must appear exactly once")
+    // removals monotone non-increasing in τ; yield the mirror image
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2, s"removals must not grow with τ: $lo -> $hi")
+      assert(lo._4 <= hi._4, s"yield must not shrink with τ: $lo -> $hi")
+    }
+    // the curve must actually vary on the gate corpus (else it gates nothing)
+    assert(rows.head._2 > rows.last._2, "flat curve — τ grid never bites")
+    // consistency with the gated q137 at the shipped τ = 0.3: identical
+    // candidate surface, identical cosine, so identical removal count
+    val q137Removed = Retrieval.qSemDedupBounded.build(spark, d)
+      .filter(col("kept") === 0L).count()
+    val at03 = rows.find(_._1 == Retrieval.SemTau).get
+    assert(at03._2 == q137Removed,
+      s"yield curve at τ=0.3 says ${at03._2} removed; q137 says $q137Removed")
+    // yield_e6 recomputes from the counts exactly
+    rows.foreach { case (_, rm, n, y) =>
+      assert(y == (n - rm) * 1000000L / n)
+    }
+  }
+
   test("q134 keep-first-by-index rule is internally consistent") {
     Similarity.ensureTrained(spark, dir)
     val table = Similarity.ensureClustered(spark, dir)
