@@ -78,6 +78,17 @@ object WinnowStore {
     * micro-batch's doc_ids anti-join against the MANIFEST (doc_id-
     * bucketed: store side exchange-free, batch side batch-sized) and
     * fold nothing twice.
+    *
+    * Crash window (the IndexStore/SpanStream precedent): fp rows append
+    * BEFORE the docs manifest, so a crash between the two writes
+    * followed by checkpoint replay re-appends the batch's (doc_id, fp)
+    * rows EXACTLY (winnowFingerprints is distinct per (doc_id, fp), so
+    * the replay duplicates rows bit-for-bit); [[compact]]'s
+    * compactDistinct rewrite heals them, and the order can never drop a
+    * document (manifest-first would silently lose fingerprints — the
+    * worse failure). Until compaction runs, duplicated fp rows double
+    * that batch's contribution to `ns`/`shared` in [[probe]] — the same
+    * pre-heal skew IndexStore documents for tf.
     */
   def append(s: SparkSession, t: Store, docs: DataFrame): Unit = {
     val fresh = docs.join(s.table(t.docs), Seq("doc_id"), "left_anti")
@@ -94,12 +105,15 @@ object WinnowStore {
     } finally fresh.unpersist(): Unit
   }
 
-  /** Compact per-batch append files to one file set per bucket
-    * ([[Bucketed.compact]] — rows, bucketing and probe plans unchanged).
+  /** Compact per-batch append files to one file set per bucket. The fp
+    * table goes through [[Bucketed.compactDistinct]]: rows are distinct
+    * per (doc_id, fp) by construction ([[Dedup.winnowFingerprints]]'s
+    * `.distinct()`), so the rewrite's dedupe is a no-op in normal
+    * operation and heals exactly the [[append]] crash-window replays.
     */
   def compact(s: SparkSession, t: Store): Unit = {
-    Bucketed.compact(s, t.fp, Buckets, "fp")
-    Bucketed.compact(s, t.docs, Buckets, "doc_id")
+    Bucketed.compactDistinct(s, t.fp, Buckets, "fp")
+    Bucketed.compactDistinct(s, t.docs, Buckets, "doc_id")
   }
 
   /** Heal a compaction swap that crashed mid-rename. */
@@ -154,8 +168,23 @@ object WinnowStore {
       .join(broadcast(batch.select(col("doc_id"))), Seq("doc_id"),
         "left_anti")
 
+  // Per-store probe sequence: Scratch.flush deletes a tag's PREVIOUS
+  // directory on entry, so a fixed per-store tag lets two concurrent
+  // probes of one store (a second WinnowStream, an ad-hoc probe beside
+  // the stream) delete each other's flush while the earlier probe's
+  // lazy frame may still read it. A rotating 4-slot discriminator keeps
+  // each probe's flush alive across the next THREE probes of the same
+  // store (growth stays bounded at 4 slots × 2 tags per store); callers
+  // must consume a probe frame before 4 further probes of that store —
+  // WinnowStream collects within its own trigger, far inside the bound.
+  private val probeSeq = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+
   def probe(s: SparkSession, t: Store, batch: DataFrame): DataFrame = {
-    val bfp = Scratch.flush(s, s"winnowprobe-b-${t.fp}",
+    val slot = probeSeq
+      .getOrElseUpdate(t.fp, new java.util.concurrent.atomic.AtomicLong)
+      .getAndIncrement() % 4
+    val bfp = Scratch.flush(s, s"winnowprobe-b-$slot-${t.fp}",
       Dedup.winnowFingerprints(batch))
     val bCnt = bfp.groupBy(col("fp")).agg(count(lit(1)).as("nb"))
     // Only fingerprints PRESENT IN THE BATCH can pair or contribute to
@@ -163,7 +192,7 @@ object WinnowStore {
     // store rows sharing a batch fp leave the bucketed scan through a
     // (broadcast) semi-join — the store is never shuffled, every
     // exchange below is batch-sized.
-    val storeRows = Scratch.flush(s, s"winnowprobe-s-${t.fp}",
+    val storeRows = Scratch.flush(s, s"winnowprobe-s-$slot-${t.fp}",
       storeRowsPlan(s, t, bfp, batch))
     val sCnt = storeRows.groupBy(col("fp")).agg(count(lit(1)).as("ns"))
     val keep = bCnt.join(sCnt, Seq("fp"), "left")

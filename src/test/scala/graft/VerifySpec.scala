@@ -49,6 +49,18 @@ class VerifySpec extends AnyFunSuite with SparkTestSession {
     assert(dup.isEmpty, s"duplicate query names: $dup")
   }
 
+  test("SURVEY.md §8 names every gated query (the r16 drift rule)") {
+    // The §8 heading label drifted two rounds running; make the doc's
+    // CONTENT mechanical instead: every registered query name must
+    // appear literally somewhere in SURVEY.md, so adding a gated query
+    // without its implementation-map row fails the suite.
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val missing = Queries.all.map(_.name).filterNot(survey.contains)
+    assert(missing.isEmpty,
+      s"gated queries absent from SURVEY.md: ${missing.mkString(", ")}")
+  }
+
   test("an all-green run writes an empty errors.json") {
     val out = TmpDirs.fresh("verify-spec-green")
     val errors = Verify.runQueries(
