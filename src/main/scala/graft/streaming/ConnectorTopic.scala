@@ -131,6 +131,17 @@ object ConnectorTopic {
   final case class Kafka(bootstrapServers: String)
       extends Connector { val format = "kafka" }
 
+  /** A connector REGISTERED UNDER A DIFFERENT DataSource name but
+    * speaking an existing dialect's option table — a vendor fork of the
+    * kafka source, or the hermetic in-tree double
+    * (`graft-fake-connector`, test classpath) that lets [[TopicContract]]
+    * exercise this class's own readStream/publish bodies without a real
+    * broker: every option row below is emitted verbatim, only the
+    * `format(...)` string changes.
+    */
+  final case class Shim(dialect: Connector, override val format: String)
+      extends Connector
+
   /** The SURVEY §8 S1-seam option table, streaming-read column — kept
     * as DATA so the spec pins the translation against the documented
     * mapping (maxEntriesPerTrigger / maxOffsetsPerTrigger are each
@@ -139,6 +150,7 @@ object ConnectorTopic {
     */
   def readOptions(c: Connector, topic: String,
       admitPerTrigger: Int): Map[String, String] = c match {
+    case Shim(dialect, _) => readOptions(dialect, topic, admitPerTrigger)
     case Pulsar(svc, adm) => Map(
       "topics" -> topic,
       "service.url" -> svc,
@@ -155,6 +167,7 @@ object ConnectorTopic {
   /** Batch-read column of the table ([[Topic.readAll]]). */
   def batchReadOptions(c: Connector, topic: String): Map[String, String] =
     c match {
+      case Shim(dialect, _) => batchReadOptions(dialect, topic)
       case Pulsar(svc, adm) => Map(
         "topics" -> topic,
         "service.url" -> svc,
@@ -171,6 +184,7 @@ object ConnectorTopic {
   /** Producer column of the table ([[Topic.publish]]). */
   def writeOptions(c: Connector, topic: String): Map[String, String] =
     c match {
+      case Shim(dialect, _) => writeOptions(dialect, topic)
       case Pulsar(svc, adm) => Map(
         "topic" -> topic,
         "service.url" -> svc,
