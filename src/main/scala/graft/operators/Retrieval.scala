@@ -528,6 +528,176 @@ object Retrieval {
             |   END AS recall_e6
             | FROM j""".stripMargin.replaceAll("\n", "")))
 
+  /** q227's DISTINCT undirected qualifying-pair surface `(u, v)` with
+    * u < v — a boundary pair can meet under BOTH shared assignments
+    * (each vector's two cells coincide), so the (acid, sub) equi-join
+    * output is deduped before any graph use. Volume inherits q227's
+    * ≤ 2·N·SemGroup bound. Shared by q231/q232.
+    */
+  private[graft] def semMultiPairs(
+      v: org.apache.spark.sql.DataFrame, cents: Seq[Seq[Long]],
+      group: Int): org.apache.spark.sql.DataFrame = {
+    val g = semMultiAssign(v, cents, group)
+    g.alias("a")
+      .join(g.alias("b"),
+        col("a.acid") === col("b.acid") && col("a.sub") === col("b.sub")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(Exact.cosineFromQuantized(col("a.qe"), col("b.qe")) >= SemTau)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"))
+      .distinct()
+  }
+
+  /** The q231 connected-components oracle chain over q227's pair
+    * surface (`spairs`/`sedges`/`snodes`/`sreach`/`scomp` — the q50
+    * `ccSqlCtes` discipline): MIN over everything reachable ≡ the
+    * converged pointer-jumping label. Assumes the train/assign CTEs
+    * and [[semMultiSqlCtes]] (`apr`) are in scope; callers prepend
+    * `WITH RECURSIVE`. `spairs` is MATERIALIZED: `sedges` references
+    * it twice (both directions) and a plain CTE would re-expand the
+    * whole assignment chain per reference.
+    */
+  private def semCcSqlCtes: String =
+    s"""spairs AS MATERIALIZED (
+       |   SELECT DISTINCT nbr AS u, vec_id AS v FROM apr),
+       | sedges AS (SELECT u, v FROM spairs
+       |   UNION ALL SELECT v, u FROM spairs),
+       | snodes AS (SELECT DISTINCT u FROM sedges),
+       | sreach(u, r) AS (
+       |   SELECT u, u FROM snodes
+       |   UNION
+       |   SELECT e.u, r.r FROM sedges e JOIN sreach r ON e.v = r.u),
+       | scomp AS (SELECT u, MIN(r) AS comp FROM sreach GROUP BY u)"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** q231 — TRANSITIVE SemDeDup collapse: connected components over
+    * q227's bounded pair surface, labeling every vector with the
+    * minimum vec_id reachable through qualifying near-dup pairs. The
+    * per-vector min-neighbor verdict q134/q137/q227 ship is NOT a
+    * component canonical: A~B, B~C keeps A and C under DIFFERENT
+    * exemplars (and B's exemplar A is itself removable in longer
+    * chains), so "one exemplar per semantic cluster" silently becomes
+    * "one per chain link". This is q50's discipline (per-pair removal
+    * → component collapse) applied to the embedding family: comp_id is
+    * the component minimum, kept=1 exactly one vector per transitive
+    * cluster. Output matches q227's shape with comp_id in place of
+    * exemplar_id.
+    *
+    * Scale shape: the pair surface is q227's (map-side 2-nearest
+    * assignment, candidates ONLY from the (acid, sub) equi-join,
+    * ≤ 2·N·SemGroup rows); the collapse is [[Dedup.connectedComponents]]
+    * — pointer-jumping min-label propagation, O(log diameter)
+    * iterations of edge-sized equi-joins with exactly one persisted
+    * generation live — and the final label join is vec_id-keyed. The
+    * oracle is DuckDB's recursive closure over the same pair SQL.
+    */
+  val qSemDedupCc: QuerySpec = QuerySpec(
+    "q231_semdedup_cc",
+    (s, dir) => {
+      val cents = Similarity.ensureTrained(s, dir)
+      val layout = s.table(Similarity.ensureClustered(s, dir))
+      val p = semMultiPairs(layout, cents, SemGroup)
+      val edges = p.union(p.select(col("v").as("u"), col("u").as("v")))
+      val tag = s"semcc-${java.lang.Long.toHexString(PolyHash.hash(dir))}"
+      val (labels, _) = Dedup.connectedComponents(s, edges, scratchTag = tag)
+      layout.select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .join(labels.withColumnRenamed("u", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          coalesce(col("cluster_id"), col("vec_id")).as("comp_id"),
+          when(coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"),
+            1L).otherwise(0L).as("kept"))
+    },
+    Some(s"""WITH RECURSIVE ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | $semMultiSqlCtes,
+            | $semCcSqlCtes
+            | SELECT fm.vec_id, CAST(fm.cid AS BIGINT) AS cid,
+            |  COALESCE(scomp.comp, fm.vec_id) AS comp_id,
+            |  CASE WHEN COALESCE(scomp.comp, fm.vec_id) = fm.vec_id
+            |   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+            | FROM fm LEFT JOIN scomp ON fm.vec_id = scomp.u""".stripMargin
+      .replaceAll("\n", "")))
+
+  /** q232 — the q231-vs-q227 agreement report (the q204/q228 pattern):
+    * one row quantifying what transitive collapse changes on the
+    * shipped multi-assignment verdicts. `n_chain_extra` — vectors q227
+    * KEEPS but CC removes — is the measured chain effect (kept link
+    * heads whose component reaches a lower minimum transitively);
+    * `n_multi_only` is 0 BY CONSTRUCTION (a q227 removal has a lower
+    * direct neighbor, so it is never its component minimum — the gate
+    * proves removed_multi ⊆ removed_cc); `n_dangling_exemplar` counts
+    * q227 removals whose exemplar is itself removed — the dangling
+    * pointer a component canonical exists to fix. Policy: dedup
+    * verdicts can ship per-vector (q227); cluster CANONICALS (dedup
+    * provenance, one-keeper guarantees) should read q231.
+    *
+    * Scale shape: both inputs are the already-gated linear plans;
+    * q227's frame is scratch-flushed ONCE for its two consumers
+    * (vector side + exemplar lookup — the q60b re-execution rule),
+    * the exemplar lookup is a vec_id equi-join, and the report
+    * collapses to ONE row map-side. Pure integer counts; the e6 ratio
+    * is integer `div` ≡ `//` on nonnegatives.
+    */
+  val qSemDedupCcAgreement: QuerySpec = QuerySpec(
+    "q232_semdedup_cc_agreement",
+    (s, dir) => {
+      val m = Scratch.flush(s,
+        s"semccagree-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        qSemDedupMulti.build(s, dir)
+          .select(col("vec_id"), col("exemplar_id"),
+            col("kept").as("kept_m")))
+      val c = qSemDedupCc.build(s, dir)
+        .select(col("vec_id"), col("kept").as("kept_c"))
+      val exSide = m.select(col("vec_id").as("exemplar_id"),
+        col("kept_m").as("ex_kept"))
+      m.join(c, Seq("vec_id"))
+        .join(exSide, Seq("exemplar_id"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(lit(1L) - col("kept_m")).as("n_removed_multi"),
+          sum(lit(1L) - col("kept_c")).as("n_removed_cc"),
+          sum(col("kept_m") * (lit(1L) - col("kept_c")))
+            .as("n_chain_extra"),
+          sum((lit(1L) - col("kept_m")) * col("kept_c")).as("n_multi_only"),
+          sum((lit(1L) - col("kept_m")) * (lit(1L) - col("ex_kept")))
+            .as("n_dangling_exemplar"))
+        .select(col("n_vecs"), col("n_removed_multi"), col("n_removed_cc"),
+          col("n_chain_extra"), col("n_multi_only"),
+          col("n_dangling_exemplar"),
+          when(col("n_removed_cc") > 0L,
+            expr("(n_removed_multi * 1000000L) div n_removed_cc"))
+            .as("coverage_e6"))
+    },
+    Some(s"""WITH RECURSIVE ${Similarity.trainSqlCtes},
+            | ${Similarity.annAssignSqlCtes},
+            | $semMultiSqlCtes,
+            | mv AS MATERIALIZED (SELECT fm.vec_id,
+            |   COALESCE(aex.exemplar_lo, fm.vec_id) AS exemplar_id,
+            |   CASE WHEN aex.exemplar_lo IS NULL THEN CAST(1 AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END AS kept_m
+            |  FROM fm LEFT JOIN aex ON fm.vec_id = aex.vec_id),
+            | $semCcSqlCtes,
+            | cv AS (SELECT fm.vec_id,
+            |   CASE WHEN COALESCE(scomp.comp, fm.vec_id) = fm.vec_id
+            |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept_c
+            |  FROM fm LEFT JOIN scomp ON fm.vec_id = scomp.u),
+            | j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            |   CAST(SUM(1 - mv.kept_m) AS BIGINT) AS n_removed_multi,
+            |   CAST(SUM(1 - cv.kept_c) AS BIGINT) AS n_removed_cc,
+            |   CAST(SUM(mv.kept_m * (1 - cv.kept_c)) AS BIGINT)
+            |    AS n_chain_extra,
+            |   CAST(SUM((1 - mv.kept_m) * cv.kept_c) AS BIGINT)
+            |    AS n_multi_only,
+            |   CAST(SUM((1 - mv.kept_m) * (1 - ex.kept_m)) AS BIGINT)
+            |    AS n_dangling_exemplar
+            |  FROM mv JOIN cv ON mv.vec_id = cv.vec_id
+            |   JOIN mv ex ON mv.exemplar_id = ex.vec_id)
+            | SELECT n_vecs, n_removed_multi, n_removed_cc, n_chain_extra,
+            |  n_multi_only, n_dangling_exemplar,
+            |  CASE WHEN n_removed_cc > 0
+            |   THEN CAST((n_removed_multi * 1000000) // n_removed_cc
+            |    AS BIGINT) END AS coverage_e6
+            | FROM j""".stripMargin.replaceAll("\n", "")))
+
   /** q230's τ grid (declared before the spec whose oracle interpolates
     * it — the q82 object-init-order rule). Brackets the shipped
     * [[SemTau]] = 0.3 on both sides.
@@ -1347,7 +1517,8 @@ object Retrieval {
 
   val specs: Seq[QuerySpec] =
     Seq(qHybridRrf, qSemDedup, qSemDedupBounded, qSemDedupAgreement,
-      qSemDedupMulti, qSemDedupBoundary, qCentroidMargin, qSemDedupYield,
+      qSemDedupMulti, qSemDedupBoundary, qSemDedupCc, qSemDedupCcAgreement,
+      qCentroidMargin, qSemDedupYield,
       qAnnServe, qServeRecall,
       qBm25FromIndex, qBm25ServeBatch, qAnnFiltered, qFilteredRecall,
       qServeMrr, qHybridServeBatch, qRankAgreement)

@@ -238,7 +238,10 @@ class ParallelismInvarianceSpec extends AnyFunSuite with SparkTestSession {
       Retrieval.qSemDedupMulti, Retrieval.qSemDedupBoundary,
       Retrieval.qCentroidMargin,
       // bounded-pair max-cosine per vector exploded over the τ grid (q230)
-      Retrieval.qSemDedupYield)) {
+      Retrieval.qSemDedupYield,
+      // round-17 additions: pointer-jumping CC over the deduped q227
+      // pair surface (q231) + its flushed-once agreement report (q232)
+      Retrieval.qSemDedupCc, Retrieval.qSemDedupCcAgreement)) {
     test(s"${q.name} is bitwise identical at 3, 7, and 32 shuffle partitions") {
       val results = Seq(3, 7, 32).map(collectAt(_, q))
       assert(results(0).nonEmpty)

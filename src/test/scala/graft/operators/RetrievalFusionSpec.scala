@@ -252,6 +252,58 @@ class RetrievalFusionSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("q231 collapses exactly the q227 pair graph: labels, keepers, chains") {
+    val d = "/root/testdata/sf0.01"
+    val cents = Similarity.ensureTrained(spark, d)
+    val v = spark.table(Similarity.ensureClustered(spark, d))
+    val rows = Retrieval.qSemDedupCc.build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, compId, kept) =>
+      assert((kept == 1L) == (compId == id), s"kept flag inconsistent for $id")
+      assert(compId <= id, s"component label above member id ($id -> $compId)")
+    }
+    // the label IS the component minimum
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c,
+        s"component $c labeled above its min member")
+    }
+    // every qualifying pair's endpoints share a component (transitivity)
+    val comp = rows.map(r => r._1 -> r._2).toMap
+    val pairs = Retrieval.semMultiPairs(v, cents, Retrieval.SemGroup)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no qualifying pairs — vacuous")
+    pairs.foreach { case (u, w) =>
+      assert(comp(u) == comp(w), s"pair ($u, $w) split across components")
+    }
+    // q227 removals ⊆ q231 removals (a vector with a lower direct
+    // neighbor is never its component minimum), and the gate corpus
+    // actually exhibits the chain effect q231 exists to close
+    val multiRemoved = Retrieval.qSemDedupMulti.build(spark, d)
+      .filter(col("kept") === 0L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val ccRemoved = rows.filter(_._3 == 0L).map(_._1).toSet
+    assert(multiRemoved.subsetOf(ccRemoved),
+      "a q227 removal survived the transitive collapse")
+    assert(ccRemoved.size > multiRemoved.size,
+      "no chain-extra removals on the gate corpus — the collapse gates nothing")
+  }
+
+  test("q232 agreement report is consistent with its two inputs") {
+    val d = "/root/testdata/sf0.01"
+    val r = Retrieval.qSemDedupCcAgreement.build(spark, d).head()
+    val nVecs = r.getLong(0)
+    val nMulti = r.getLong(1); val nCc = r.getLong(2)
+    val nChain = r.getLong(3); val nOnly = r.getLong(4)
+    val nDangling = r.getLong(5)
+    assert(nVecs > 0L && nCc > 0L)
+    assert(nOnly == 0L, "a q227 removal must never be a component minimum")
+    assert(nCc == nMulti + nChain,
+      "cc removals must split into multi removals + chain extras")
+    assert(nDangling <= nMulti)
+    assert(r.getLong(6) == nMulti * 1000000L / nCc)
+  }
+
   test("q134 keep-first-by-index rule is internally consistent") {
     Similarity.ensureTrained(spark, dir)
     val table = Similarity.ensureClustered(spark, dir)
