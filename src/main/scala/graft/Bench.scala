@@ -78,6 +78,7 @@ object Bench {
     graft.sources.WinnowStore.ensure(spark, sfDir)
     graft.operators.DupGraph.ensure(spark, sfDir)
     graft.operators.CoGraph.ensure(spark, sfDir)
+    graft.operators.SemGraph.ensure(spark, sfDir)
     graft.operators.SpanStore.ensure(spark, sfDir)
     graft.sources.EmbeddingIndex.ensure(spark, sfDir)
     graft.sources.IndexStore.ensure(spark, sfDir)

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkTestSession
-import graft.operators.{CoGraph, DupGraph, ProductQuant, ScalarQuant, SpanStore}
+import graft.operators.{CoGraph, DupGraph, ProductQuant, ScalarQuant, SemGraph, SpanStore}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Every persisted store is queryable BY NAME from `spark.sql` — the
@@ -39,6 +39,8 @@ class StoreCatalogSpec extends AnyFunSuite with SparkTestSession {
         DupGraph.tableName(spark, dir, "labels") -> dgLabels,
         CoGraph.tableName(spark, dir, "edges") -> cgEdges,
         CoGraph.tableName(spark, dir, "labels") -> CoGraph.labels(spark, dir),
+        SemGraph.tableName(spark, dir, "pairs") -> SemGraph.pairs(spark, dir),
+        SemGraph.tableName(spark, dir, "labels") -> SemGraph.labels(spark, dir),
         SpanStore.tableName(spark, dir) -> spans)) {
       assert(spark.catalog.tableExists(name), s"$name not in the catalog")
       assert(sqlCount(name) == df.count(),
