@@ -102,8 +102,37 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in Queries.all: ${unknown.mkString(",")}")
     }
+    // Two-tier convention: SPARK_GRAFT_BENCH_TIER=smoke selects, FROM
+    // THE COMMITTED REFERENCE ARTIFACT, the 30 most expensive queries
+    // by median plus every registered query the artifact has no row
+    // for (added since the last promotion) — derived, never
+    // hand-listed. Full interleaved runs stay the promotion/driver
+    // surface; smoke exists because the full chain is ~22 min and
+    // mid-round iteration mostly needs the expensive tail + whatever
+    // is new.
+    val tier = sys.env.get("SPARK_GRAFT_BENCH_TIER")
+    require(tier.forall(_ == "smoke"),
+      s"SPARK_GRAFT_BENCH_TIER must be 'smoke' or unset, got $tier")
+    val smokeSet: Option[Set[String]] = tier.map { _ =>
+      val ref = Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+        .resolve("BENCH_full.json")
+      val txt = try Files.readString(ref) catch {
+        case e: Exception => throw new IllegalStateException(
+          s"smoke tier needs the committed reference artifact at $ref", e)
+      }
+      val block = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse(
+          throw new IllegalStateException(s"$ref lacks a queries block"))
+      val med = """"([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(block)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val names = Queries.all.filter(_.headline).map(_.name)
+      val fresh = names.filterNot(med.contains)
+      val top = names.filter(med.contains).sortBy(n => -med(n)).take(30)
+      (fresh ++ top).toSet
+    }
     val headline = Queries.all.filter(_.headline)
       .filter(q => only.forall(_.contains(q.name)))
+      .filter(q => smokeSet.forall(_.contains(q.name)))
     val runs = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -177,8 +206,12 @@ object Bench {
     // probe (growth-table legs, single-query re-measurement) can skip
     // them via SPARK_GRAFT_SKIP_STREAMING=1 — the driver's full-artifact
     // invocation leaves it unset.
+    // smoke tier skips the streaming legs too (they add minutes and
+    // measure stores, not the batch tail) unless a leg is explicitly
+    // requested via SPARK_GRAFT_STREAM_ONLY
     val (streamMetrics, streamErrors) =
-      if (sys.env.get("SPARK_GRAFT_SKIP_STREAMING").contains("1"))
+      if (sys.env.get("SPARK_GRAFT_SKIP_STREAMING").contains("1")
+          || (tier.isDefined && sys.env.get("SPARK_GRAFT_STREAM_ONLY").isEmpty))
         (Map.empty[String, Double], Map.empty[String, String])
       else StreamBench.run(spark)
     streamErrors.foreach { case (k, v) => errors(s"stream_$k") = v }
@@ -205,11 +238,15 @@ object Bench {
     // capture truncates stdout at ~2000 chars (135 per-query medians +
     // spreads overflow it), so the full JSON also lands on a TRACKED
     // repo file that the next commit picks up regardless of cwd.
-    try Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
-        .resolve("BENCH_full.json"), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] BENCH_full.json write failed: $e") }
+    // ONLY full-surface runs write it: a focused BENCH_ONLY / smoke-tier
+    // probe clobbering the committed reference was a recurring trap
+    // (every probe needed a trailing `git checkout BENCH_full.json`).
+    if (only.isEmpty && smokeSet.isEmpty)
+      try Files.writeString(
+        Paths.get(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"))
+          .resolve("BENCH_full.json"), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] BENCH_full.json write failed: $e") }
     // the contract line, printed last so it is the final stdout line
     println(line)
     spark.stop()

@@ -455,6 +455,51 @@ object StreamBench {
       (docs.length.toLong, sec)
     }
 
+    leg("embed_ingest") {
+      // SemDeDup on ingest (the probed path): every batch pays the
+      // 2-nearest assignment + store probe + withhold before appending
+      // — q227's streaming front door, the embedding twin of
+      // winnow_dedup_ingest
+      import graft.streaming.{EmbedDedupStream, Sources}
+      import graft.sources.EmbedStore
+      import spark.implicits._
+      val tag = System.nanoTime()
+      val srcDir = "/root/testdata/sf0.01" // 500 vectors; sf0.001 has ~50
+      require(new java.io.File(srcDir).exists(), s"$srcDir not present")
+      // the codebook is a trained LAYOUT (memoized) — untimed, the
+      // tokens_ingest merge-table convention
+      val cents = operators.Similarity.ensureTrained(spark, srcDir)
+      val vecs = Tables.load(spark, srcDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+      val store = EmbedStore.build(spark,
+        Seq.empty[(Long, Seq[Long])].toDF("vec_id", "qe"), cents,
+        s"sbench_em$tag")
+      val ckpt =
+        java.nio.file.Files.createTempDirectory("graft-sbench-em-").toString
+      val src = Sources.queue[(Long, Seq[Float])](spark)
+      var flagged = 0L
+      val t0 = System.nanoTime()
+      val query = EmbedDedupStream.startIncremental(spark,
+        src.toDS().toDF("vec_id", "embedding"), cents, store, ckpt,
+        onBatch = _ => (), onFlagged = f => flagged += f.count(),
+        compactEvery = 3)
+      try {
+        vecs.grouped(50).foreach { g =>
+          src.addData(g)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // loss check: every vector is either stored or flagged, never both
+      val stored = spark.table(store.vecs).count()
+      graft.sources.Bucketed.dropStale(spark, store.a2)
+      graft.sources.Bucketed.dropStale(spark, store.vecs)
+      require(stored + flagged == vecs.length.toLong,
+        s"embed_ingest stored $stored + flagged $flagged of ${vecs.length}")
+      (vecs.length.toLong, sec)
+    }
+
     leg("anomaly_ingest") {
       import graft.streaming.{AnomalyStream, Sources}
       import spark.implicits._
