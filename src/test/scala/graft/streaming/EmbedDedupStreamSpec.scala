@@ -97,6 +97,51 @@ class EmbedDedupStreamSpec extends AnyFunSuite with SparkTestSession {
     assert(kept.toSet == Set(1L, 2L, 13L), s"survivor callbacks drifted: $kept")
   }
 
+  test("restart from the checkpoint resumes without reprocessing (T2)") {
+    import spark.implicits._
+    val cents: Seq[Seq[Long]] = Seq(
+      Seq(1000000L, 0L, 0L), Seq(0L, 1000000L, 0L), Seq(0L, 0L, 1000000L))
+    val store = EmbedStore.build(spark, emptyVecs, cents,
+      s"edsrs${System.nanoTime()}")
+    val ckpt = freshCkpt("graft-eds-rs-")
+    var flagged = Vector.empty[Long]
+    def start(src: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]) =
+      EmbedDedupStream.startIncremental(spark,
+        src.toDS().toDF("vec_id", "embedding"), cents, store, ckpt,
+        onBatch = _ => (),
+        onFlagged = f => flagged ++= f.collect().map(_.getLong(0)))
+
+    // phase 1: two vectors land and the query STOPS (graceful — the
+    // checkpoint holds the committed offset). The SAME MemoryStream
+    // instance carries both phases (its buffer is the durable log
+    // stand-in; a fresh instance could not serve the checkpointed
+    // offsets).
+    val src = Sources.queue[(Long, Seq[Float])](spark)
+    val q1 = start(src)
+    try {
+      src.addData(Seq(
+        (1L, Seq(0.99f, 0.05f, 0.0f)), (2L, Seq(0.0f, 0.02f, 0.99f))))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.table(store.vecs).count() == 2L)
+
+    // phase 2: new traffic lands while the pipeline is DOWN; restart
+    // from the same checkpoint must process only the new vector — a
+    // replay of phase 1 would re-probe vectors 1/2 against a store
+    // already containing them (the anti-join keeps appends idempotent,
+    // but a reprocessed near-dup would spuriously re-flag)
+    src.addData(Seq((11L, Seq(0.98f, 0.07f, 0.0f))))
+    val q2 = start(src)
+    try q2.processAllAvailable() finally q2.stop()
+    val stored = spark.table(store.vecs).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    graft.sources.Bucketed.dropStale(spark, store.a2)
+    graft.sources.Bucketed.dropStale(spark, store.vecs)
+    assert(stored == Set(1L, 2L), s"store drifted across restart: $stored")
+    assert(flagged == Vector(11L),
+      s"restart must process ONLY the new vector (flagged: $flagged)")
+  }
+
   test("append folds nothing twice; probe of a fully-stored batch sees no dup") {
     val cents = Similarity.ensureTrained(spark, dir)
     val batch = Tables.load(spark, dir, "embeddings")
