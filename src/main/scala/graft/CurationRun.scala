@@ -115,7 +115,8 @@ object CurationRun {
     // survivors: which kept docs a target-domain-matched training run
     // would actually draw, per the plan's token quotas (advisory
     // artifact; the shard layout above packs ALL survivors)
-    write(Curation.mixtureSelect(kept), s"$outDir/selection")
+    write(Curation.mixtureSelect(kept, Some((spark, s"$tag-scq"))),
+      s"$outDir/selection")
 
     // 5b. winnow audit — residual local overlap among SHIPPED docs
     // (the q213 rule through the SAME shared helpers): what splice +

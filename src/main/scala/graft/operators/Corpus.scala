@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.{PolyHash, WordShingleHashes, WordShingles}
+import graft.functions.{BpeDocTokens, PolyHash, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -148,21 +148,20 @@ object Corpus {
   val qRepetitionTrim: QuerySpec = QuerySpec(
     "q206_repetition_trim",
     (s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
-      val g = docs.select(col("doc_id"),
-        posexplode(WordShingles(col("text"), 3)).as(Seq("p", "gram")))
-      val first = g.groupBy(col("doc_id"), col("gram"))
-        .agg(min(col("p")).as("fp"))
-      val rpos = g.join(first, Seq("doc_id", "gram"))
-        .filter(col("p") > col("fp"))
+      // r18: the removal cover is INTRA-document, so the whole pipeline
+      // (gram posexplode → (doc, gram) first-occurrence aggregate →
+      // join-back → extent explode → distinct → collect_list → splice
+      // join) collapses into two composed row kernels — the query is
+      // now a single map-side pass with zero exchanges (guide §2.4).
+      // DocKernelsSpec pins kernel ≡ legacy; the oracle is unchanged.
+      Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          explode(sequence(col("p").cast("long"),
-            col("p").cast("long") + 2L)).as("wp"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(collect_list(col("wp")).as("rpos"))
-      Dedup.spliceTokens(docs, rpos)
-        .select(col("doc_id"), col("n_tokens_before"), col("n_removed"),
-          col("clean_text").as("trimmed_text"))
+          graft.functions.SpliceByPositions(col("text"),
+            graft.functions.RepeatedGramCover(col("text"), 3)).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens_before").as("n_tokens_before"),
+          col("r.n_removed").as("n_removed"),
+          col("r.clean_text").as("trimmed_text"))
     },
     // DuckDB positions are 1-based end-to-end (range(1,…) grams,
     // list_filter's 1-based index) where Spark is 0-based end-to-end
@@ -923,17 +922,24 @@ object Corpus {
     * arriving batch while the gated query runs it once per corpus.
     */
   private[graft] def tokenize(docs: DataFrame,
-      merges: Seq[(Long, String, String, Long)]): DataFrame = {
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"), col("doc_id"))
-      .orderBy(col("wpos"), col("spos"))
+      merges: Seq[(Long, String, String, Long)]): DataFrame =
     docs.select(col("source"), col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
-      .select(col("source"), col("doc_id"), col("wpos"),
-        posexplode(bpeTokenArr(merges, col("w"))).as(Seq("spos", "tok")))
-      .withColumn("tok_idx", row_number().over(wDoc).cast("long") - 1L)
-      .select(col("source"), col("doc_id"), col("tok"), col("tok_idx"))
-  }
+        posexplode(bpeDocTokArr(merges, col("text")))
+          .as(Seq("tok_idx", "tok")))
+      .select(col("source"), col("doc_id"), col("tok"),
+        col("tok_idx").cast("long").as("tok_idx"))
+
+  /** The whole-document subword array under a trained merge table — the
+    * [[graft.functions.BpeDocTokens]] kernel (r18: replaces the word
+    * posexplode → per-word merge chain → subword posexplode →
+    * corpus-wide `row_number` window pipeline with ONE map-side pass
+    * whose array position is `tok_idx`; DocKernelsSpec pins
+    * bit-equality against the legacy formulation, and the q203/q211
+    * oracles are unchanged).
+    */
+  private[graft] def bpeDocTokArr(
+      merges: Seq[(Long, String, String, Long)], text: Column): Column =
+    BpeDocTokens(text, merges.map(m => (m._2, m._3)))
 
   /** Shard addressing over a MATERIALIZED token stream — the cheap,
     * arrival-order-insensitive half of q203: two-level pack offsets from
@@ -970,8 +976,37 @@ object Corpus {
     */
   private[graft] def tokenShards(s: SparkSession, docs: DataFrame,
       merges: Seq[(Long, String, String, Long)], budget: Long,
-      tag: String): DataFrame =
-    addressToks(Scratch.flush(s, tag, tokenize(docs, merges)), budget)
+      tag: String): DataFrame = {
+    // r18: materialize the PER-DOC TOKEN ARRAY (one row per document)
+    // instead of the exploded token stream — the kernel-built array
+    // carries `tok_idx` as its position, so the offsets join runs at
+    // DOC granularity (N_docs rows, not N_tokens) and only then
+    // explodes; the flush itself shrinks from one row per token to one
+    // array per doc. Guide §2.3 "shuffle keys and metadata instead of
+    // payloads": the only token-granularity exchange left is the final
+    // vocabulary broadcast-join input. addressToks (below) keeps the
+    // exploded-input form for the TokenStream STORE read path;
+    // TokenStreamSpec pins the two forms equal.
+    val arr = Scratch.flush(s, tag,
+      docs.select(col("source"), col("doc_id"),
+        bpeDocTokArr(merges, col("text")).as("toks")))
+    val offs = packOffsets(
+      arr.select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok")), budget)
+      .select(col("source"), col("doc_id"), col("start_tok"))
+    val vocab = arr.select(explode(col("toks")).as("tok")).distinct()
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("tok")))
+        .cast("long") - 1L)
+    arr.join(offs, Seq("source", "doc_id"))
+      .select(col("source"), col("doc_id"), col("start_tok"),
+        posexplode(col("toks")).as(Seq("tok_idx", "tok")))
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("source"),
+        expr(s"(start_tok + tok_idx) div ${budget}L").as("seq_id"),
+        ((col("start_tok") + col("tok_idx")) % budget).as("pos_in_seq"),
+        col("doc_id"), col("token_id"))
+  }
 
   /** q203 — token-id shard MATERIALIZATION: the end artifact a training
     * loader actually consumes, which q75/q75b/q56/q140 stop short of —
@@ -1146,15 +1181,14 @@ object Corpus {
     (s, dir) => {
       val merges = ensureBpeMerges(s, dir)
       val docs = Tables.load(s, dir, "documents")
-      val sigs = Scratch.flush(s,
-        s"q211-sigs-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
-        tokenize(docs.select(col("source"), col("doc_id"), col("text")),
-            merges)
-          .groupBy(col("doc_id"))
-          .agg(expr("""array_join(transform(
-                      |sort_array(collect_list(struct(tok_idx, tok))),
-                      |x -> x.tok), ' ')""".stripMargin.replaceAll("\n", ""))
-            .as("sig")))
+      // r18: the per-doc signature is the kernel token array joined
+      // map-side — the tokenize explode, the doc-keyed collect_list
+      // shuffle, the sort_array and the interpreted `transform` are all
+      // gone, and with the signature computed in the scan projection the
+      // scratch flush (whose only point was sharing the exploded stream)
+      // is unnecessary: `sigs` feeds exactly one aggregate.
+      val sigs = docs.select(col("doc_id"),
+        array_join(bpeDocTokArr(merges, col("text")), " ").as("sig"))
       val tokAgg = sigs.groupBy(col("sig")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c")).as("docs_total"),
           count(when(col("c") > 1, 1)).as("token_dup_groups"),

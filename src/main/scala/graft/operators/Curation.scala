@@ -898,16 +898,21 @@ object Curation {
     */
   private[graft] def importanceScoredOf(docs: DataFrame): DataFrame = {
     val B = ImportanceBuckets
-    // polyhash ∈ [0, P) so plain % equals pmod on both engines
-    val tok = docs
+    // polyhash ∈ [0, P) so plain % equals pmod on both engines.
+    // r18: the (doc, bucket) count rows come straight from the
+    // [[graft.functions.PolyBucketCounts]] kernel (posexplode position =
+    // bucket id) — the token explode and the corpus-token-sized
+    // (doc_id, tgt, b) aggregate exchange are gone; ≤B rows per doc
+    // leave the scan already counted (guide §2.3 "aggregate before you
+    // shuffle", done map-side in the kernel).
+    val db = docs
       .select(col("doc_id"),
         col("source").isin(ImportanceTargetSources: _*).as("tgt"),
-        explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .select(col("doc_id"), col("tgt"),
-        (PolyHash(col("w")) % B).as("b"))
-    val db = tok.groupBy(col("doc_id"), col("tgt"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
+        posexplode(graft.functions.PolyBucketCounts(col("text"), B))
+          .as(Seq("b", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("doc_id"), col("tgt"), col("b").cast("long").as("b"),
+        col("cnt"))
     val stats = db.groupBy(col("b")).agg(
       sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tb"),
       sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("rb"))
@@ -1146,8 +1151,17 @@ object Curation {
     "q160_budget_selection",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val scq = importanceScored(s, dir)
-        .withColumn("aq", round(col("affinity") * 1000000.0, 0).cast("long"))
+      // r18: the scored frame is referenced four times below (extent
+      // agg, histogram, full-bucket select, boundary select) and each
+      // reference re-ran the whole importance pipeline (the q60b
+      // union-branch re-execution trap — q165, which embeds this plan,
+      // carried a 266 KB explain). One flush of the doc-sized
+      // (doc_id, dl, affinity, aq) frame makes every branch a read.
+      val scq = Scratch.flush(s,
+        s"q160-scq-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        importanceScored(s, dir)
+          .withColumn("aq",
+            round(col("affinity") * 1000000.0, 0).cast("long")))
       val ext = scq.agg(min(col("aq")).as("mn"), max(col("aq")).as("mx"),
         sum(col("dl")).as("tot"))
       val scb = scq.crossJoin(broadcast(ext))
@@ -1210,13 +1224,22 @@ object Curation {
     * source, text) — the ONE definition shared by the gated query and
     * [[graft.CurationRun]]'s selection stage.
     */
-  private[graft] def mixtureSelect(docs: DataFrame): DataFrame = {
+  private[graft] def mixtureSelect(docs: DataFrame,
+      flush: Option[(org.apache.spark.sql.SparkSession, String)] = None)
+      : DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val plan = Corpus.mixturePlan(docs)
         .select(col("source"), col("target_tok"))
-      val scq = importanceScoredOf(docs)
+      // r18: like q160, the scored frame feeds four branches; flush it
+      // once when the caller provides a scratch tag (the gated query
+      // does; CurationRun passes its run tag).
+      val scored = importanceScoredOf(docs)
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("aq", round(col("affinity") * 1000000.0, 0).cast("long"))
+      val scq = flush match {
+        case Some((s, tag)) => Scratch.flush(s, tag, scored)
+        case None => scored
+      }
       val ext = scq.agg(min(col("aq")).as("mn"), max(col("aq")).as("mx"))
       val scb = scq.crossJoin(broadcast(ext))
         .withColumn("bw", greatest(
@@ -1248,7 +1271,9 @@ object Curation {
 
   val qMixtureSelection: QuerySpec = QuerySpec(
     "q161_mixture_selection",
-    (s, dir) => mixtureSelect(Tables.load(s, dir, "documents")),
+    (s, dir) => mixtureSelect(Tables.load(s, dir, "documents"),
+      Some((s,
+        s"q161-scq-${java.lang.Long.toHexString(PolyHash.hash(dir))}"))),
     Some {
       val planSql = Corpus.qMixturePlanner.oracle.get
       s"""WITH $importanceCtesSql,
@@ -1290,19 +1315,25 @@ object Curation {
       val B = ImportanceBuckets
       val docs = Tables.load(s, dir, "documents")
       val selIds = qBudgetSelection.build(s, dir).select(col("doc_id"))
+      // r18: per-doc bucket count vectors from the
+      // [[graft.functions.PolyBucketCounts]] kernel — the token explode
+      // disappears, the selection flag joins at DOC granularity before
+      // the ≤B-per-doc posexplode, and the histogram sums the kernel's
+      // counts instead of 1 per token occurrence. Same B-cell `hist`
+      // frame, same oracle.
       val tok = docs
         .select(col("doc_id"),
           col("source").isin(ImportanceTargetSources: _*).as("tgt"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .select(col("doc_id"), col("tgt"),
-          (PolyHash(col("w")) % B).as("b"))
+          graft.functions.PolyBucketCounts(col("text"), B).as("cv"))
         .join(broadcast(selIds.withColumn("in_sel", lit(true))),
           Seq("doc_id"), "left")
+        .select(col("tgt"), coalesce(col("in_sel"), lit(false)).as("in_sel"),
+          posexplode(col("cv")).as(Seq("b", "cnt")))
+        .filter(col("cnt") > 0)
       val hist = tok.groupBy(col("b")).agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
-        sum(when(!col("tgt"), 1L).otherwise(0L)).as("rc"),
-        sum(when(coalesce(col("in_sel"), lit(false)), 1L).otherwise(0L))
+        sum(when(col("tgt"), col("cnt")).otherwise(0L)).as("tc"),
+        sum(when(!col("tgt"), col("cnt")).otherwise(0L)).as("rc"),
+        sum(when(col("in_sel"), col("cnt")).otherwise(0L))
           .as("sc"))
       val tot = hist.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"),
         sum(col("sc")).as("st"))

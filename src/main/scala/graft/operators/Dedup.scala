@@ -801,15 +801,21 @@ object Dedup {
     * spaces), so the untouched-doc output is byte-identical.
     */
   private[graft] def spliceTokens(docs: DataFrame, rpos: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    // r18: the per-doc rewrite is the codegen'd
+    // [[graft.functions.SpliceByPositions]] kernel — the previous
+    // projection ran an interpreted `filter` lambda with an
+    // `array_contains` probe per token (O(tokens × removals) per doc,
+    // CodegenFallback); the kernel marks removals once and emits the
+    // identical (count, count, re-joined text) triple.
+    docs.select(col("doc_id"), col("text"))
       .join(rpos, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("tk")).cast("long").as("n_tokens_before"),
-        coalesce(size(col("rpos")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          filter(col("tk"), (_, i) =>
-            col("rpos").isNull || !array_contains(col("rpos"), i.cast("long"))),
-          " ").as("clean_text"))
+        graft.functions.SpliceByPositions(col("text"),
+          coalesce(col("rpos"), typedlit(Seq.empty[Long]))).as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens_before").as("n_tokens_before"),
+        col("r.n_removed").as("n_removed"),
+        col("r.clean_text").as("clean_text"))
 
   private[graft] def substringRemove(
       docs: DataFrame, minWords: Int,
@@ -1089,9 +1095,17 @@ object Dedup {
     "q101_prefix_join",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(WordShingleHashes(col("text"), 3)).as("h"))
+      // r18: materialize the per-doc DISTINCT shingle-hash ARRAY once —
+      // the previous plan referenced the scan+hash+explode subtree three
+      // times (df count, rank join, per-doc collect_list), re-running
+      // the shingle kernel per reference; the flushed array frame makes
+      // `sets` a plain read (no collect_list shuffle at all) and both
+      // explode consumers cheap re-reads (guide §2.4).
+      val base = Scratch.flush(s,
+        s"q101-sets-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), WordShingleHashes(col("text"), 3).as("G")))
+      val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
       val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id"))
       val ranked = grams.join(dfreq, Seq("h"))
@@ -1105,8 +1119,7 @@ object Dedup {
         .join(prefix.toDF("b", "h"), Seq("h"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b")).distinct()
-      val sets = grams.groupBy(col("doc_id"))
-        .agg(collect_list(col("h")).as("G"))
+      val sets = base.select(col("doc_id"), col("G"))
       cand.join(sets.toDF("a", "Ga"), Seq("a"))
         .join(sets.toDF("b", "Gb"), Seq("b"))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
@@ -1891,26 +1904,20 @@ object Dedup {
   /** The winnowing-selected packed keys `(doc_id, mk)` (distinct) — the
     * raw selection both fingerprint forms derive from.
     */
-  private def winnowSelected(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wFwd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    docs
-      .select(col("doc_id"), WordShingles(col("text"), WinnowK).as("gs"))
-      .select(col("doc_id"), size(col("gs")).as("ng"),
-        posexplode(col("gs")))
-      .select(col("doc_id"), col("ng"), col("pos"),
-        (PolyHash(col("col")) * lit(WinnowPosPack) + col("pos")).as("key"))
-      .withColumn("mk", min(col("key")).over(wFwd))
-      .filter(col("pos") <= greatest(col("ng") - WinnowW, lit(0)))
-      .select(col("doc_id"), col("mk"))
-      .distinct()
-  }
-
+  // r18: the selection pass is the [[graft.functions.WinnowFps]] /
+  // [[graft.functions.WinnowFpSpans]] whole-document kernel — the
+  // previous formulation (gram posexplode → per-doc ordered sliding-min
+  // window → distinct) shuffled and sorted the ENTIRE gram stream once
+  // per consumer query (q213/q218/q221/q225 each re-ran it into their
+  // own scratch flush); the kernel computes the identical selected set
+  // inside the scan projection, so the first exchange any winnow query
+  // pays is the df-cap aggregate over (doc, fp) rows. DocKernelsSpec
+  // pins kernel ≡ legacy window pipeline; the winnow oracles are
+  // unchanged, and WinnowStore/WinnowStream ride the same definition.
   private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
-    winnowSelected(docs)
-      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"))
-      .distinct()
+    docs.select(col("doc_id"),
+      explode(graft.functions.WinnowFps(
+        col("text"), WinnowK, WinnowW, WinnowPosPack)).as("fp"))
 
   /** Position-carrying fingerprints `(doc_id, fp, mn, mx)` — per
     * (doc, fingerprint) the first/last selected GRAM position, the raw
@@ -1919,11 +1926,11 @@ object Dedup {
     * form.
     */
   private[graft] def winnowFingerprintSpans(docs: DataFrame): DataFrame =
-    winnowSelected(docs)
-      .select(col("doc_id"), expr(s"mk div $WinnowPosPack").as("fp"),
-        expr(s"mk % $WinnowPosPack").as("p"))
-      .groupBy(col("doc_id"), col("fp"))
-      .agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.WinnowFpSpans(
+          col("text"), WinnowK, WinnowW, WinnowPosPack)).as("s"))
+      .select(col("doc_id"), col("s.fp").as("fp"),
+        col("s.mn").as("mn"), col("s.mx").as("mx"))
 
   /** Cap-filtered fingerprints: rows of `fps` whose fingerprint is
     * shared by at most [[WinnowDfCap]] documents. Exchange-free when

@@ -453,37 +453,23 @@ object TextAnalysis {
   private[graft] def perceptronDocs(s: SparkSession, dir: String): DataFrame = {
     val d = PerceptronDim
     val docs = Tables.load(s, dir, "documents")
-    val lab = docs
-      .select(col("doc_id"),
-        TextMetrics.wordCount(col("text")).as("nw"),
-        TextMetrics.stopCount(col("text")).as("ns"))
-      .filter(col("nw") > 0)
-      .select(col("doc_id"),
-        when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(-1L).as("y"))
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+    // r18: one map-side pass — the [[graft.functions.PerceptronFeatures]]
+    // kernel builds each doc's sorted (bucket, per-mil) arrays with the
+    // bias appended, and the teacher label is a per-row expression, so
+    // the unigram+bigram explodes, the (doc, bucket) aggregate, the
+    // per-doc total window, the collect_list shuffle and the two
+    // interpreted `transform`s are all gone; the label join vanishes
+    // (both sides were per-row). DocKernelsSpec pins kernel ≡ legacy.
     Scratch.flush(s,
       s"q207-fy-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
       docs.select(col("doc_id"),
-          explode(graft.functions.WordShingles(col("text"), 1)).as("g"))
-        .union(docs.select(col("doc_id"),
-          explode(graft.functions.WordShingles(col("text"), 2)).as("g")))
-        .select(col("doc_id"), (PolyHash(col("g")) % d).as("bucket"))
-        .groupBy(col("doc_id"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("tot", sum(col("c")).over(wDoc))
-        .select(col("doc_id"), col("bucket"),
-          expr("(1000 * c) div tot").as("nf"))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("bucket"), col("nf"))))
-          .as("fs"))
-        .join(lab, Seq("doc_id"))
+          TextMetrics.wordCount(col("text")).as("nw"),
+          TextMetrics.stopCount(col("text")).as("ns"),
+          graft.functions.PerceptronFeatures(col("text"), d).as("f"))
+        .filter(col("nw") > 0)
         .select((col("doc_id") % PerceptronShards).as("shard"), col("doc_id"),
-          col("y"),
-          concat(expr("transform(fs, x -> x.bucket)"),
-            array(lit(d.toLong))).as("bs"),
-          concat(expr("transform(fs, x -> x.nf)"),
-            array(lit(100L))).as("cs")))
+          when(col("ns") * 50 >= col("nw") * 3, 1L).otherwise(-1L).as("y"),
+          col("f.bs").as("bs"), col("f.cs").as("cs")))
   }
 
   val qPerceptronTrain: QuerySpec = QuerySpec(
