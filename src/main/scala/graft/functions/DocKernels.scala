@@ -277,6 +277,30 @@ object DocKernels {
       Array[Any](new GenericArrayData(bs), new GenericArrayData(cs)))
   }
 
+  /** Distinct-set overlap counts of two long arrays: (|A ∩ B|, |A ∪ B|)
+    * with set semantics identical to
+    * `size(array_intersect(a, b))` / `size(array_union(a, b))` on
+    * null-free arrays — without materializing either result array (the
+    * LSH/PPJoin verify step runs this once per candidate pair).
+    */
+  def setOverlap(a: ArrayData, b: ArrayData): InternalRow = {
+    val sa = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { sa.add(a.getLong(i)); i += 1 }
+    val sb = new java.util.HashSet[java.lang.Long]()
+    var inter = 0L
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      val v = b.getLong(i)
+      if (sb.add(v) && sa.contains(v)) inter += 1
+      i += 1
+    }
+    val uni = sa.size.toLong + sb.size.toLong - inter
+    new GenericInternalRow(Array[Any](inter, uni))
+  }
+
   /** q206's repeated-gram cover: every word position covered by a
     * k-gram occurrence whose gram already occurred at a LOWER position
     * in the same document — ⋃ {p..p+k−1 : gram(p) seen before p} — as a
@@ -553,4 +577,44 @@ object SpliceByPositions {
   def apply(text: Column, rpos: Column): Column =
     GraftShims.column(SpliceByPositions(
       GraftShims.expression(text), GraftShims.expression(rpos)))
+}
+
+/** `setOverlap` as a codegen'd Catalyst expression:
+  * (ARRAY<BIGINT>, ARRAY<BIGINT>) → (inter, uni) distinct-set counts.
+  */
+case class SetOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def prettyName: String = "graft_set_overlap"
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("uni", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DocKernels.setOverlap(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.DocKernels.setOverlap($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SetOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
+object SetOverlap {
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(SetOverlap(
+      GraftShims.expression(a), GraftShims.expression(b)))
 }

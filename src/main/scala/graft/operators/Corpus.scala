@@ -1886,9 +1886,16 @@ object Corpus {
   val qNgramNovelty: QuerySpec = QuerySpec(
     "q122_ngram_novelty",
     (s, dir) => {
-      val g = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(WordShingleHashes(col("text"), NoveltyGram)).as("h"))
+      // r18: the scan + 5-gram hash kernel + explode subtree fed both
+      // the first-seen aggregate and the join probe — two executions
+      // (the q101 pattern); flush the per-doc distinct-hash arrays once
+      // and explode from the compact parquet on both reads.
+      val base = Scratch.flush(s,
+        s"q122-grams-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            WordShingleHashes(col("text"), NoveltyGram).as("H")))
+      val g = base.select(col("doc_id"), explode(col("H")).as("h"))
       val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
       g.join(first, Seq("h"))
         .groupBy(col("doc_id"))

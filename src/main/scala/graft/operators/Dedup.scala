@@ -65,9 +65,15 @@ object Dedup {
       (acc * 31L + col(s"mh${b * RowsPerBand + r}")) % P
     }
 
-  private[graft] def jaccard(h1: Column, h2: Column): Column =
-    size(array_intersect(h1, h2)).cast("double") /
-      size(array_union(h1, h2)).cast("double")
+  private[graft] def jaccard(h1: Column, h2: Column): Column = {
+    // r18: one [[graft.functions.SetOverlap]] kernel pass per pair —
+    // identical distinct-set counts to size(array_intersect)/
+    // size(array_union) (DocKernelsSpec pins it) without materializing
+    // either result array; whole-stage codegen's subexpression
+    // elimination evaluates the shared struct once per row
+    val o = graft.functions.SetOverlap(h1, h2)
+    o.getField("inter").cast("double") / o.getField("uni").cast("double")
+  }
 
   /** LSH candidate pairs from a signature frame (doc_id, mh0..mh15):
     * band the signatures, equi-join on (band index, band hash), dedup.
@@ -1108,9 +1114,14 @@ object Dedup {
       val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
       val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
       val wDoc = Window.partitionBy(col("doc_id"))
-      val ranked = grams.join(dfreq, Seq("h"))
+      // sz rides the explode projection (size of the flushed array) —
+      // the count() window it replaces was a second aggregate buffer
+      // over the same per-doc sort
+      val ranked = base
+        .select(col("doc_id"), size(col("G")).as("sz"),
+          explode(col("G")).as("h"))
+        .join(dfreq, Seq("h"))
         .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
-        .withColumn("sz", count(lit(1)).over(wDoc))
       val prefix = ranked
         .filter(col("rk") <=
           ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
@@ -1123,8 +1134,9 @@ object Dedup {
       cand.join(sets.toDF("a", "Ga"), Seq("a"))
         .join(sets.toDF("b", "Gb"), Seq("b"))
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
-          size(array_intersect(col("Ga"), col("Gb"))).cast("long").as("inter"),
-          size(array_union(col("Ga"), col("Gb"))).cast("long").as("uni"))
+          graft.functions.SetOverlap(col("Ga"), col("Gb")).as("o"))
+        .select(col("doc_a"), col("doc_b"),
+          col("o.inter").as("inter"), col("o.uni").as("uni"))
         .filter(col("inter") * 2 >= col("uni"))
     },
     Some(s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS tk

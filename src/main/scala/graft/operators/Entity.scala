@@ -53,13 +53,19 @@ object Entity {
     (s, dir) => {
       val c = Tables.load(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      val dels = c
-        .select(col("id"), col("name"),
-          explode(sequence(lit(1), length(col("name")))).as("i"))
-        .select(col("id"), col("name"), col("i"),
-          concat(col("name").substr(lit(1), col("i") - 1),
-            col("name").substr(col("i") + 1, length(col("name"))))
-            .as("var"))
+      // r18: the deletion-neighborhood frame feeds three join sides
+      // (both halves of J1's self-join and J2's probe) — flushed once
+      // so the ×L explode + substring/concat chain runs one time, not
+      // three (the q101/q160 multiply-referenced-subtree rule).
+      val dels = Scratch.flush(s,
+        s"q169-dels-${java.lang.Long.toHexString(
+          graft.functions.PolyHash.hash(dir))}",
+        c.select(col("id"), col("name"),
+            explode(sequence(lit(1), length(col("name")))).as("i"))
+          .select(col("id"), col("name"), col("i"),
+            concat(col("name").substr(lit(1), col("i") - 1),
+              col("name").substr(col("i") + 1, length(col("name"))))
+              .as("var")))
       val j0 = c.as("a").join(c.as("b"),
           col("a.name") === col("b.name") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

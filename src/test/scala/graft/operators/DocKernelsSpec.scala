@@ -253,6 +253,27 @@ class DocKernelsSpec extends AnyFunSuite with SparkTestSession {
     assertSameRows(Dedup.spliceTokens(docs, rpos), legacy, "spliceTokens")
   }
 
+  // ---- set overlap ----
+
+  test("SetOverlap ≡ size(array_intersect) / size(array_union)") {
+    import spark.implicits._
+    import graft.functions.SetOverlap
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 500).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong)
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq.empty[Long])) :+
+      ((Seq(1L, 1L, 2L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val cmp = df.select(
+        SetOverlap(col("a"), col("b")).as("o"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("li"),
+        size(array_union(col("a"), col("b"))).cast("long").as("lu"))
+      .filter(col("o.inter") =!= col("li") || col("o.uni") =!= col("lu"))
+      .count()
+    assert(cmp == 0)
+  }
+
   // ---- winnow kernels agree with each other ----
 
   test("WinnowFps is exactly WinnowFpSpans' fp set") {
