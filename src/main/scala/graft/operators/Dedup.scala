@@ -1620,8 +1620,13 @@ object Dedup {
       val near = qQualityCollapse.build(s, dir)
         .filter(col("kept") === 0)
         .select(col("doc_id"), lit("near_dup").as("reason"))
-      val spliced = qSubstringRemove.build(s, dir)
-        .filter(col("n_removed") > 0)
+      // r18: n_removed > 0 ⟺ the doc has a removal-position list, so
+      // the branch reads the removal frame directly instead of running
+      // the full splice REWRITE (text rebuild) it would discard
+      // (guide §1.2: don't compute what you throw away). Same doc set,
+      // same unchanged oracle (which nests q130's).
+      val spliced = removalPositions(spanPosMatches(
+          Tables.load(s, dir, "documents")), MinRemoveWords)
         .select(col("doc_id"), lit("substring_spliced").as("reason"))
       exact.unionByName(near).unionByName(spliced)
     },
@@ -1661,8 +1666,15 @@ object Dedup {
           size(split(col("text"), " ")).cast("long").as("n_tok"))
       val base = docs.agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"))
-      val spliced = qSubstringRemove.build(s, dir)
-        .agg(sum(col("n_removed")).as("tokens_spliced"))
+      // r18: Σ n_removed = Σ |rpos| over the removal frame — the splice
+      // rewrite (text rebuild + per-doc join) contributed nothing to
+      // this single number; untouched docs add 0 either way (coalesce
+      // covers the no-removals-anywhere corpus, where the legacy sum
+      // over all docs was 0, not NULL)
+      val spliced = removalPositions(spanPosMatches(
+          Tables.load(s, dir, "documents")), MinRemoveWords)
+        .agg(coalesce(sum(size(col("rpos")).cast("long")), lit(0L))
+          .as("tokens_spliced"))
       val kept = docs.join(
           qQualityCollapse.build(s, dir)
             .filter(col("kept") === 1L).select(col("doc_id")),
