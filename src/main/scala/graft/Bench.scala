@@ -120,14 +120,30 @@ object Bench {
         case e: Exception => throw new IllegalStateException(
           s"smoke tier needs the committed reference artifact at $ref", e)
       }
-      val block = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(
-          throw new IllegalStateException(s"$ref lacks a queries block"))
-      val med = """"([^"]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(block)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // a real JSON parse (json4s rides Spark's classpath), not the
+      // former regex scrape — whitespace or key reordering in the
+      // artifact must not silently empty the selection (ADVICE r17)
+      val med: Map[String, Double] = {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(txt) \ "queries" match {
+          case JObject(fields) => fields.collect {
+            case (n, JDouble(v)) => n -> v
+            case (n, JInt(v)) => n -> v.toDouble
+            case (n, JLong(v)) => n -> v.toDouble
+          }.toMap
+          case _ => throw new IllegalStateException(
+            s"$ref lacks a queries block")
+        }
+      }
       val names = Queries.all.filter(_.headline).map(_.name)
-      val fresh = names.filterNot(med.contains)
-      val top = names.filter(med.contains).sortBy(n => -med(n)).take(30)
+      // a FAILED query in the reference artifact carries a negative
+      // sentinel — treat it like artifact-absent (it needs re-running
+      // most of all), never let it sort to the bottom of the top-30
+      // (ADVICE r17)
+      val fresh = names.filterNot(n => med.get(n).exists(_ >= 0))
+      val top = names.filter(n => med.get(n).exists(_ >= 0))
+        .sortBy(n => -med(n)).take(30)
       (fresh ++ top).toSet
     }
     val headline = Queries.all.filter(_.headline)

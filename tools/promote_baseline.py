@@ -32,6 +32,16 @@ for r in runs[1:]:
         sys.exit(f"artifacts disagree on the query set: "
                  f"{sorted(names ^ set(r['queries']))[:6]}")
 
+# A failed query carries a negative sentinel (and no spread row) — it
+# would poison medians/totals silently. A promotion run must be clean:
+# fail loudly instead of filtering (ADVICE r17).
+for i, r in enumerate(runs):
+    bad = sorted(q for q in names if r["queries"][q] < 0
+                 or q not in r.get("spread", {}))
+    if bad:
+        sys.exit(f"run {i + 1} has failed/spread-less queries "
+                 f"{bad[:6]} - not promotable")
+
 rows = []
 for q in sorted(names, key=lambda n: (int("".join(
         c for c in n.split("_")[0][1:] if c.isdigit()) or 0), n)):
@@ -46,8 +56,9 @@ print(f"<!-- promoted from {len(runs)} runs; med-of-med sum "
 for r in runs:
     med_sum = sum(r["spread"][q][1] for q in names)
     min_sum = sum(r["spread"][q][0] for q in names)
+    band = f"{med_sum / min_sum:.2f}" if min_sum > 0 else "n/a (min_sum 0)"
     print(f"<!-- run total {sum(r['queries'][q] for q in names):.1f} s, "
-          f"band {med_sum / min_sum:.2f} -->")
+          f"band {band} -->")
 
 print("\n| query | sec | band | query | sec | band |")
 print("|---|---|---|---|---|---|")
