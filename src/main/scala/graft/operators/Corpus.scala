@@ -748,24 +748,46 @@ object Corpus {
       .as[(String, Long)]
       .map { case (w, f) => (w.flatMap(c => s"[$c]"), f) }
       .toDF("ws", "freq")
+      // the vocabulary is corpus-size-independent (bounded by distinct
+      // lowercase words); a handful of partitions keeps each step's
+      // pair-count job at a handful of tasks instead of a full
+      // shuffle-partition fan-out — scale-safe because the frame is
+      // vocab-sized at ANY corpus scale
+      .coalesce(8)
       .persist()
     try {
       var cur = vocab0
       val merges = Seq.newBuilder[(Long, String, String, Long)]
       for (step <- 1 to BpeMergeSteps) {
-        val top = cur
-          .select(col("freq"),
-            split(expr("substring(ws, 2, length(ws) - 2)"), "\\]\\[").as("tk"))
-          .filter(size(col("tk")) > 1)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(tk) - 1)," +
-              " i -> struct(element_at(tk, i) AS lhs, element_at(tk, i + 1) AS rhs))"))
-            .as("pr"))
-          .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).collect().head
-        val (l, r, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        // r19: one NARROW job per step — per-partition adjacent-pair
+        // counting into a hash map, merged by reduce, argmax +
+        // tie-break (cnt desc, lhs asc, rhs asc — [a-z]-only symbols,
+        // so Scala string order ≡ Spark UTF8 binary order) on the
+        // driver over the bounded merged pair map. Replaces the
+        // explode → groupBy exchange → TakeOrdered job per step, whose
+        // per-step scheduling overhead dominated the vocab-sized data
+        // (guide §1.2; the 8-step dependency chain itself is the
+        // algorithm and stays sequential).
+        import scala.collection.mutable
+        val merged = cur.select(col("ws"), col("freq")).as[(String, Long)]
+          .rdd.mapPartitions { it =>
+            val m = mutable.HashMap.empty[(String, String), Long]
+            it.foreach { case (ws, f) =>
+              val tk = ws.substring(1, ws.length - 1).split("\\]\\[", -1)
+              var i = 0
+              while (i + 1 < tk.length) {
+                val k = (tk(i), tk(i + 1))
+                m.update(k, m.getOrElse(k, 0L) + f)
+                i += 1
+              }
+            }
+            Iterator.single(m)
+          }
+          .reduce { (a, b) =>
+            b.foreach { case (k, v) => a.update(k, a.getOrElse(k, 0L) + v) }
+            a
+          }
+        val ((l, r), cnt) = merged.minBy { case ((lh, rh), c) => (-c, lh, rh) }
         merges += ((step.toLong, l, r, cnt))
         cur = cur.withColumn("ws",
           expr(s"replace(ws, '[$l][$r]', '[$l$r]')"))

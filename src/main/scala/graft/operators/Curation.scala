@@ -751,10 +751,12 @@ object Curation {
     * (gopherFrame is column-preserving for exactly this composition);
     * the LM gate adds its train + score scans with a broadcast-hash-
     * join over the K-row model; the per-doc flags frame is
-    * scratch-flushed once so the six pair aggregates scan the tiny
-    * flushed table instead of re-executing the scoring pipeline per
-    * union branch (the q60b re-execution trap); each aggregate is one
-    * map-side-combinable single-row pass.
+    * scratch-flushed once so the pair cells scan the tiny flushed table
+    * instead of re-executing the scoring pipeline per union branch (the
+    * q60b re-execution trap); since r19 all six pairs' cells come from
+    * ONE 25-column map-side-combinable aggregate over that frame,
+    * reshaped with a 6-struct explode (the six unioned single-row
+    * aggregates each paid their own scan + two stages).
     */
   val qFilterAgreement: QuerySpec = QuerySpec(
     "q152_filter_agreement",
@@ -782,28 +784,38 @@ object Curation {
       val flags = Scratch.flush(s, "q152-flags",
         base.join(lm, Seq("doc_id"), "left")
           .na.fill(0L, Seq("lmk")))
-      val chance =
-        "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))"
-      def pair(name: String, a: String, b: String) =
-        flags.agg(
-            count(lit(1)).as("n"),
-            sum(col(a) * col(b)).as("n11"),
-            sum(col(a) * (lit(1L) - col(b))).as("n10"),
-            sum((lit(1L) - col(a)) * col(b)).as("n01"),
-            sum((lit(1L) - col(a)) * (lit(1L) - col(b))).as("n00"))
-          .select(lit(name).as("pair"),
-            col("n11"), col("n10"), col("n01"), col("n00"),
-            expr("(10000 * (n11 + n00)) div n").as("agree_e4"),
-            expr(s"""CASE WHEN n * n - $chance = 0 THEN NULL
-                    | ELSE (10000 * (n * (n11 + n00) - $chance))
-                    |  div (n * n - $chance) END""".stripMargin
-              .replaceAll("\n", "")).as("kappa_e4"))
-      pair("gopher|classifier", "g", "c")
-        .union(pair("gopher|lm", "g", "lmk"))
-        .union(pair("gopher|curation", "g", "u"))
-        .union(pair("classifier|lm", "c", "lmk"))
-        .union(pair("classifier|curation", "c", "u"))
-        .union(pair("lm|curation", "lmk", "u"))
+      // r19: ONE pass over the flushed flags computes every pair's
+      // cells — the previous tail ran SIX separate single-row
+      // aggregates (each its own scan + partial/final agg pair)
+      // unioned; now one 25-column dense aggregate and a 6-struct
+      // explode reshape over the single output row (two stages total,
+      // zero re-execution). Same cells, same div/kappa arithmetic.
+      val pairDefs = Seq(
+        ("gopher|classifier", "g", "c"), ("gopher|lm", "g", "lmk"),
+        ("gopher|curation", "g", "u"), ("classifier|lm", "c", "lmk"),
+        ("classifier|curation", "c", "u"), ("lm|curation", "lmk", "u"))
+      val cells = pairDefs.zipWithIndex.flatMap { case ((_, a, b), i) =>
+        Seq(
+          sum(col(a) * col(b)).as(s"n11_$i"),
+          sum(col(a) * (lit(1L) - col(b))).as(s"n10_$i"),
+          sum((lit(1L) - col(a)) * col(b)).as(s"n01_$i"),
+          sum((lit(1L) - col(a)) * (lit(1L) - col(b))).as(s"n00_$i"))
+      }
+      val aggRow = flags.agg(count(lit(1)).as("n"), cells: _*)
+      val outs = pairDefs.zipWithIndex.map { case ((name, _, _), i) =>
+        val chance = s"((n11_$i + n10_$i) * (n11_$i + n01_$i)" +
+          s" + (n01_$i + n00_$i) * (n10_$i + n00_$i))"
+        struct(
+          lit(name).as("pair"),
+          col(s"n11_$i").as("n11"), col(s"n10_$i").as("n10"),
+          col(s"n01_$i").as("n01"), col(s"n00_$i").as("n00"),
+          expr(s"(10000 * (n11_$i + n00_$i)) div n").as("agree_e4"),
+          expr(s"""CASE WHEN n * n - $chance = 0 THEN NULL
+                  | ELSE (10000 * (n * (n11_$i + n00_$i) - $chance))
+                  |  div (n * n - $chance) END""".stripMargin
+            .replaceAll("\n", "")).as("kappa_e4"))
+      }
+      aggRow.select(explode(array(outs: _*)).as("r")).select(col("r.*"))
     },
     Some {
       val chance =

@@ -48,6 +48,10 @@ object Dedup {
 
   /** One hash-aggregate producing the MinHash signature columns mh0..mh15
     * (plus optionally the full shingle-hash set for Jaccard verification).
+    *
+    * r19: the LEGACY aggregate formulation — production paths use the
+    * map-side [[minhashSigs]] (DocKernelsSpec pins the two equivalent);
+    * kept as the spec's reference definition.
     */
   private[graft] def minhashAgg(rows: DataFrame, withSet: Boolean): DataFrame = {
     val mins = (0 until NumHashes).map { j =>
@@ -56,6 +60,45 @@ object Dedup {
     val aggs = if (withSet) mins :+ collect_set(col("h")).as("H") else mins
     rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** r19: the signature frame (doc_id, mh0..mh15[, H]) computed MAP-SIDE
+    * — [[graft.functions.MinHashSig]] over the per-doc distinct
+    * shingle-hash array inside the scan projection, replacing the
+    * corpus-scale explode → shuffle → 16-min + collect_set aggregate of
+    * [[minhashAgg]] (guide §2.4: remove shuffles outright; collect_set
+    * is an object-hash aggregate on top). Zero-shingle docs are filtered
+    * exactly like the legacy explode dropped them (the oracle's
+    * `len(H) > 0`); H is the kernel's first-occurrence distinct array —
+    * same SET as collect_set with a different order, and every consumer
+    * (SetOverlap, per-permutation mins, band folds) is order-insensitive.
+    * DocKernelsSpec pins map-side ≡ legacy on the real corpus.
+    */
+  private[graft] def minhashSigs(docs: DataFrame, withSet: Boolean): DataFrame = {
+    val sigged = docs
+      .select(col("doc_id"), WordShingleHashes(col("text"), 3).as("H"))
+      .filter(size(col("H")) > 0)
+      .select(col("doc_id"), col("H"),
+        graft.functions.MinHashSig(col("H"), NumHashes).as("sig"))
+    val mhs = (0 until NumHashes).map(j =>
+      element_at(col("sig"), j + 1).as(s"mh$j"))
+    val outCols = col("doc_id") +: (mhs ++ (if (withSet) Seq(col("H")) else Nil))
+    sigged.select(outCols: _*)
+  }
+
+  /** [[minhashSigs]] shared across a query's 3–4 plan references (band
+    * self-join sides, both verify set fetches): the map-side frame has
+    * no exchange of its own for AQE to reuse, so the references would
+    * re-run the shingle+signature kernels per branch — one explicit
+    * `repartition(doc_id)` gives them a single reusable exchange
+    * (kernels run once below it, every consumer is a shuffle read).
+    * Cheaper than the legacy aggregate it replaced: same one
+    * corpus-wide exchange, but no collect_set object aggregate and no
+    * per-branch re-run of the final aggregation (a flush variant
+    * measured slower at sf0.1 — the parquet write/read round-trip costs
+    * more than shuffle-file re-reads).
+    */
+  private[graft] def sharedSigs(docsText: DataFrame): DataFrame =
+    minhashSigs(docsText, withSet = true).repartition(col("doc_id"))
 
   /** Band hashes from the mh columns: polynomial fold (acc*31 + m) mod P
     * per band — plain column arithmetic, no lambdas.
@@ -150,21 +193,22 @@ object Dedup {
   /** MinHash signatures, one row per (doc, permutation) — scalar output so
     * the oracle compare never depends on array encodings.
     *
-    * Degenerate docs (< 3 words → zero shingles) vanish from the
-    * aggregate, so the signatures are left-joined back onto the full
-    * doc_id set and missing minhashes coalesce to P — exactly the
-    * oracle's `COALESCE(list_min(...), P)` over an empty H. Without this
-    * the two sides diverge on any corpus containing a short document.
+    * Degenerate docs (< 3 words → zero shingles) sign as P in every
+    * coordinate ([[graft.functions.MinHash.signature]] over an empty
+    * array) — exactly the oracle's `COALESCE(list_min(...), P)` over an
+    * empty H.
     */
   val qMinhashSig: QuerySpec = QuerySpec(
     "q22_minhash_sig",
     (s, dir) => {
+      // r19: MinHashSig over an EMPTY shingle array is all-P — exactly
+      // the left-join + coalesce(mh, P) the aggregate form needed for
+      // zero-shingle docs — so the whole query is one map-side
+      // scan → kernel → posexplode: zero exchanges, no join
       val docs = Tables.load(s, dir, "documents")
-      val sig = minhashAgg(shingleHashRows(docs), withSet = false)
-      docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          posexplode(array((0 until NumHashes).map(j =>
-            coalesce(col(s"mh$j"), lit(P))): _*)))
+      docs.select(col("doc_id"),
+          posexplode(graft.functions.MinHashSig(
+            WordShingleHashes(col("text"), 3), NumHashes)))
         .select(col("doc_id"), col("pos").cast("long").as("j"), col("col").as("minhash"))
     },
     Some(s"""WITH $shingleCtes
@@ -185,16 +229,22 @@ object Dedup {
     * by the gated query and [[graft.CurationRun]]'s collapse stage
     * (which runs it over the CLEANED corpus).
     *
-    * The signature subtree is shared by the banding branch and the
-    * Jaccard-verify branch; AQE reuses the one shuffle, so no persist is
-    * needed (a session-lifetime cache of the collect_set(H) column costs
-    * more to materialize than it saves and leaks storage memory). At
-    * cluster scale the durable form of this sharing is a persistent
-    * parquet/bucketed signature table maintained between runs — not a
-    * driver-session cache.
+    * r19: signatures are the MAP-SIDE [[minhashSigs]] frame (no
+    * aggregate exchange for AQE to share across the banding and verify
+    * branches any more), shared per consumer via one repartition exchange ([[sharedSigs]]).
+    * At cluster scale the durable form of this sharing is a persistent
+    * parquet/bucketed signature table maintained between runs — exactly
+    * what [[graft.sources.SignatureStore]] persists.
     */
-  private[graft] def verifiedPairs(docsText: DataFrame): DataFrame = {
-    val docs = minhashAgg(shingleHashRows(docsText), withSet = true)
+  private[graft] def verifiedPairs(docsText: DataFrame): DataFrame =
+    verifiedPairsFromSigs(sharedSigs(docsText))
+
+  /** The q23 candidate + verify tail over an already-materialized
+    * signature frame (doc_id, mh0..mh15, H) — split out so callers that
+    * build the signature frame as part of a WIDER shared scan (q218's
+    * combined winnow+LSH flush) can feed it directly.
+    */
+  private[graft] def verifiedPairsFromSigs(docs: DataFrame): DataFrame = {
     val cand = lshCandidates(docs)
     val sets = docs.select(col("doc_id"), col("H"))
     cand
@@ -244,6 +294,14 @@ object Dedup {
             |   THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
             | FROM dh""".stripMargin.replaceAll("\n", "")))
 
+  /** Size of the doc_id ranges the consecutive-pair bucketing uses:
+    * replication overhead is 1/ConsecPairBucket and parallelism is
+    * n_docs/ConsecPairBucket — scale-independent (grows with the
+    * corpus), bounded per-partition work (≤ ConsecPairBucket + 1 docs
+    * per bucket, so no skew by construction).
+    */
+  private val ConsecPairBucket = 256L
+
   /** Character-3-gram Jaccard between consecutive doc_ids (a bounded,
     * deterministic pairing that exercises the n-gram similarity function
     * without an all-pairs join).
@@ -251,18 +309,32 @@ object Dedup {
   val qNgramJaccard: QuerySpec = QuerySpec(
     "q27_ngram_jaccard",
     (s, dir) => {
-      // one codegen'd O(n) rolling pass per row: grams hashed to longs so
-      // the intersect/union set ops work on 8-byte keys, and no
-      // per-position substr re-scan (which made this O(n²) per doc)
-      def grams(text: Column): Column = CharNgramHashes(text, 3)
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), grams(col("text")).as("G"))
-      d.alias("d1")
-        .join(d.alias("d2"), col("d2.doc_id") === col("d1.doc_id") + 1)
-        .select(
-          col("d1.doc_id").as("doc_id_1"), col("d2.doc_id").as("doc_id_2"),
-          (size(array_intersect(col("d1.G"), col("d2.G"))).cast("double") /
-            size(array_union(col("d1.G"), col("d2.G"))).cast("double")).as("jaccard"))
+      import org.apache.spark.sql.expressions.Window
+      // r19: the consecutive-id pairing needs no self-join — the old
+      // d2.doc_id = d1.doc_id + 1 equi-join shuffled full char-3-gram
+      // arrays through BOTH sort-merge sides. Instead: bucket ids into
+      // ranges of ConsecPairBucket, replicate each range's first doc
+      // into the previous bucket (so boundary pairs stay local), and
+      // pair adjacent ids with ONE per-bucket lag window — one exchange
+      // carrying raw text (the lighter payload; §2.3 shuffle fewer
+      // bytes), gram kernel + SetOverlap verify after the pairing.
+      // Every (i, i+1) pair surfaces in exactly one bucket: both halves
+      // in bucket i div B when i+1 is interior, and in bucket
+      // (i+1) div B - 1 via the replicated row when B | i+1.
+      val B = ConsecPairBucket
+      val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(when(pmod(col("doc_id"), lit(B)) === 0 && col("doc_id") > 0,
+              array(expr(s"doc_id div $B"), expr(s"doc_id div $B - 1")))
+            .otherwise(array(expr(s"doc_id div $B")))).as("bkt"))
+        .select(col("bkt"), col("doc_id"), col("text"),
+          lag(col("doc_id"), 1).over(w).as("pid"),
+          lag(col("text"), 1).over(w).as("ptext"))
+        .filter(col("pid") === col("doc_id") - 1)
+        .select(col("pid").as("doc_id_1"), col("doc_id").as("doc_id_2"),
+          jaccard(CharNgramHashes(col("ptext"), 3),
+            CharNgramHashes(col("text"), 3)).as("jaccard"))
     },
     Some(s"""WITH g AS (SELECT doc_id, list_distinct(list_transform(
             |   list_transform(range(1, greatest(length(text) - 2, 0) + 1),
@@ -291,8 +363,7 @@ object Dedup {
   val qMinhashCalibration: QuerySpec = QuerySpec(
     "q66_minhash_calibration",
     (s, dir) => {
-      val docs = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val docs = sharedSigs(Tables.load(s, dir, "documents"))
       val cand = lshCandidates(docs)
       def side(n: Int) = docs.select(
         col("doc_id").as(s"doc_id_$n") +: col("H").as(s"H$n") +:
@@ -1012,8 +1083,8 @@ object Dedup {
   val qLshOccupancy: QuerySpec = QuerySpec(
     "q91_lsh_occupancy",
     (s, dir) => {
-      val sig = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = false)
+      val sig = minhashSigs(
+        Tables.load(s, dir, "documents"), withSet = false)
       bandRows(sig)
         .select(col("b").cast("long").as("b"), col("bh"))
         .groupBy(col("b"), col("bh")).agg(count(lit(1)).as("occ"))
@@ -1046,8 +1117,7 @@ object Dedup {
   val qDedupThresholdCurve: QuerySpec = QuerySpec(
     "q92_dedup_threshold_curve",
     (s, dir) => {
-      val docs = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val docs = sharedSigs(Tables.load(s, dir, "documents"))
       val cand = lshCandidates(docs)
       val sets = docs.select(col("doc_id"), col("H"))
       cand
@@ -1100,7 +1170,6 @@ object Dedup {
   val qPrefixJoin: QuerySpec = QuerySpec(
     "q101_prefix_join",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       // r18: materialize the per-doc DISTINCT shingle-hash ARRAY once —
       // the previous plan referenced the scan+hash+explode subtree three
       // times (df count, rank join, per-doc collect_list), re-running
@@ -1113,23 +1182,58 @@ object Dedup {
           .select(col("doc_id"), WordShingleHashes(col("text"), 3).as("G")))
       val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
       val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // r19 (two changes to the selection pass):
+      // (1) a df = 1 shingle occurs in exactly one document, so it can
+      //     NEVER produce a candidate pair — in the old plan every such
+      //     row rode the rank window and the prefix self-join as dead
+      //     weight. They are dropped BEFORE the window; the prefix
+      //     quota still credits them (all df = 1 rows sort strictly
+      //     first under (df, h), so the global rank of a surviving row
+      //     is n1 + rk, n1 = sz − n2 from a same-partition count).
+      //     The window now shuffles and sorts only the corpus-shared
+      //     tail of the gram distribution. Candidates are IDENTICAL:
+      //     a df = 1 prefix row matched only itself in the equi-join.
+      // (2) the prefix frame is flushed before the candidate self-join
+      //     — both join sides previously re-executed the whole
+      //     rank-window subtree (r18's plan ran 4 WindowExecs).
+      import org.apache.spark.sql.expressions.Window
       val wDoc = Window.partitionBy(col("doc_id"))
-      // sz rides the explode projection (size of the flushed array) —
-      // the count() window it replaces was a second aggregate buffer
-      // over the same per-doc sort
       val ranked = base
         .select(col("doc_id"), size(col("G")).as("sz"),
           explode(col("G")).as("h"))
         .join(dfreq, Seq("h"))
+        .filter(col("df") >= 2)
+        .withColumn("n2", count(lit(1)).over(wDoc))
         .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
-      val prefix = ranked
-        .filter(col("rk") <=
-          ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
-        .select(col("doc_id"), col("h"))
-      val cand = prefix.toDF("a", "h")
-        .join(prefix.toDF("b", "h"), Seq("h"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
+      val prefix = Scratch.flush(s,
+        Scratch.dirTag("q101-prefix", dir),
+        ranked
+          .filter(col("rk") + (col("sz") - col("n2")) <=
+            ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
+          .select(col("doc_id"), col("sz"), col("h"),
+            (col("rk") + (col("sz") - col("n2"))).as("grk")))
+      // r19: PPJoin length + positional filters (Xiao et al. 2008,
+      // public literature) prune candidates BEFORE the verify join
+      // fetches any shingle array (§2.3 shuffle metadata, not
+      // payloads; measured 409k → 125k pairs at sf0.1):
+      //  - length: J >= 1/2 forces max(sz) <= 2·min(sz);
+      //  - positional: for the globally FIRST shared shingle (always
+      //    inside both prefixes for a qualifying pair), |∩| <=
+      //    1 + min(sz_a - rk_a, sz_b - rk_b); J >= 1/2 needs
+      //    3|∩| >= sz_a + sz_b, so pairs whose best bound over the
+      //    shared prefix shingles falls short cannot qualify.
+      // Both are SUPERSET-preserving; the exact integer verify below is
+      // unchanged, so the gated output is identical by construction.
+      val cand = prefix.toDF("a", "sza", "h", "rka")
+        .join(prefix.toDF("b", "szb", "h", "rkb"), Seq("h"))
+        .filter(col("a") < col("b") &&
+          greatest(col("sza"), col("szb")) <=
+            lit(2L) * least(col("sza"), col("szb")))
+        .groupBy(col("a"), col("b"), col("sza"), col("szb"))
+        .agg(max(least(col("sza") - col("rka"), col("szb") - col("rkb")))
+          .as("mb"))
+        .filter(lit(3L) * (col("mb") + 1L) >= col("sza") + col("szb"))
+        .select(col("a"), col("b"))
       val sets = base.select(col("doc_id"), col("G"))
       cand.join(sets.toDF("a", "Ga"), Seq("a"))
         .join(sets.toDF("b", "Gb"), Seq("b"))
@@ -1827,8 +1931,7 @@ object Dedup {
     (s, dir) => {
       def sq(c: Column, times: Int): Column =
         (1 to times).foldLeft(c)((x, _) => x * x)
-      val docs = minhashAgg(
-        shingleHashRows(Tables.load(s, dir, "documents")), withSet = true)
+      val docs = sharedSigs(Tables.load(s, dir, "documents"))
       val cand = lshCandidates(docs)
       val sets = docs.select(col("doc_id"), col("H"))
       val jp = cand

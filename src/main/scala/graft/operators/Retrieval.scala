@@ -1440,15 +1440,41 @@ object Retrieval {
     "q184_rank_agreement",
     (s, dir) => {
       import s.implicits._
-      val lex = qBm25ServeBatch.build(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      // r19: the lexical and dense serving pipelines each fed TWO plan
+      // branches (their own agreement arm AND the embedded q173 fusion,
+      // which re-built both) — four serving-pipeline executions per
+      // run. Flush each request-sized serve frame once and derive the
+      // fused arm from the flushed reads with q173's exact tail
+      // (identical expressions over identical inputs, so the fused
+      // ranks cannot drift from the gated q173).
+      val lexb = Scratch.flush(s, Scratch.dirTag("q184-lexb", dir),
+        qBm25ServeBatch.build(s, dir))
+      val srv = Scratch.flush(s, Scratch.dirTag("q184-srv", dir),
+        qAnnServe.build(s, dir))
+      val lex = lexb
         .filter(col("query_id").isin(HybridQueryIds: _*))
         .select(lit("lex|dense").as("pair"), col("query_id"),
           col("doc_id"), col("rk").as("ra"))
-      val fused = qHybridServeBatch.build(s, dir)
+      val lexH = lexb
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(col("query_id"), col("doc_id"), col("rk").as("lex_rank"))
+      val denH = srv
+        .filter(col("query_id").isin(HybridQueryIds: _*))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("dense_rank"))
+      val wf = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_scaled").desc, col("doc_id"))
+      val fused = lexH.join(denH, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          (coalesce(expr(s"$RrfScale div ($RrfK + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"$RrfScale div ($RrfK + dense_rank)"), lit(0L)))
+            .as("rrf_scaled"))
+        .withColumn("frk", row_number().over(wf).cast("long"))
         .filter(col("frk") <= 3)
         .select(lit("fused|dense").as("pair"), col("query_id"),
           col("doc_id"), col("frk").as("ra"))
-      val den = qAnnServe.build(s, dir)
+      val den = srv
         .filter(col("query_id").isin(HybridQueryIds: _*))
         .select(col("query_id"), col("vec_id").as("doc_id"),
           col("rnk").as("rb"))

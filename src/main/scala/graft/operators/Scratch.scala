@@ -58,6 +58,12 @@ private[graft] object Scratch {
   def flush(s: SparkSession, tag: String, df: DataFrame): DataFrame =
     s.read.parquet(flushPath(s, tag, df))
 
+  /** A per-corpus-dir flush tag: concurrent suites over DIFFERENT dirs
+    * must never share (and therefore delete) one tag's directory.
+    */
+  def dirTag(prefix: String, dir: String): String =
+    s"$prefix-${java.lang.Long.toHexString(graft.functions.PolyHash.hash(dir))}"
+
   /** Register a flushed path as an EXTERNAL parquet catalog table so a
     * SQL-only user can query the memoized store by name
     * (`SELECT … FROM graft_dupgraph_labels_…`) instead of knowing the

@@ -39,13 +39,14 @@ object SignatureStore {
 
   final case class Store(sig: String, bands: String)
 
-  /** (sig rows, band rows) for a (doc_id, text) DataFrame — map-side
-    * shingling + ONE hash-aggregate, exactly the q22/q23 kernel. Docs
-    * with zero shingles (< 3 words) drop out: they cannot be
-    * shingle-near-dups (q23's convention).
+  /** (sig rows, band rows) for a (doc_id, text) DataFrame — fully
+    * map-side since r19 ([[Dedup.minhashSigs]]: shingle + signature
+    * kernels in the scan projection, no aggregate exchange), exactly
+    * the q22/q23 definition. Docs with zero shingles (< 3 words) drop
+    * out: they cannot be shingle-near-dups (q23's convention).
     */
   def sigAndBands(docs: DataFrame): (DataFrame, DataFrame) = {
-    val agg = Dedup.minhashAgg(Dedup.shingleHashRows(docs), withSet = true)
+    val agg = Dedup.minhashSigs(docs, withSet = true)
     val sig = agg.select(col("doc_id"), col("H"))
     val bands = agg
       .select(col("doc_id"),

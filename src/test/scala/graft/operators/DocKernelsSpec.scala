@@ -274,6 +274,22 @@ class DocKernelsSpec extends AnyFunSuite with SparkTestSession {
     assert(cmp == 0)
   }
 
+  // ---- map-side MinHash signature frame (r19) ----
+
+  test("minhashSigs ≡ legacy explode + 16-min + collect_set aggregate") {
+    corpora.foreach { docs =>
+      val legacy = Dedup.minhashAgg(Dedup.shingleHashRows(docs),
+        withSet = true).withColumn("H", sort_array(col("H")))
+      val mapSide = Dedup.minhashSigs(docs, withSet = true)
+        .withColumn("H", sort_array(col("H")))
+      assertSameRows(mapSide, legacy, "minhash signature frame (withSet)")
+      assertSameRows(
+        Dedup.minhashSigs(docs, withSet = false),
+        Dedup.minhashAgg(Dedup.shingleHashRows(docs), withSet = false),
+        "minhash signature frame")
+    }
+  }
+
   // ---- winnow kernels agree with each other ----
 
   test("WinnowFps is exactly WinnowFpSpans' fp set") {
