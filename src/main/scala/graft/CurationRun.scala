@@ -121,9 +121,9 @@ object CurationRun {
     // 5b. winnow audit — residual local overlap among SHIPPED docs
     // (the q213 rule through the SAME shared helpers): what splice +
     // collapse left behind for the next ingest cycle to watch
-    write(Dedup.winnowPairsFrom(operators.Scratch.flush(spark,
-        s"$tag-wcap", Dedup.winnowCapped(operators.Scratch.flush(spark,
-          s"$tag-wfps", Dedup.winnowFingerprints(kept))))),
+    // r19: the two Scratch flushes (wfps + wcap) replaced by the one
+    // shared fp repartition — the gated q213/q218/q225 form
+    write(Dedup.winnowPairsFrom(Dedup.winnowCapped(Dedup.sharedFps(kept))),
       s"$outDir/winnow_audit")
 
     // 5. provenance — the q146 audit frame over THIS run's decisions

@@ -2059,6 +2059,29 @@ object Dedup {
       .select(col("doc_id"), col("s.fp").as("fp"),
         col("s.mn").as("mn"), col("s.mx").as("mx"))
 
+  /** [[winnowFingerprints]] shared across a query's plan references —
+    * the [[sharedSigs]] pattern applied to the winnow family: the
+    * map-side kernel frame has no exchange of its own for AQE to reuse,
+    * so [[winnowCapped]]'s two references (the df aggregate + the
+    * join-back) and [[winnowPairsFrom]]'s three (both self-join sides +
+    * the per-doc sizes) would each re-run the WinnowFps kernel over the
+    * corpus. One explicit `repartition(fp)` gives every branch a single
+    * reusable exchange — the kernel runs once below it — AND
+    * pre-satisfies the fp hash-partitioning the df aggregate, the
+    * cap join-back and the pair self-join all require, so none of them
+    * adds an exchange of corpus-scale rows (guide §2.4: two operations
+    * keyed the same way share one exchange). Replaces the per-query
+    * Scratch.flush pair (q213/q218/q225 each paid two parquet
+    * write+read round trips; the LSH-family A/B measured the
+    * repartition form faster than flush at sf0.1).
+    */
+  private[graft] def sharedFps(docs: DataFrame): DataFrame =
+    winnowFingerprints(docs).repartition(col("fp"))
+
+  /** Position-carrying twin of [[sharedFps]] (q221). */
+  private[graft] def sharedFpSpans(docs: DataFrame): DataFrame =
+    winnowFingerprintSpans(docs).repartition(col("fp"))
+
   /** Cap-filtered fingerprints: rows of `fps` whose fingerprint is
     * shared by at most [[WinnowDfCap]] documents. Exchange-free when
     * `fps` is fp-bucketed (the store path); the caller materializes the
@@ -2128,11 +2151,10 @@ object Dedup {
 
   val qWinnowPairs: QuerySpec = QuerySpec(
     "q213_winnow_pairs",
-    (s, dir) => {
-      val fps = Scratch.flush(s, "q213-fps",
-        winnowFingerprints(Tables.load(s, dir, "documents")))
-      winnowPairsFrom(Scratch.flush(s, "q213-capped", winnowCapped(fps)))
-    },
+    // r19: both Scratch flushes (fps + capped) replaced by the one
+    // shared fp repartition — see [[sharedFps]]
+    (s, dir) => winnowPairsFrom(
+      winnowCapped(sharedFps(Tables.load(s, dir, "documents")))),
     Some(s"""WITH $winnowSqlCtes
             | SELECT doc_a, doc_b, shared, sa.n AS nfp_a, sb.n AS nfp_b,
             |  CAST((10000 * shared) // least(sa.n, sb.n) AS BIGINT)
@@ -2163,9 +2185,9 @@ object Dedup {
     "q218_dedup_method_agreement",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val fps = Scratch.flush(s, "q218-fps", winnowFingerprints(docs))
-      val wp = winnowPairsFrom(
-        Scratch.flush(s, "q218-capped", winnowCapped(fps)))
+      // r19: winnow arm rides the shared fp repartition (see
+      // [[sharedFps]]); the LSH arm rides [[sharedSigs]] — no flushes
+      val wp = winnowPairsFrom(winnowCapped(sharedFps(docs)))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("w"))
       val lp = verifiedPairs(docs)
         .select(col("doc_id_1").as("doc_a"), col("doc_id_2").as("doc_b"),
@@ -2218,15 +2240,15 @@ object Dedup {
     *
     * Scale shape: identical to q213 — same selection pass (one extra
     * (doc, fp) agg), same df-capped fp equi-join, extents as 4 more
-    * min/max aggregates on the pair group-by. Flushed once per
-    * consumer stage like q213.
+    * min/max aggregates on the pair group-by. Shares one fp-keyed
+    * exchange across all plan references like q213 ([[sharedFpSpans]]).
     */
   val qWinnowExtents: QuerySpec = QuerySpec(
     "q221_winnow_extents",
     (s, dir) => {
-      val sp = Scratch.flush(s, "q221-spans",
-        winnowFingerprintSpans(Tables.load(s, dir, "documents")))
-      val capped = Scratch.flush(s, "q221-capped", winnowCapped(sp))
+      // r19: span flush + capped flush → one shared fp repartition
+      val capped =
+        winnowCapped(sharedFpSpans(Tables.load(s, dir, "documents")))
       val a = capped.select(col("fp"), col("doc_id").as("doc_a"),
         col("mn").as("amn"), col("mx").as("amx"))
       val b = capped.select(col("fp"), col("doc_id").as("doc_b"),
@@ -2288,9 +2310,8 @@ object Dedup {
     "q225_winnow_source_matrix",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val fps = Scratch.flush(s, "q225-fps", winnowFingerprints(docs))
-      val wp = winnowPairsFrom(
-        Scratch.flush(s, "q225-capped", winnowCapped(fps)))
+      // r19: flushes → shared fp repartition (see [[sharedFps]])
+      val wp = winnowPairsFrom(winnowCapped(sharedFps(docs)))
       val src = docs.select(col("doc_id"), col("source"))
       wp
         .join(src.select(col("doc_id").as("doc_a"),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Suite-wide plan lint — automates what PlanAudit leaves to the eye:
@@ -83,6 +84,60 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
         s"cartesian products: ${carts.result().mkString(", ")}")
       assert(bnljs.result().isEmpty,
         s"unwhitelisted BroadcastNestedLoopJoin: ${bnljs.result().mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Queries whose plan legitimately carries UNPARTITIONED windows
+    * (`WindowExec` with an empty partition spec — a single-partition
+    * collapse if the input is corpus-scale), with the EXACT count
+    * pinned. Every entry's window input is BOUNDED independent of
+    * corpus size: an aggregate output (histogram buckets, per-source /
+    * per-day rollups, summary grids), a top-k/limit result, or a
+    * vocabulary-sized frame (BPE vocab ids) — the round-18 verdict's
+    * item 4 audit. A new global window anywhere else in the suite (the
+    * silent 100 TB single-partition collapse) fails this spec; adding
+    * an entry requires the same boundedness justification in the
+    * query's scaladoc.
+    */
+  private val globalWindowWhitelist: Map[String, Int] = Map(
+    // request-sized candidate set of one probe query
+    "q179_multiprobe_lsh" -> 1,
+    // per-word-count histograms (rows ≤ longest doc's word count — a
+    // document property, not corpus cardinality)
+    "q149_wasserstein_drift" -> 1, "q123_curriculum" -> 2,
+    "q177_padding_waste" -> 1, "q127_seqlen_histogram" -> 2,
+    // fixed-width bucket/grid histograms (≤64 log2 buckets, value
+    // grids, hourly buckets, lag histogram, path alphabet³, quality
+    // grid ≤1000, price buckets)
+    "q145_vocab_growth" -> 1, "q142_pad_plan" -> 1,
+    "q104_quantile_sketch" -> 1, "q187_concurrency" -> 1,
+    "q199_session_paths" -> 1, "q200_conversion_lag" -> 2,
+    "q190_pareto_frontier" -> 1,
+    // BPE vocab ids (vocabulary-sized, corpus-independent)
+    "q203_token_shards" -> 1,
+    // two top-k (LIMIT-bounded) serving result rankings
+    "q133_hybrid_rrf" -> 2,
+    // BudgetBuckets-sized cut histogram ×2 + the boundary-bucket
+    // residual pick — the latter orders docs of ONE bucket of a
+    // B-bucket grid (quota-bounded at corpus/B; the exact budget-cut
+    // semantics need that total order)
+    "q160_budget_selection" -> 3, "q165_selection_shift" -> 3)
+
+  test("unpartitioned windows only above bounded (aggregate/limit/vocab) frames") {
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val bad = Seq.newBuilder[String]
+      Queries.all.foreach { q =>
+        val plan = q.build(spark, dir).queryExecution.executedPlan
+        val nGlobal = plan.collectWithSubqueries {
+          case w: WindowExec if w.partitionSpec.isEmpty => w }.size
+        if (nGlobal != globalWindowWhitelist.getOrElse(q.name, 0))
+          bad += s"${q.name}($nGlobal, whitelisted " +
+            s"${globalWindowWhitelist.getOrElse(q.name, 0)})"
+      }
+      assert(bad.result().isEmpty,
+        s"unwhitelisted global windows: ${bad.result().mkString(", ")}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
