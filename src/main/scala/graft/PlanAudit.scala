@@ -12,6 +12,11 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_PLAN_NOAQE=1: print the STATIC plan (AQE wraps the
+      // tree in unexecuted stages, hiding ReusedExchange dedup — the
+      // PlanShapeSpec/AnnPrunedSpec discipline, exposed for eyeballs)
+      .config("spark.sql.adaptive.enabled",
+        !sys.env.get("SPARK_GRAFT_PLAN_NOAQE").contains("1"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val wanted = if (args.isEmpty) Queries.all.map(_.name) else args.toSeq

@@ -667,8 +667,12 @@ object Curation {
         .select(col("doc_id"), col("source"),
           TextMetrics.wordCount(col("text")).cast("long").as("w"))
         .select(col("doc_id"), col("source"), expr("w div 10").as("wb"))
-      // flushed: referenced by ref/sources/grid — unflushed, each
-      // reference re-runs the corpus scan (the q115 rule; plan-audited)
+      // flushed: referenced by ref/sources/grid — an un-flush was tried
+      // in r19 and REVERTED: the ref branch's `source = src0` predicate
+      // pushes below the aggregate into the scan, so the branches'
+      // subtrees are not canonically equal and exchange reuse cannot
+      // dedupe them (static plan: 5 documents scans) — a corpus rescan
+      // per branch at scale for a 0.90× local win
       val hist = Scratch.flush(s, "q150-hist",
         docs.groupBy(col("source"), col("wb"))
           .agg(count(lit(1)).as("o")))
@@ -781,9 +785,11 @@ object Curation {
           coalesce(sum(col("hit")), lit(0L)).as("nh"))
         .select(col("doc_id"),
           when(lit(2L) * col("nh") >= col("nb"), 1L).otherwise(0L).as("lmk"))
-      val flags = Scratch.flush(s, "q152-flags",
-        base.join(lm, Seq("doc_id"), "left")
-          .na.fill(0L, Seq("lmk")))
+      // r19: unflushed — since the one-pass aggregate rewrite the
+      // flags frame has a SINGLE plan reference, so the flush's
+      // write+read round trip bought nothing
+      val flags = base.join(lm, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("lmk"))
       // r19: ONE pass over the flushed flags computes every pair's
       // cells — the previous tail ran SIX separate single-row
       // aggregates (each its own scan + partial/final agg pair)
@@ -1672,7 +1678,12 @@ object Curation {
       import org.apache.spark.sql.expressions.Window
       // the two regexp passes run ONCE: d feeds both the grid agg and
       // the frontier join-back, and per-branch re-execution would scan
-      // (and re-regex) the corpus twice
+      // (and re-regex) the corpus twice. A repartition(doc_id) swap was
+      // tried in r19 and REVERTED: the frontier join-back infers
+      // IsNotNull on its derived keys and pushes them below the
+      // exchange, so the two subtrees are not canonically equal and
+      // reuse cannot dedupe them (static plan: 2 documents scans — a
+      // corpus+regex rescan at scale for a 0.87× local win)
       val d = Scratch.flush(s, "q190-docs", Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),

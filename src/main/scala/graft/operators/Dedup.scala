@@ -1845,6 +1845,13 @@ object Dedup {
         .withColumn("direct_hit", lit(1L))
       val lbl = DupGraph.labels(s, dir)
         .select(col("u").as("doc_id"), col("cluster_id"))
+      // flushed: the flags frame feeds the taint aggregate and the
+      // final cluster_id join. A repartition(cluster_id) swap was
+      // tried in r19 and REVERTED: the taint branch prunes doc_id
+      // THROUGH the repartition, so the two exchange subtrees are not
+      // canonically equal and reuse cannot dedupe them (static plan:
+      // the shingle semi-join pipeline ran twice, 5 documents scans,
+      // for a 0.73× local win)
       val flags = Scratch.flush(s, "q153-flags",
         docs.select(col("doc_id"))
           .join(lbl, Seq("doc_id"), "left")

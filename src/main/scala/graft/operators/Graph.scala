@@ -163,19 +163,36 @@ object Graph {
     (s, dir) => {
       val edges = DupGraph.edges(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val oriented = Scratch.flush(s, "q107-oriented", edges
+      // r19: flush → repartition(u) (the sharedSigs form): the degree
+      // joins run once below the shared exchange, whose u partitioning
+      // both wedge-join sides reuse directly. The explicit no-op
+      // isNotNulls and the closing branch's dv >= 0 reference (degrees
+      // are counts ≥ 1) keep all three consumer subtrees canonically
+      // equal under pushdown/pruning so reuse actually dedupes them
+      // (the denseDayGrid discipline)
+      val oriented = edges
+        .filter(col("u").isNotNull && col("v").isNotNull)
         .join(deg.toDF("u", "du"), Seq("u"))
         .join(deg.toDF("v", "dv"), Seq("v"))
         .filter(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")))
-        .select(col("u"), col("v"), col("dv")))
+        .select(col("u"), col("v"), col("dv"))
+        .repartition(col("u"))
+      // every consumer filters its copy of dv with the same no-op
+      // predicate (degrees are counts ≥ 1): pushdown lands the SAME
+      // filter below each branch's repartition and pruning keeps the
+      // SAME column set, so the three subtrees stay canonically equal
+      // and the exchange is reused, not re-executed
       val wedges = oriented.toDF("u", "b", "db")
-        .join(oriented.toDF("u", "c", "dc"), Seq("u"))
+        .filter(col("db") >= 0)
+        .join(oriented.toDF("u", "c", "dc").filter(col("dc") >= 0),
+          Seq("u"))
         .filter(col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c")))
         .select(col("u").as("a"), col("b"), col("c"))
       val tri = wedges
-        .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        .join(oriented.filter(col("dv") >= 0)
+            .select(col("u").as("b"), col("v").as("c")),
           Seq("b", "c"))
       val perNode = tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("u"))

@@ -672,13 +672,14 @@ object Profiling {
     "q191_mad_outliers",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // the one corpus scan: the histogram flushes through scratch
-      // because it feeds BOTH the median pass and the deviation regroup
-      // — per-branch re-execution would rescan events
-      val h = Scratch.flush(s, "q191-hist", Tables.load(s, dir, "events")
+      // the one corpus scan: the histogram is aggregate-topped, so the
+      // median pass and the deviation regroup reuse its exchange and
+      // neither rescans events (r19: unflushed — the parquet round
+      // trip measured slower than shuffle reuse)
+      val h = Tables.load(s, dir, "events")
         .select(col("event_type"),
           expr("CAST(ROUND(value * 100) AS BIGINT)").as("v2"))
-        .groupBy(col("event_type"), col("v2")).agg(count(lit(1)).as("cnt")))
+        .groupBy(col("event_type"), col("v2")).agg(count(lit(1)).as("cnt"))
       def medianOf(hist: org.apache.spark.sql.DataFrame, v: String,
           out: String): org.apache.spark.sql.DataFrame = {
         val byV = Window.partitionBy(col("event_type")).orderBy(col(v))
@@ -814,8 +815,16 @@ object Profiling {
   private def hllRows(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     hllRegisterRows(Tables.load(s, dir, "events")
+      // explicit no-op (required column): keeps every consumer
+      // branch's pushed scan filters identical so exchange reuse can
+      // dedupe them (the denseDayGrid discipline, r19)
+      .filter(col("event_type").isNotNull)
       .select(col("event_type"), col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("day")))
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      // the dense grid's left join infers IsNotNull on its probe
+      // branch's keys only — stated explicitly for the one-scan reason
+      .filter(col("day").isNotNull))
+      .filter(col("bucket").isNotNull)
 
   /** The rolling 7-day estimate plan over a daily register cube
     * (event_type, day, bucket, r) — ONE definition shared by q197 and
@@ -826,8 +835,14 @@ object Profiling {
   private[graft] def hllRolling(
       daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dense = daily.select(col("event_type")).distinct()
-      .crossJoin(broadcast(daily.select(col("day")).distinct()))
+    // the r >= 0 filters are no-ops (r = max leading-zero rank ≥ 0);
+    // they reference r so the key-derivation branches keep the daily
+    // aggregate in their subtree and reuse its exchange instead of
+    // re-scanning events (the Temporal.denseDayGrid discipline, r19)
+    val dense = daily.filter(col("r") >= 0)
+      .select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        daily.filter(col("r") >= 0).select(col("day")).distinct()))
       .select(col("event_type"), col("day"),
         explode(sequence(lit(0L), lit(63L))).as("bucket"))
       .join(daily, Seq("event_type", "day", "bucket"), "left")
@@ -869,7 +884,12 @@ object Profiling {
       val rows0 = hllRows(s, dir)
       val dmin = rows0.agg(min(col("day")).as("dmin"))
       // the hashed/ranked range rows flush once: they feed the daily
-      // cube, the direct registers, and the exact count
+      // cube, the direct registers, and the exact count. A repartition
+      // swap was tried in r19 and REVERTED: the three consumers prune
+      // different columns THROUGH the repartition (rho vs user_id), so
+      // the exchange subtrees are not canonically equal and reuse
+      // cannot dedupe them (static plan: 4 events scans for a 0.92×
+      // local win)
       val rows = Scratch.flush(s, "q194-rows",
         rows0.crossJoin(broadcast(dmin))
           .filter(col("day") < col("dmin") + 14))
@@ -1137,10 +1157,10 @@ object Profiling {
   val qRollingDistinct: QuerySpec = QuerySpec(
     "q197_rolling_distinct",
     (s, dir) =>
-      hllRolling(Scratch.flush(s, "q197-daily",
-        hllRows(s, dir)
-          .groupBy(col("event_type"), col("day"), col("bucket"))
-          .agg(max(col("rho")).as("r")))),
+      // r19: unflushed — aggregate-topped, branches reuse the exchange
+      hllRolling(hllRows(s, dir)
+        .groupBy(col("event_type"), col("day"), col("bucket"))
+        .agg(max(col("rho")).as("r"))),
     Some(
       s"""WITH $hllRowsSql,
          | daily AS MATERIALIZED (SELECT event_type, day, bucket,

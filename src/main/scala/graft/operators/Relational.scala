@@ -586,7 +586,12 @@ object Relational {
       // (ok, pk) distinct-collapses ONCE through scratch: it feeds the
       // basket total, the item supports, and both sides of the pair
       // join — four references that would each re-run the scan+distinct
-      // (the union-branch re-execution trap)
+      // (the union-branch re-execution trap). An un-flush was tried in
+      // r19 and REVERTED: the optimizer specializes each branch below
+      // the distinct (join-key IsNotNull pushdown; the basket total
+      // collapses to a raw count_distinct scan), so the subtrees are
+      // not canonically equal and exchange reuse cannot dedupe them
+      // (static plan: 3 lineitem scans for a 0.97× local win)
       val items = Scratch.flush(s, "q189-items", t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct())
@@ -925,23 +930,36 @@ object Relational {
       import s.implicits._
       val edges = CoGraph.edges(s, dir)
       val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-      val oriented = Scratch.flush(s, "q222-oriented", edges
+      // r19: flush → repartition(u) (the sharedSigs form): the degree
+      // joins run once below the shared exchange, whose u partitioning
+      // both triangle-join sides reuse directly. Explicit no-op
+      // isNotNulls + the closing branch's dv >= 0 reference keep the
+      // three consumer subtrees canonically equal (the denseDayGrid
+      // discipline; see q107)
+      val oriented = edges
+        .filter(col("u").isNotNull && col("v").isNotNull)
         .join(deg.toDF("u", "du"), Seq("u"))
         .join(deg.toDF("v", "dv"), Seq("v"))
         .filter(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")))
-        .select(col("u"), col("v"), col("dv")))
+        .select(col("u"), col("v"), col("dv"))
+        .repartition(col("u"))
       val base = deg.agg(count(lit(1)).as("n"),
         expr("sum((deg * (deg - 1)) div 2)").as("w"),
         expr("sum(deg) div 2").as("m")).collect().head
       val (nNodes, wedges, nEdges) =
         (base.getLong(0), base.getLong(1), base.getLong(2))
+      // same-predicate-per-branch no-ops as q107: keep the three
+      // oriented subtrees canonically equal under pushdown/pruning
       val tri = oriented.toDF("u", "b", "db")
-        .join(oriented.toDF("u", "c", "dc"), Seq("u"))
+        .filter(col("db") >= 0)
+        .join(oriented.toDF("u", "c", "dc").filter(col("dc") >= 0),
+          Seq("u"))
         .filter(col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c")))
         .select(col("b"), col("c"))
-        .join(oriented.select(col("u").as("b"), col("v").as("c")),
+        .join(oriented.filter(col("dv") >= 0)
+            .select(col("u").as("b"), col("v").as("c")),
           Seq("b", "c"))
         .count()
       Seq((nNodes, nEdges, wedges, tri,

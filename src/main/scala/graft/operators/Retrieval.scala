@@ -641,6 +641,11 @@ object Retrieval {
   val qSemDedupCcAgreement: QuerySpec = QuerySpec(
     "q232_semdedup_cc_agreement",
     (s, dir) => {
+      // flushed: the embedded semdedup plan feeds both the vec_id join
+      // and the exemplar side. A repartition(vec_id) swap was tried in
+      // r19 and REVERTED: the two consumers prune different columns
+      // through the repartition, so reuse cannot dedupe the subtrees
+      // (static plan: 4 store scans for a 0.98× local win)
       val m = Scratch.flush(s,
         s"semccagree-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
         qSemDedupMulti.build(s, dir)

@@ -515,14 +515,16 @@ object Temporal {
         .groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("tus")).as("start_us"), max(col("tus")).as("end_us"))
       // the sessionize windows + instant collapse run ONCE: the delta
-      // frame feeds both the carry aggregate and the final join
-      val deltas = Scratch.flush(s, "q187-deltas", sess
+      // frame is aggregate-topped, so the carry aggregate and the
+      // final join share its (t) agg exchange (r19: unflushed — the
+      // parquet round trip measured slower than shuffle reuse)
+      val deltas = sess
         .select(explode(array(
           struct(col("start_us").as("t"), lit(1L).as("d")),
           struct((col("end_us") + 1).as("t"), lit(-1L).as("d")))).as("x"))
         .select(col("x.t").as("t"), col("x.d").as("d"))
         .groupBy(col("t")).agg(sum(col("d")).as("d"))
-        .withColumn("bucket", expr("t div 3600000000")))
+        .withColumn("bucket", expr("t div 3600000000"))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("t"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wBkt = Window.orderBy(col("bucket"))
@@ -586,19 +588,11 @@ object Temporal {
   val qCusumChangepoint: QuerySpec = QuerySpec(
     "q192_cusum_changepoint",
     (s, dir) => {
-      // ONE corpus agg; types/days derive from the flushed grid-sized
-      // count frame, so no branch rescans events
-      val counts = Scratch.flush(s, "q192-counts",
-        Tables.load(s, dir, "events")
-          .select(col("event_type"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("x")))
-      val grid = counts.select(col("event_type")).distinct()
-        .crossJoin(broadcast(counts.select(col("day")).distinct()))
-        .join(counts, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      // ONE corpus agg; types/days derive from the grid-sized count
+      // frame, every branch reusing its exchange (r19: unflushed —
+      // see [[denseDayGrid]] for the subtree-alignment discipline)
+      val counts = eventDayCounts(Tables.load(s, dir, "events"))
+      val grid = denseDayGrid(counts)
       val mu = grid.groupBy(col("event_type"))
         .agg(sum(col("x")).as("tot"), count(lit(1)).as("nd"))
         .select(col("event_type"), expr("tot div nd").as("mu"))
@@ -804,17 +798,19 @@ object Temporal {
   val qDailyAutocorr: QuerySpec = QuerySpec(
     "q201_daily_autocorr",
     (s, dir) => {
-      val counts = Scratch.flush(s, "q201-counts",
-        Tables.load(s, dir, "events")
-          .select(col("event_type"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("x")))
-      val grid = counts.select(col("event_type")).distinct()
-        .crossJoin(broadcast(counts.select(col("day")).distinct()))
-        .join(counts, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      // r19: unflushed — branches reuse the one agg exchange (see
+      // [[denseDayGrid]] for the subtree-alignment discipline).
+      // The no-op shift filters (day is never null) are stated BELOW
+      // the grid's branch point: each lag join infers
+      // IsNotNull(day − k) on its shifted branch and pushes it into
+      // that branch's counts subtree, which would make the grid
+      // branches unequal and block exchange reuse (3 events scans);
+      // stating both shifts on the shared counts frame keeps every
+      // branch canonically equal.
+      val counts = eventDayCounts(Tables.load(s, dir, "events"))
+        .filter((col("day") - lit(1L)).isNotNull &&
+          (col("day") - lit(7L)).isNotNull)
+      val grid = denseDayGrid(counts)
       val tot = grid.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("t"))
       val g = grid.join(broadcast(tot), Seq("event_type"))
@@ -940,17 +936,10 @@ object Temporal {
   val qForecastEval: QuerySpec = QuerySpec(
     "q210_forecast_eval",
     (s, dir) => {
-      val counts = Scratch.flush(s, "q210-counts",
-        Tables.load(s, dir, "events")
-          .select(col("event_type"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy(col("event_type"), col("day"))
-          .agg(count(lit(1)).as("x")))
-      val grid = counts.select(col("event_type")).distinct()
-        .crossJoin(broadcast(counts.select(col("day")).distinct()))
-        .join(counts, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      // r19: unflushed — branches reuse the one agg exchange (see
+      // [[denseDayGrid]] for the subtree-alignment discipline)
+      val counts = eventDayCounts(Tables.load(s, dir, "events"))
+      val grid = denseDayGrid(counts)
       val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
       val wAll = Window.partitionBy(col("event_type"))
       grid
@@ -1034,10 +1023,41 @@ object Temporal {
     */
   private[graft] def eventDayCounts(events: DataFrame): DataFrame =
     events
+      // explicit (no-op — event_type is a required column): joins on
+      // event_type in SOME consumer branches infer and push this
+      // predicate below the aggregate; stating it on every branch
+      // keeps the scan subtrees canonically equal so exchange reuse
+      // dedupes them to one events pass (r19)
+      .filter(col("event_type").isNotNull)
       .select(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
+      // the grid's left join infers IsNotNull(day) on its probe branch
+      // only — stated explicitly for the same one-scan reason
+      .filter(col("day").isNotNull)
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("x"))
+
+  /** Dense zero-filled (event_type × day) grid over an
+    * (event_type, day, x) count frame — the calendar-completion every
+    * daily-series operator (q192/q201/q210/q214/q220) starts from,
+    * sharing the count frame's ONE aggregate exchange across all three
+    * plan references. The `x > 0` filters are no-ops (x counts rows,
+    * so x ≥ 1 on every input row); they exist to REFERENCE x in the
+    * key-derivation branches, which stops the optimizer from
+    * collapsing the aggregate out of those branches
+    * (RemoveRedundantAggregates + column pruning would otherwise
+    * rewrite `counts.select(k).distinct()` into a separate raw scan) —
+    * with the reference, the three subtrees stay canonically equal and
+    * exchange reuse dedupes them to ONE corpus pass (r19; verified on
+    * the static plan, AQE off).
+    */
+  private[graft] def denseDayGrid(counts: DataFrame): DataFrame =
+    counts.filter(col("x") > 0).select(col("event_type")).distinct()
+      .crossJoin(broadcast(
+        counts.filter(col("x") > 0).select(col("day")).distinct()))
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("x"), lit(0L)).as("x"))
 
   /** q214's recurrence over a MATERIALIZED (event_type, day, x) count
     * frame — zero-fill grid + per-type integer EWMA fold, shared by the
@@ -1045,11 +1065,7 @@ object Temporal {
     * streamed and batch anomaly boards can never fork.
     */
   private[graft] def ewmaFromCounts(counts: DataFrame): DataFrame = {
-      val grid = counts.select(col("event_type")).distinct()
-        .crossJoin(broadcast(counts.select(col("day")).distinct()))
-        .join(counts, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("x"), lit(0L)).as("x"))
+      val grid = denseDayGrid(counts)
       grid
         .groupBy(col("event_type"))
         .agg(sort_array(collect_list(struct(col("day"), col("x"))))
@@ -1078,8 +1094,9 @@ object Temporal {
 
   val qEwmaAnomaly: QuerySpec = QuerySpec(
     "q214_ewma_anomaly",
-    (s, dir) => ewmaFromCounts(Scratch.flush(s, "q214-counts",
-      eventDayCounts(Tables.load(s, dir, "events")))),
+    // r19: unflushed — aggregate-topped, branches reuse the exchange
+    (s, dir) => ewmaFromCounts(
+      eventDayCounts(Tables.load(s, dir, "events"))),
     Some("""WITH RECURSIVE e AS (SELECT event_type,
            |   epoch_us(ts) // 86400000000 AS day FROM events),
            | cnt AS MATERIALIZED (SELECT event_type, day,
@@ -1217,18 +1234,13 @@ object Temporal {
   val qSeasonalStrength: QuerySpec = QuerySpec(
     "q220_seasonal_strength",
     (s, dir) => {
-      val counts = Scratch.flush(s, "q220-counts",
-        eventDayCounts(Tables.load(s, dir, "events")))
-      // grid flushed once: BOTH variance branches read it (the q208
-      // flush-once discipline — an inline grid would re-execute its
-      // bounded cross per branch)
-      val grid = Scratch.flush(s, "q220-grid",
-        counts.select(col("event_type")).distinct()
-          .crossJoin(broadcast(counts.select(col("day")).distinct()))
-          .join(counts, Seq("event_type", "day"), "left")
-          .select(col("event_type"), col("day"),
-            coalesce(col("x"), lit(0L)).as("x"),
-            expr("(day + 4) % 7").as("dow")))
+      // r19: both flushes removed — all grid references reuse the one
+      // agg exchange (see [[denseDayGrid]]); the grid join above it is
+      // calendar-bounded, so its per-branch re-execution is cheaper
+      // than two parquet round trips
+      val counts = eventDayCounts(Tables.load(s, dir, "events"))
+      val grid = denseDayGrid(counts)
+        .withColumn("dow", expr("(day + 4) % 7"))
       val tot = grid.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("t"),
           sum(col("x") * col("x")).as("sx2"))

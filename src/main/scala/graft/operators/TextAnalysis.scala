@@ -680,9 +680,9 @@ object TextAnalysis {
     */
   val qClassifierEval: QuerySpec = QuerySpec(
     "q208_classifier_eval",
-    (s, dir) => evalFromGrid(Scratch.flush(s,
-      s"q208-grid-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
-      scoreGrid(Tables.load(s, dir, "documents")))),
+    // r19: unflushed — the grid is aggregate-topped, evalFromGrid's
+    // references reuse its exchange
+    (s, dir) => evalFromGrid(scoreGrid(Tables.load(s, dir, "documents"))),
     Some(s"""WITH $classifierScoreCtes,
             | lb AS (SELECT doc_id, source,
             |   CASE WHEN 50 * ${TextMetrics.stopCountSql("text")}
@@ -876,11 +876,14 @@ object TextAnalysis {
   val qSourceDrift: QuerySpec = QuerySpec(
     "q115_source_drift",
     (s, dir) => {
-      val st = Scratch.flush(s, "q115-st",
-        Tables.load(s, dir, "documents")
-          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-          .groupBy(col("source"), col("tok"))
-          .agg(count(lit(1)).as("o")))
+      // r19: unflushed — every branch reuses the one agg exchange; the
+      // explicit no-op isNotNull keeps the branches' pushed scan
+      // filters identical (the denseDayGrid discipline)
+      val st = Tables.load(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("o"))
       val ct = st.groupBy(col("tok")).agg(sum(col("o")).as("c"))
       val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
       val tot = st.agg(sum(col("o")).as("N"))
@@ -948,8 +951,15 @@ object TextAnalysis {
     * online monitor can never fork from the gated metric.
     */
   private[graft] def lengthHist(docs: DataFrame): DataFrame =
-    docs.select(col("source"),
+    // explicit no-op (required column): keeps every consumer branch's
+    // pushed scan filters identical so exchange reuse can dedupe them
+    // (the Temporal.denseDayGrid discipline, r19)
+    docs.filter(col("source").isNotNull)
+      .select(col("source"),
         TextMetrics.wordCount(col("text")).cast("long").as("w"))
+      // the W₁ grid's left join infers IsNotNull(w) on its probe
+      // branch only — stated explicitly for the same one-scan reason
+      .filter(col("w").isNotNull)
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("o"))
 
@@ -983,11 +993,11 @@ object TextAnalysis {
 
   val qWassersteinDrift: QuerySpec = QuerySpec(
     "q149_wasserstein_drift",
-    // the histogram is scratch-flushed: wassersteinBySource references
-    // its input 4× (ns/supp/tot/grid-join) and an unflushed frame would
-    // re-run the corpus scan per reference (the q115 rule; plan-audited)
-    (s, dir) => wassersteinBySource(Scratch.flush(s, "q149-st",
-      lengthHist(Tables.load(s, dir, "documents")))),
+    // r19: unflushed — the histogram is aggregate-topped, so all four
+    // wassersteinBySource references (ns/supp/tot/grid-join) reuse its
+    // exchange; only the grid-sized final agg re-runs per branch
+    (s, dir) => wassersteinBySource(
+      lengthHist(Tables.load(s, dir, "documents"))),
     Some(s"""WITH wc AS (SELECT source,
             |   CAST(${TextMetrics.wordCountSql("text")} AS BIGINT) AS w
             |  FROM documents),

@@ -60,6 +60,10 @@ class PlanLintSpec extends AnyFunSuite with SparkTestSession {
     "q210_forecast_eval" -> 1, "q211_token_collisions" -> 1,
     "q212_source_bias" -> 1, "q214_ewma_anomaly" -> 1,
     "q217_lpa_modularity" -> 1,
+    // r19 un-flush: the calendar-bounded denseDayGrid cross (day side
+    // broadcast, rows = distinct days — time-bounded, not corpus-
+    // bounded) is now visible once per grid-consuming agg branch
+    "q220_seasonal_strength" -> 2,
     // one-row corpus total broadcast onto the 8-row τ grid
     "q230_semdedup_yield" -> 1)
 

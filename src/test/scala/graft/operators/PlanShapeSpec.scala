@@ -269,15 +269,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession {
   }
 
   for ((name, q, table) <- Seq(
-      ("q187_concurrency", graft.operators.Temporal.qConcurrency, "events"),
       ("q189_market_basket", Relational.qMarketBasket, "lineitem"),
-      ("q190_pareto_frontier", Curation.qParetoFrontier, "documents"),
-      ("q191_mad_outliers", Profiling.qMadOutliers, "events"),
-      ("q197_rolling_distinct", Profiling.qRollingDistinct, "events")))
+      ("q190_pareto_frontier", Curation.qParetoFrontier, "documents")))
     test(s"$name serves from its flushed frame — no raw $table scan in the returned plan") {
       val scans = rawScans(q, table)
       assert(scans.isEmpty,
         s"$name re-scans $table ${scans.size}x — the flush-once discipline regressed")
+    }
+
+  // r19 batch 3 un-flushed these (the parquet round trip measured
+  // slower than shuffle-file reuse at sf0.1): the discipline is now
+  // ONE raw-table scan shared across every plan branch via exchange
+  // reuse — >1 means a branch's subtree signature diverged (the
+  // denseDayGrid alignment regressed), 0 means a flush crept back in.
+  for ((name, q, table) <- Seq(
+      ("q187_concurrency", graft.operators.Temporal.qConcurrency, "events"),
+      ("q191_mad_outliers", Profiling.qMadOutliers, "events"),
+      ("q197_rolling_distinct", Profiling.qRollingDistinct, "events"),
+      ("q192_cusum_changepoint",
+        graft.operators.Temporal.qCusumChangepoint, "events"),
+      ("q201_daily_autocorr",
+        graft.operators.Temporal.qDailyAutocorr, "events"),
+      ("q210_forecast_eval",
+        graft.operators.Temporal.qForecastEval, "events"),
+      ("q214_ewma_anomaly",
+        graft.operators.Temporal.qEwmaAnomaly, "events"),
+      ("q220_seasonal_strength",
+        graft.operators.Temporal.qSeasonalStrength, "events")))
+    test(s"$name shares ONE raw $table scan across all branches (exchange reuse)") {
+      val scans = rawScans(q, table)
+      assert(scans.size == 1,
+        s"$name scans $table ${scans.size}x — expected exactly one " +
+          "shared scan (un-flushed, exchange-reuse-aligned)")
     }
 
   test("q195_referential_audit scans lineitem exactly once for its three FK edges") {
