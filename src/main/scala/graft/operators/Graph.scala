@@ -182,18 +182,25 @@ object Graph {
       // predicate (degrees are counts ≥ 1): pushdown lands the SAME
       // filter below each branch's repartition and pruning keeps the
       // SAME column set, so the three subtrees stay canonically equal
-      // and the exchange is reused, not re-executed
+      // and the exchange is reused, not re-executed. The join-back
+      // additionally matches on dc = dv — a no-op (dv = deg(v) is
+      // functionally determined by v, so (b,c,dc)=(u,v,dv) ≡
+      // (b,c)=(u,v)) that makes the closing branch CONSUME dv above
+      // its exchange exactly like the wedge sides do; without it,
+      // column pruning drops dv from that branch's exchange and the
+      // subtree signature diverges (2 store-subtree executions)
       val wedges = oriented.toDF("u", "b", "db")
         .filter(col("db") >= 0)
         .join(oriented.toDF("u", "c", "dc").filter(col("dc") >= 0),
           Seq("u"))
         .filter(col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c")))
-        .select(col("u").as("a"), col("b"), col("c"))
+        .select(col("u").as("a"), col("b"), col("c"), col("dc"))
       val tri = wedges
         .join(oriented.filter(col("dv") >= 0)
-            .select(col("u").as("b"), col("v").as("c")),
-          Seq("b", "c"))
+            .select(col("u").as("b"), col("v").as("c"),
+              col("dv").as("dc")),
+          Seq("b", "c", "dc"))
       val perNode = tri
         .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("tri"))

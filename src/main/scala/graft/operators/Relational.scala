@@ -950,17 +950,22 @@ object Relational {
       val (nNodes, wedges, nEdges) =
         (base.getLong(0), base.getLong(1), base.getLong(2))
       // same-predicate-per-branch no-ops as q107: keep the three
-      // oriented subtrees canonically equal under pushdown/pruning
+      // oriented subtrees canonically equal under pushdown/pruning.
+      // The join-back matches on dc = dv too — a no-op (dv = deg(v) is
+      // functionally determined by v) that keeps dv CONSUMED above the
+      // closing branch's exchange, so column pruning leaves all three
+      // exchanges with the same (u, v, dv) signature (see q107)
       val tri = oriented.toDF("u", "b", "db")
         .filter(col("db") >= 0)
         .join(oriented.toDF("u", "c", "dc").filter(col("dc") >= 0),
           Seq("u"))
         .filter(col("db") < col("dc") ||
           (col("db") === col("dc") && col("b") < col("c")))
-        .select(col("b"), col("c"))
+        .select(col("b"), col("c"), col("dc"))
         .join(oriented.filter(col("dv") >= 0)
-            .select(col("u").as("b"), col("v").as("c")),
-          Seq("b", "c"))
+            .select(col("u").as("b"), col("v").as("c"),
+              col("dv").as("dc")),
+          Seq("b", "c", "dc"))
         .count()
       Seq((nNodes, nEdges, wedges, tri,
         if (wedges > 0) Some(3000000L * tri / wedges) else None))
