@@ -19,11 +19,16 @@ object StagePlans {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.load(spark, sfDir, "documents")
+    val q101Base = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.WordShingleHashes(
+        org.apache.spark.sql.functions.col("text"), 3).as("G"))
     val stages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
       "stage_tokenize" -> operators.Corpus.tokenize(
         docs, operators.Corpus.ensureBpeMerges(spark, sfDir)),
       "stage_winnow_fps" -> operators.Dedup.winnowFingerprints(docs),
-      "stage_winnow_spans" -> operators.Dedup.winnowFingerprintSpans(docs))
+      "stage_winnow_spans" -> operators.Dedup.winnowFingerprintSpans(docs),
+      "stage_q101_prefix" -> operators.Dedup.prefixSelection(q101Base))
     val wanted = if (args.isEmpty) stages.map(_._1).toSet else args.toSet
     stages.filter(s => wanted.contains(s._1)).foreach { case (n, df) =>
       println(s"\n========== $n ==========")

@@ -1167,6 +1167,51 @@ object Dedup {
     * bounded arrays per surviving candidate (977 of 124 750 possible
     * pairs at sf0.01 — a 128× cut measured, larger under Zipf).
     */
+  /** q101's prefix-selection pass over the per-doc distinct shingle-hash
+    * array frame `base` (doc_id, G): every (doc, shingle) row whose
+    * global rarity rank (df asc, h asc over the doc's grams) is within
+    * the doc's AllPairs prefix quota ⌊sz/2⌋+1.
+    *
+    * r19 (selection changes; candidates IDENTICAL in all three):
+    * (1) df = 1 shingles occur in exactly one document so they can
+    *     never produce a candidate pair — they are dropped BEFORE the
+    *     rank window (a df = 1 prefix row matched only itself in the
+    *     candidate equi-join). The prefix quota still credits them:
+    *     all df = 1 rows sort strictly first under (df, h), so a
+    *     surviving row's GLOBAL rank is its rank among df >= 2 rows
+    *     plus the doc's df = 1 count. The window shuffles and sorts
+    *     only the corpus-shared tail of the gram distribution.
+    * (2) the df table is filtered to df >= 2 BEFORE the rank join —
+    *     the inner join then subsumes the old post-join filter, and
+    *     under Zipf the dropped df = 1 tail is most of the vocabulary
+    *     (§2.3: shrink the join's build side, same rows out).
+    * (3) ONE window instead of two: the old form needed n2 (the doc's
+    *     df >= 2 row count, an unordered count window — its own
+    *     WindowExec pass) to place the global rank
+    *     grk = rk_asc + (sz − n2); ranking DESCENDING instead gives
+    *     rk_asc + rk_desc = n2 + 1 per doc ((df, h) is a total order
+    *     within a doc — G is distinct), so grk = sz + 1 − rk_desc and
+    *     the count window disappears. Equivalence to the two-window
+    *     form is pinned in DocKernelsSpec.
+    */
+  private[graft] def prefixSelection(base: DataFrame): DataFrame = {
+    val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
+    val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id"))
+    base
+      .select(col("doc_id"), size(col("G")).as("sz"),
+        explode(col("G")).as("h"))
+      .join(dfreq, Seq("h"))
+      .withColumn("rkd", row_number().over(
+        wDoc.orderBy(col("df").desc, col("h").desc)))
+      .filter(col("sz") + 1L - col("rkd") <=
+        ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
+      .select(col("doc_id"), col("sz"), col("h"),
+        (col("sz") + 1L - col("rkd")).as("grk"))
+  }
+
   val qPrefixJoin: QuerySpec = QuerySpec(
     "q101_prefix_join",
     (s, dir) => {
@@ -1180,38 +1225,11 @@ object Dedup {
         s"q101-sets-${java.lang.Long.toHexString(PolyHash.hash(dir))}",
         Tables.load(s, dir, "documents")
           .select(col("doc_id"), WordShingleHashes(col("text"), 3).as("G")))
-      val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
-      val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      // r19 (two changes to the selection pass):
-      // (1) a df = 1 shingle occurs in exactly one document, so it can
-      //     NEVER produce a candidate pair — in the old plan every such
-      //     row rode the rank window and the prefix self-join as dead
-      //     weight. They are dropped BEFORE the window; the prefix
-      //     quota still credits them (all df = 1 rows sort strictly
-      //     first under (df, h), so the global rank of a surviving row
-      //     is n1 + rk, n1 = sz − n2 from a same-partition count).
-      //     The window now shuffles and sorts only the corpus-shared
-      //     tail of the gram distribution. Candidates are IDENTICAL:
-      //     a df = 1 prefix row matched only itself in the equi-join.
-      // (2) the prefix frame is flushed before the candidate self-join
-      //     — both join sides previously re-executed the whole
-      //     rank-window subtree (r18's plan ran 4 WindowExecs).
-      import org.apache.spark.sql.expressions.Window
-      val wDoc = Window.partitionBy(col("doc_id"))
-      val ranked = base
-        .select(col("doc_id"), size(col("G")).as("sz"),
-          explode(col("G")).as("h"))
-        .join(dfreq, Seq("h"))
-        .filter(col("df") >= 2)
-        .withColumn("n2", count(lit(1)).over(wDoc))
-        .withColumn("rk", row_number().over(wDoc.orderBy(col("df"), col("h"))))
+      // (the flush keeps both self-join sides reading one build — plan
+      // branches specialize under broadcast here, so exchange reuse
+      // cannot dedupe them; re-measured r19, flush wins)
       val prefix = Scratch.flush(s,
-        Scratch.dirTag("q101-prefix", dir),
-        ranked
-          .filter(col("rk") + (col("sz") - col("n2")) <=
-            ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
-          .select(col("doc_id"), col("sz"), col("h"),
-            (col("rk") + (col("sz") - col("n2"))).as("grk")))
+        Scratch.dirTag("q101-prefix", dir), prefixSelection(base))
       // r19: PPJoin length + positional filters (Xiao et al. 2008,
       // public literature) prune candidates BEFORE the verify join
       // fetches any shingle array (§2.3 shuffle metadata, not

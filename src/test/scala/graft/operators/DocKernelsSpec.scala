@@ -290,6 +290,35 @@ class DocKernelsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  // ---- q101 prefix selection: single desc-rank window (r19) ----
+
+  test("prefixSelection ≡ legacy two-window (n2 + asc rank) selection") {
+    import org.apache.spark.sql.expressions.Window
+    corpora.foreach { docs =>
+      val base = docs.select(col("doc_id"),
+        graft.functions.WordShingleHashes(col("text"), 3).as("G"))
+      // legacy (pre-r19b) formulation, verbatim: unfiltered df table,
+      // post-join df >= 2 filter, count window for n2, ascending rank
+      val grams = base.select(col("doc_id"), explode(col("G")).as("h"))
+      val dfreq = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val wDoc = Window.partitionBy(col("doc_id"))
+      val legacy = base
+        .select(col("doc_id"), size(col("G")).as("sz"),
+          explode(col("G")).as("h"))
+        .join(dfreq, Seq("h"))
+        .filter(col("df") >= 2)
+        .withColumn("n2", count(lit(1)).over(wDoc))
+        .withColumn("rk",
+          row_number().over(wDoc.orderBy(col("df"), col("h"))))
+        .filter(col("rk") + (col("sz") - col("n2")) <=
+          ((col("sz") - pmod(col("sz"), lit(2))) / 2).cast("long") + 1)
+        .select(col("doc_id"), col("sz"), col("h"),
+          (col("rk") + (col("sz") - col("n2"))).as("grk"))
+      assertSameRows(Dedup.prefixSelection(base), legacy,
+        "q101 prefix selection")
+    }
+  }
+
   // ---- winnow kernels agree with each other ----
 
   test("WinnowFps is exactly WinnowFpSpans' fp set") {
